@@ -1,0 +1,53 @@
+"""Unit tests for the text expression builders (SURVEY P6-P11, F4-F6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topic_modeling_ajin_spark.functions import text as TX
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_cleaned_strips_specials_and_collapses_ws(spark):
+    df = spark.createDataFrame([("  Hello, 월드!!  x(y)z  ",)], ["t"])
+    assert df.select(TX.cleaned("t").alias("v")).collect()[0]["v"] == "hello 월드 xyz"
+
+
+def test_normalized_ai_word_boundary(spark):
+    df = spark.createDataFrame([("AI is ai-based, aid unchanged KAI",)], ["t"])
+    out = df.select(TX.normalized_ai("t").alias("v")).collect()[0]["v"]
+    assert out == "인공지능 is 인공지능-based, aid unchanged KAI"
+
+
+def test_tokens_drops_empties_and_lowercases(spark):
+    df = spark.createDataFrame([("  The  QUICK fox ",)], ["t"])
+    assert df.select(TX.tokens("t").alias("v")).collect()[0]["v"] == [
+        "the",
+        "quick",
+        "fox",
+    ]
+
+
+def test_length_band_and_stopwords(spark):
+    df = spark.createDataFrame([(["a", "ab", "abcdefghijklmnop", "the", "fox"],)], ["t"])
+    banded = df.select(TX.length_band(F.col("t")).alias("v")).collect()[0]["v"]
+    assert banded == ["ab", "the", "fox"]
+    no_stop = df.select(
+        TX.without_stopwords(F.col("t"), TX.ENGLISH_STOPWORDS).alias("v")
+    ).collect()[0]["v"]
+    assert no_stop == ["ab", "abcdefghijklmnop", "fox"]
+
+
+def test_truncated(spark):
+    df = spark.createDataFrame([("x" * 10,), ("y" * 3,)], ["t"])
+    out = [r["v"] for r in df.select(TX.truncated("t", 5).alias("v")).collect()]
+    assert out == ["xxxxx...", "yyy"]
+
+
+def test_hangul_tokens(spark):
+    df = spark.createDataFrame([("인공지능 AI 광고 abc 모델",)], ["t"])
+    out = df.select(TX.hangul_tokens("t").alias("v")).collect()[0]["v"]
+    assert out == ["인공지능", "광고", "모델"]

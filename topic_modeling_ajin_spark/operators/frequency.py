@@ -1,0 +1,178 @@
+"""Word-frequency analysis — the reference's flagship pipeline.
+
+Re-expresses ``WordFrequencyAnalyzer.analyze_word_frequency``
+(``preprocessing.py:367-392``: sequential per-row tokenize loop → one giant
+Python list → ``collections.Counter`` → ``most_common``) as the canonical
+distributed shape: ``explode → groupBy → count → orderBy/limit``. The
+groupBy gets map-side partial aggregation for free, the top-k compiles to
+``TakeOrderedAndProject`` (per-partition heaps, no global sort), and nothing
+materializes driver-side — this is the plan that survives 100 TB.
+
+Also covers the summary-statistics aggregates of
+``preprocessing.py:579-639`` (SURVEY A2-A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources import load_table
+
+TOP_N = 100
+
+
+def tokenized_words(df: DataFrame) -> DataFrame:
+    """documents → one row per (doc_id, word), whitespace-tokenized,
+    lowercased, min length 2 (the reference's token floor,
+    ``preprocessing.py:233``)."""
+    return (
+        df.select("doc_id", F.explode(TX.tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+    )
+
+
+def word_count(df: DataFrame, top_n: int = TOP_N) -> DataFrame:
+    """Top-N word frequency (SURVEY A1/T1). Deterministic tie-break on the
+    word itself so the LIMIT boundary is stable under any parallelism."""
+    return (
+        tokenized_words(df)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(top_n)
+    )
+
+
+# Shared oracle fragment: tokenized (doc_id, word) pairs.
+SQL_TOKS = r"""
+SELECT doc_id,
+       unnest(string_split_regex(lower(text), '\s+')) AS word
+FROM documents
+"""
+
+
+@register(
+    "word_count",
+    sql=rf"""
+WITH toks AS ({SQL_TOKS})
+SELECT word, count(*) AS cnt
+FROM toks
+WHERE length(word) >= 2
+GROUP BY word
+ORDER BY cnt DESC, word
+LIMIT 100
+""",
+    tags=("text", "flagship"),
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "distinct_word_count",
+    sql=rf"""
+WITH toks AS ({SQL_TOKS})
+SELECT count(DISTINCT word) AS n_words,
+       count(*) AS n_tokens
+FROM toks
+WHERE length(word) >= 2
+""",
+    tags=("text",),
+)
+def q_distinct_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A2: vocabulary size. Exact here; at 100 TB swap in
+    ``approx_count_distinct`` (HLL) — see ``approx_distinct_words``."""
+    toks = tokenized_words(load_table(spark, sf_dir, "documents"))
+    return toks.agg(
+        F.countDistinct("word").alias("n_words"), F.count("*").alias("n_tokens")
+    )
+
+
+@register(
+    "word_freq_stats",
+    sql=rf"""
+WITH toks AS ({SQL_TOKS}),
+counts AS (
+    SELECT word, count(*) AS cnt
+    FROM toks WHERE length(word) >= 2
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 100
+)
+SELECT round(avg(cnt), 6) AS mean_freq,
+       round(median(cnt), 6) AS median_freq,
+       round(stddev_samp(cnt), 6) AS std_freq,
+       min(cnt) AS min_freq,
+       max(cnt) AS max_freq
+FROM counts
+""",
+    tags=("text", "stats"),
+)
+def q_word_freq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A5: mean/median/std/min/max over the top-100 counts
+    (``preprocessing.py:620-624``)."""
+    counts = word_count(load_table(spark, sf_dir, "documents"))
+    return counts.agg(
+        F.round(F.avg("cnt"), 6).alias("mean_freq"),
+        F.round(F.median("cnt"), 6).alias("median_freq"),
+        F.round(F.stddev_samp("cnt"), 6).alias("std_freq"),
+        F.min("cnt").alias("min_freq"),
+        F.max("cnt").alias("max_freq"),
+    )
+
+
+@register(
+    "doc_stats",
+    sql="""
+SELECT count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(length(text)), 6) AS avg_len
+FROM documents
+""",
+    tags=("text", "stats"),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A3/A4/A6: corpus summary (``preprocessing.py:586-611``)."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+    )
+
+
+@register(
+    "lang_counts",
+    sql="""
+SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("text",),
+)
+def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A7-shaped grouped count over low-cardinality dims; partial
+    (map-side) aggregation makes this a near-free scan at scale."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.groupBy("lang", "source").agg(
+        F.count("*").alias("cnt"), F.round(F.avg("n_chars"), 6).alias("avg_chars")
+    )
+
+
+@register(
+    "approx_distinct_words",
+    tags=("text", "scale"),
+)
+def q_approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-word estimate — the 100 TB path for SURVEY A2 (no
+    exact-count shuffle of the full vocabulary). Rows-only check: DuckDB's
+    approx_count_distinct uses a different sketch, so values can't match."""
+    toks = tokenized_words(load_table(spark, sf_dir, "documents"))
+    return toks.agg(F.approx_count_distinct("word", 0.01).alias("approx_words"))

@@ -1,0 +1,49 @@
+"""Parquet table loaders for the engine's test/bench star schema.
+
+The reference loads Excel/CSV eagerly with inferred schemas
+(``preprocessing.py:303``, ``BERTopic_Analysis.py:136-138``); the engine is
+Parquet-first (columnar scan, predicate pushdown, column pruning via
+Catalyst). Excel exists only as a driver-side export shim in ``sinks``.
+
+At 100 TB each of these ``load_table`` calls is a partitioned columnar scan;
+nothing here materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain ``spark.read.parquet`` so Catalyst can push
+    filters/projections into the scan."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API path."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
