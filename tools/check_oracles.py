@@ -33,6 +33,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def value_hash(df: pd.DataFrame) -> str:
     df = normalize(df)
+    if df.empty:
+        return "empty"
     rows = sorted(df.astype(str).apply(lambda r: "\x1f".join(r), axis=1).tolist())
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
 

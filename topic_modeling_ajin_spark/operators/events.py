@@ -1,1 +1,229 @@
-"""(round 1) placeholder — operators land incrementally."""
+"""Event-time operators over the ``events`` table.
+
+The reference's only time semantics are year/month derivation and per-date
+grouping (``preprocessing.py:356-357,630``; SURVEY §2.8). The engine keeps
+those (P3/P5/A7) and adds the event-time surface a streaming pipeline needs
+— tumbling windows, sessionization, as-of lookback — expressed so the SAME
+logic runs in Structured Streaming (see ``streaming/``): windowed aggregates
+are ``F.window``-compatible groupings, sessionization is the lag/cumsum
+pattern (batch) or ``session_window`` (streaming).
+
+Window-function determinism: every ORDER BY includes ``event_id`` as the
+final tie-break so frames are total-ordered under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+SESSION_GAP_SECONDS = 1800
+
+
+@register(
+    "events_date_parts",
+    sql="""
+SELECT event_id,
+       CAST(year(ts) AS INT) AS yr,
+       CAST(month(ts) AS INT) AS mon,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+""",
+    tags=("events", "prep"),
+)
+def q_events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P3/P5: date-part derivation (``preprocessing.py:356-357``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mon"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+
+
+@register(
+    "events_hourly",
+    sql="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS cnt,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window", "flagship"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (SURVEY A7 scaled up): the batch twin of
+    the streaming windowed count in ``streaming/wordcount.py``. Partial
+    aggregation means the shuffle carries one row per (hour, type)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_daily_users",
+    sql="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+    tags=("events",),
+)
+def q_events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users — the per-date group count of
+    ``preprocessing.py:630-636`` plus a distinct aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "sessionize_events",
+    sql=f"""
+WITH laggy AS (
+    SELECT user_id, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {SESSION_GAP_SECONDS} * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM laggy
+GROUP BY user_id
+""",
+    tags=("events", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min ⇒ new session) via lag + flag-sum — the
+    batch expression of ``session_window``. One shuffle on user_id serves
+    both the window and the final aggregate (same partitioning reused)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_session = (
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_SECONDS * 1_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        e.select("user_id", "event_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+        )
+    )
+
+
+@register(
+    "asof_last_signup",
+    sql="""
+SELECT event_id, user_id,
+       coalesce(strftime(max(CASE WHEN event_type = 'signup' THEN ts END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         '%Y-%m-%d %H:%M:%S'), '') AS last_signup
+FROM events
+""",
+    tags=("events", "window", "asof"),
+)
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookback join expressed as a running conditional max — for
+    same-table as-of this beats a range join: one shuffle on user_id, no
+    pair blowup. (Cross-table as-of: union-tag the two streams, then this
+    same window — see ``streaming`` notes.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.date_format(last_signup, "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("last_signup"),
+    )
+
+
+@register(
+    "events_running_value",
+    sql="""
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+""",
+    tags=("events", "window"),
+)
+def q_events_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: per-user running sum + sequence number (SURVEY §7.2
+    window fill-in). Left-to-right frame sum ⇒ identical association order
+    in both engines, so values match bit-for-bit before rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@register(
+    "event_type_share",
+    sql="""
+SELECT event_type,
+       count(*) AS cnt,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "agg"),
+)
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + global-window share (ratio-to-report)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return counts.select(
+        "event_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(Window.partitionBy()), 6).alias(
+            "share"
+        ),
+    )

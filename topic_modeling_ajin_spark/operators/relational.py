@@ -1,1 +1,357 @@
-"""(round 1) placeholder — operators land incrementally."""
+"""Relational operator surface over the TPC-H-ish star schema.
+
+The reference is single-table (SURVEY §2.6) — joins/sets/windows come free
+with Spark and are part of the engine's surface so a user gets the full
+query capability alongside the text pipeline. Plans are written for scale:
+
+- fact-to-fact joins (lineitem ⋈ orders) shuffle on the join key and rely
+  on AQE for skew splitting;
+- dimension joins (customer, nation, region, supplier) stay under the
+  broadcast threshold at any SF — dimensions grow ~linearly in TPC-H but
+  region/nation are constant and we broadcast explicitly where it matters;
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- money sums are rounded to 2dp AFTER aggregation so the DuckDB oracle
+  matches despite summation-order differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("relational", "flagship"),
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 8 aggregates. Partial
+    (map-side) aggregation collapses 100 TB to 6 groups before the single
+    tiny shuffle; the shipdate filter pushes into the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= "2000-12-01 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    sql="""
+SELECT l.l_orderkey AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("relational",),
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (customer, broadcast) → fact ⋈
+    fact on the order key → grouped revenue → top-10 heap."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01 00:00:00"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01 00:00:00"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(l.l_orderkey.alias("o_orderkey"), "o_orderdate")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    sql="""
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    tags=("relational",),
+)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join. region/nation/supplier/customer are
+    broadcast (constant or ~linear dimensions); the only shuffle joins are
+    the two fact keys. Catalyst reorders the dimension filters first."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "2000-01-01 00:00:00")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    sql="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+QUALIFY rn <= 3
+""",
+    tags=("relational", "window"),
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (SURVEY T2/T3 shape on relational data): rank window
+    + filter. AQE handles per-customer skew; no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    sql="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY c_mktsegment
+""",
+    tags=("relational", "join"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). At scale this is a broadcast of the
+    distinct keys or a shuffled semi — Catalyst decides; no row duplication
+    ever reaches the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    sql="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("relational", "join"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "rollup_orders",
+    sql="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("relational", "agg"),
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §7.2 M7 fill-in). Spark executes one
+    Expand + single aggregation pass — no N-pass re-scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    sql="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("relational", "agg"),
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two status dims — all 2^2 grouping sets in one pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_quantity"), 6).alias("avg_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "avg_qty",
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    sql="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_finished,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_pending
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("relational", "agg"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregate). Explicit value list so the plan
+    is a single pass, never a distinct-scan to discover pivot columns."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("cnt_open"),
+        F.coalesce("F", F.lit(0)).alias("cnt_finished"),
+        F.coalesce("P", F.lit(0)).alias("cnt_pending"),
+    )
+
+
+@register(
+    "custkeys_set_ops",
+    sql="""
+WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     fin_c  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM fin_c)
+UNION ALL
+SELECT 'open_only' AS tag, o_custkey FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM fin_c)
+""",
+    tags=("relational", "setops"),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (absent from the reference, SURVEY §2.6
+    'free in Spark' row)."""
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_c.intersect(fin_c).select(F.lit("both").alias("tag"), "o_custkey")
+    only = open_c.exceptAll(fin_c).select(F.lit("open_only").alias("tag"), "o_custkey")
+    return both.unionAll(only)
+
+
+@register(
+    "part_supplier_join",
+    sql="""
+SELECT p.p_brand, s.s_name, count(*) AS n_lines,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size >= 25
+GROUP BY p.p_brand, s.s_name
+""",
+    tags=("relational", "join"),
+)
+def q_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ two dims, both explicitly broadcast — zero shuffle joins; the
+    only exchange is the final small aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
