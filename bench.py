@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via the no-op sink (computation without driver
+materialization) — the honest distributed cost, no collect() discount.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "word_count",            # text flagship: explode → agg → top-k
+    "q1_pricing_summary",    # scan-heavy aggregate
+    "q3_shipping_priority",  # selective joins + top-k
+    "q5_region_revenue",     # snowflake broadcast joins
+    "top_orders_per_customer",  # rank window
+    "events_hourly",         # tumbling window agg
+    "sessionize_events",     # lag/cumsum session windows
+    "minhash_lsh_pairs",     # near-dup dedup scale path
+    "simhash16",             # O(N) fingerprint
+    "ann_cosine_topk",       # vector similarity
+    "ctfidf_keywords",       # topic keywords
+    "topic_cosine_similarity",  # sparse matrix product
+    "umass_coherence",       # co-occurrence coherence
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench")
+
+    # absorb one-time session costs (codegen, parquet reader init, shuffle
+    # service) with a tiny representative job before timing
+    from topic_modeling_ajin_spark.sources import load_table
+
+    spark.range(1).count()
+    load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,15 +36,45 @@ def seeded_md5(col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}|"), col))
 
 
+# Affine-rehash MinHash family: one md5 per shingle gives a 32-bit base
+# integer; the i-th hash is (A_i * base + B_i) mod P. P = 2^31-1 keeps
+# A_i * base < 2^63 (no overflow, and DuckDB's checked int64 arithmetic
+# accepts it), so both engines compute identical values.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (73, 173, 281, 397, 521, 641, 769, 883, 1013, 1151, 1279, 1429)
+MINHASH_B = (11, 29, 47, 67, 89, 109, 131, 157, 181, 211, 233, 263)
+
+
+def md5_base32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# DuckDB twin of md5_base32 (no conv(); nibble-parse 8 hex chars of
+# md5('shingle' column)). Kept next to the Spark expression so the two
+# stay in lockstep.
+SQL_MD5_BASE32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
-    """MinHash signature: per seed, the lexicographic min of the seeded md5
-    over the doc's shingles. Returns ``array<string>`` of length
-    ``num_hashes`` (null-free only when the shingle set is non-empty)."""
+    """MinHash signature: per hash i, min over the doc's shingles of the
+    affine rehash of the shingle's md5 base. Returns ``array<bigint>`` of
+    length ``num_hashes``. One md5 per shingle total — the 12× md5 cost of
+    the naive seeded variant collapses to integer math."""
+    bases = F.transform(shingle_col, md5_base32)
+
+    def _min_hash(a: int, b: int) -> Column:
+        # NB: single-param lambda — a second param would make Spark pass
+        # the element index instead of closing over the constants.
+        return F.array_min(
+            F.transform(bases, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        )
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: seeded_md5(s, i)))
-            for i in range(num_hashes)
-        ]
+        *[_min_hash(MINHASH_A[i], MINHASH_B[i]) for i in range(num_hashes)]
     )
 
 

@@ -1,1 +1,314 @@
-"""(round 1) placeholder — operators land incrementally."""
+"""Deduplication operators — exact and near-duplicate.
+
+The reference's dedup is a single ``drop_duplicates(subset=['contents'])``
+(``preprocessing.py:344-346``, SURVEY F1). A training-data pipeline at
+100 TB needs the full ladder, each re-expressed as shuffle-friendly
+DataFrame algebra with deterministic keeper selection:
+
+- exact:        groupBy(text) + min(doc_id) — one shuffle on the text hash;
+- fingerprint:  md5 of the *cleaned* text — fixed-width key, so the shuffle
+                carries 16 bytes instead of document bodies;
+- n-gram Jaccard: shingle equi-join — exact pairwise similarity, quadratic
+                in hot shingles (the correctness baseline);
+- MinHash+LSH:  fixed-width signatures + band bucketing — the scale path:
+                candidate generation is an equi-join on (band, key), and the
+                expensive exact Jaccard verification runs only on candidates.
+
+All hashing is md5-based (``functions.hashing``), portable across engines,
+so every stage here — including the LSH banding — has an exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as TX
+from ..registry import register
+from ..sources import load_table, parallelized
+
+NUM_HASHES = 12
+BAND_SIZE = 3  # 4 bands of 3 → s-curve threshold ≈ 0.55
+JACCARD_THRESHOLD = 0.8
+
+# ---------------------------------------------------------------- SQL parts
+
+SQL_SHINGLES = r"""
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, length(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS shingle
+    FROM toks
+    WHERE length(toks) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+SQL_JACCARD_PAIRS = f"""
+WITH {SQL_SHINGLES},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, shingles array<string>) for docs with ≥3 tokens.
+
+    Persisted: every consumer (signatures, banding, verification, sizes)
+    branches from this node, and recomputing tokenize+shingle per branch
+    would quadruple the CPU cost. The cached form is one slim row per doc.
+    """
+    toks = parallelized(docs).select(
+        "doc_id", TX.tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    return toks.select(
+        "doc_id", H.shingles(F.col("toks"), 3).alias("shingles")
+    ).persist()
+
+
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    return _shingled(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard verification for (doc_a, doc_b) candidate pairs via
+    shingle join — only candidates pay the quadratic cost. ``sh`` is the
+    exploded (doc_id, shingle) table, shared with candidate generation."""
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_exact",
+    sql="""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F1 with a deterministic keeper (min doc_id) — unlike
+    ``dropDuplicates`` whose survivor depends on partition order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@register(
+    "fingerprint_dedup",
+    sql=r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^가-힣a-zA-Z0-9 ]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keeper, count(*) AS n_copies
+FROM fp
+GROUP BY fingerprint
+""",
+    tags=("dedup", "scale"),
+)
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: the shuffle key is a 16-byte md5 of the cleaned
+    text, not the document body — at 100 TB this is the difference between
+    shuffling terabytes and shuffling gigabytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", H.fingerprint(TX.cleaned("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+@register("ngram_jaccard_pairs", sql=SQL_JACCARD_PAIRS, tags=("dedup",))
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via
+    shingle equi-join. Correctness baseline for the LSH variant below;
+    quadratic in per-shingle document frequency, so at scale prefer
+    ``minhash_lsh_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        pairs.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _band_key(sig: Column, band: int) -> Column:
+    parts = [sig[band * BAND_SIZE + r].cast("string") for r in range(BAND_SIZE)]
+    return F.concat_ws("-", *parts)
+
+
+@register(
+    "minhash_lsh_pairs",
+    sql=f"""
+WITH {SQL_SHINGLES},
+base AS (
+    SELECT doc_id,
+           {H.SQL_MD5_BASE32} AS h
+    FROM sh
+),
+mh AS (
+    SELECT doc_id, s.seed,
+           min((s.a * h + s.b) % {H.MINHASH_P}) AS mh
+    FROM base, (SELECT unnest(range(0, {NUM_HASHES})) AS seed,
+                       unnest({list(H.MINHASH_A[:NUM_HASHES])}) AS a,
+                       unnest({list(H.MINHASH_B[:NUM_HASHES])}) AS b) s
+    GROUP BY doc_id, s.seed
+),
+bands AS (
+    SELECT doc_id, seed // {BAND_SIZE} AS band,
+           string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_key
+    FROM mh GROUP BY doc_id, seed // {BAND_SIZE}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter * 1.0 / (x.n + y.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sz x ON x.doc_id = i.doc_a
+JOIN sz y ON y.doc_id = i.doc_b
+WHERE i.inter * 1.0 / (x.n + y.n - i.inter) >= {JACCARD_THRESHOLD}
+""",
+    tags=("dedup", "scale", "flagship"),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the 100 TB dedup path.
+
+    signature: per doc, {NUM_HASHES} md5-minhashes computed as one array
+    expression (no explode, no shuffle); banding: explode to
+    ({NUM_HASHES}//{BAND_SIZE}) rows/doc and equi-join on (band, key);
+    verification: exact Jaccard only on candidates. Portable md5 hashing
+    makes even the banding stage oracle-checkable in DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingled(docs).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        "doc_id", H.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig")
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), _band_key(F.col("sig"), b).alias("key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    shx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    return _jaccard_on_pairs(cand, shx)
+
+
+@register(
+    "near_dup_discard",
+    sql=f"""
+WITH {SQL_SHINGLES},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+dup AS (
+    SELECT doc_b
+    FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
+)
+SELECT DISTINCT doc_b AS discard_doc_id FROM dup
+""",
+    tags=("dedup",),
+)
+def q_near_dup_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision: discard the higher-id member of every near-dup pair
+    (keep-first policy, deterministic under parallelism)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+    )
+    return jac.select(F.col("doc_b").alias("discard_doc_id")).distinct()

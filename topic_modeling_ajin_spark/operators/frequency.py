@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..registry import register
-from ..sources import load_table
+from ..sources import load_table, parallelized
 
 TOP_N = 100
 
@@ -29,7 +29,8 @@ def tokenized_words(df: DataFrame) -> DataFrame:
     lowercased, min length 2 (the reference's token floor,
     ``preprocessing.py:233``)."""
     return (
-        df.select("doc_id", F.explode(TX.tokens("text")).alias("word"))
+        parallelized(df)
+        .select("doc_id", F.explode(TX.tokens("text")).alias("word"))
         .filter(F.length("word") >= 2)
     )
 

@@ -1,1 +1,219 @@
-"""(round 1) placeholder — operators land incrementally."""
+"""Topic-quality metrics (SURVEY M4-M7) as distributed DataFrame algebra.
+
+The reference computes these driver-side over tiny K×K matrices
+(``LDA_Analysis.py:286-411``, ``BERTopic_Analysis.py:375-537``). Here every
+metric is expressed over the long-form topic-keyword table from
+``operators.topics`` so the same plan works when K or the corpus is huge:
+
+- diversity (M5):   one distinct-count aggregate;
+- Jaccard (M6/J1):  keyword self-join per label pair (K small ⇒ broadcast);
+- cosine (M7/J2):   sparse matrix product as an equi-join on the term —
+                    the scalable form of "densify each topic over the full
+                    vocabulary then cosine" (``LDA_Analysis.py:374-390``);
+- u_mass coherence (M4): document co-occurrence joins — the genuinely
+                    custom algorithm, built exactly as SURVEY §7.2-M4
+                    prescribes: aggregations over (doc, word) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table, parallelized
+from .topics import SQL_CTFIDF, class_term_weights, topk_keywords
+
+
+@register(
+    "topic_diversity",
+    sql=f"""
+WITH {SQL_CTFIDF}
+SELECT round(count(DISTINCT word) * 1.0 / count(*), 6) AS diversity,
+       count(*) AS n_keywords
+FROM topk
+""",
+    tags=("metrics",),
+)
+def q_topic_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M5/A9: |unique top-k words across topics| / Σ top-k
+    (``LDA_Analysis.py:310-338``)."""
+    topk = topk_keywords(spark, sf_dir)
+    return topk.agg(
+        F.round(F.countDistinct("word") / F.count("*"), 6).alias("diversity"),
+        F.count("*").alias("n_keywords"),
+    )
+
+
+@register(
+    "topic_jaccard_overlap",
+    sql=f"""
+WITH {SQL_CTFIDF},
+labs AS (SELECT DISTINCT label FROM topk),
+sizes AS (SELECT label, count(*) AS n FROM topk GROUP BY label),
+inter AS (
+    SELECT a.label AS i, b.label AS j, count(*) AS c
+    FROM topk a JOIN topk b ON a.word = b.word AND a.label < b.label
+    GROUP BY a.label, b.label
+)
+SELECT x.label AS i, y.label AS j,
+       round(coalesce(inter.c, 0) * 1.0 /
+             (sx.n + sy.n - coalesce(inter.c, 0)), 6) AS jaccard
+FROM labs x
+JOIN labs y ON x.label < y.label
+LEFT JOIN inter ON inter.i = x.label AND inter.j = y.label
+JOIN sizes sx ON sx.label = x.label
+JOIN sizes sy ON sy.label = y.label
+""",
+    tags=("metrics",),
+)
+def q_topic_jaccard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M6/J1: K×K keyword-overlap matrix in long form, zero pairs
+    included (the reference's dense heatmap, ``LDA_Analysis.py:341-365``)."""
+    topk = topk_keywords(spark, sf_dir).select("label", "word")
+    labs = topk.select("label").distinct()
+    sizes = topk.groupBy("label").agg(F.count("*").alias("n"))
+    a = topk.select(F.col("label").alias("i"), "word")
+    b = topk.select(F.col("label").alias("j"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        labs.select(F.col("label").alias("i"))
+        .join(labs.select(F.col("label").alias("j")), F.col("i") < F.col("j"))
+        .join(inter, ["i", "j"], "left")
+        .join(sizes.select(F.col("label").alias("i"), F.col("n").alias("ni")), "i")
+        .join(sizes.select(F.col("label").alias("j"), F.col("n").alias("nj")), "j")
+    )
+    c = F.coalesce(F.col("c"), F.lit(0))
+    return pairs.select(
+        "i", "j", F.round(c / (F.col("ni") + F.col("nj") - c), 6).alias("jaccard")
+    )
+
+
+@register(
+    "topic_cosine_similarity",
+    sql=f"""
+WITH {SQL_CTFIDF},
+norms AS (SELECT label, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY label),
+dots AS (
+    SELECT x.label AS i, y.label AS j, sum(x.wt * y.wt) AS dot
+    FROM w x JOIN w y ON x.word = y.word AND x.label < y.label
+    GROUP BY x.label, y.label
+)
+SELECT dots.i, dots.j, round(dots.dot / (a.nrm * b.nrm), 6) AS cosine
+FROM dots
+JOIN norms a ON a.label = dots.i
+JOIN norms b ON b.label = dots.j
+""",
+    tags=("metrics", "flagship"),
+)
+def q_topic_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M7/J2: pairwise cosine over full topic-term weight vectors as
+    a sparse matrix product — explode to (topic, term, w), self-join on
+    term, aggregate dot products. The reference densifies each topic over
+    the whole vocabulary (``LDA_Analysis.py:374-390``); the join form never
+    materializes a V-wide vector anywhere."""
+    w = class_term_weights(spark, sf_dir)
+    norms = w.groupBy("label").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    x = w.select(F.col("label").alias("i"), "word", F.col("wt").alias("wi"))
+    y = w.select(F.col("label").alias("j"), "word", F.col("wt").alias("wj"))
+    dots = (
+        x.join(y, "word")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("wi") * F.col("wj")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("label").alias("i"), F.col("nrm").alias("ni")), "i")
+        .join(norms.select(F.col("label").alias("j"), F.col("nrm").alias("nj")), "j")
+        .select("i", "j", F.round(F.col("dot") / (F.col("ni") * F.col("nj")), 6).alias("cosine"))
+    )
+
+
+@register(
+    "umass_coherence",
+    sql=f"""
+WITH {SQL_CTFIDF},
+docw AS (
+    SELECT DISTINCT doc_id, word FROM toks
+    WHERE word IN (SELECT word FROM topk)
+),
+dw AS (SELECT word, count(*) AS d FROM docw GROUP BY word),
+cooc AS (
+    SELECT a.word AS wa, b.word AS wb, count(*) AS dij
+    FROM docw a JOIN docw b ON a.doc_id = b.doc_id AND a.word < b.word
+    GROUP BY a.word, b.word
+),
+sizes AS (SELECT label, count(*) AS n FROM topk GROUP BY label),
+prs AS (
+    SELECT t1.label, t1.word AS wi, t2.word AS wj
+    FROM topk t1
+    JOIN topk t2 ON t1.label = t2.label AND t2.rank < t1.rank
+)
+SELECT prs.label,
+       round(2.0 / (s.n * (s.n - 1)) *
+             sum(ln((coalesce(cooc.dij, 0) + 1) * 1.0 / dw.d)), 6) AS umass
+FROM prs
+LEFT JOIN cooc ON cooc.wa = least(prs.wi, prs.wj)
+              AND cooc.wb = greatest(prs.wi, prs.wj)
+JOIN dw ON dw.word = prs.wj
+JOIN sizes s ON s.label = prs.label
+GROUP BY prs.label, s.n
+""",
+    tags=("metrics", "coherence"),
+)
+def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M4: u_mass topic coherence — for each topic's ranked words,
+    mean over ordered pairs (i>j) of ln((D(wi,wj)+1)/D(wj)), with document
+    frequencies D from the corpus (gensim 'u_mass',
+    ``LDA_Analysis.py:286-308``). Built entirely from (doc, word) joins:
+    the co-occurrence table is the only heavy aggregate and it's bounded by
+    vocabulary², further cut by the top-k word filter at scale."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    from ..functions import text as TX
+
+    topk = topk_keywords(spark, sf_dir)
+    topk_words = topk.select("word").distinct()
+    # (doc, word) incidence restricted to the top-k words — coherence only
+    # ever looks up pairs among them, and the restriction turns the
+    # co-occurrence self-join from |vocab|² per doc into |topk|² per doc.
+    # Three consumers (D(w), both sides of the pair join) ⇒ persist.
+    docw = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select("doc_id", F.explode(TX.tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .join(F.broadcast(topk_words), "word", "left_semi")
+        .distinct()
+        .persist()
+    )
+    dw = docw.groupBy("word").agg(F.count("*").alias("d"))
+    a = docw.select("doc_id", F.col("word").alias("wa"))
+    b = docw.select("doc_id", F.col("word").alias("wb"))
+    cooc = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("dij"))
+    )
+    sizes = topk.groupBy("label").agg(F.count("*").alias("n"))
+    t1 = topk.select("label", F.col("word").alias("wi"), F.col("rank").alias("ri"))
+    t2 = topk.select("label", F.col("word").alias("wj"), F.col("rank").alias("rj"))
+    prs = t1.join(t2, "label").filter(F.col("rj") < F.col("ri"))
+    joined = (
+        prs.join(
+            cooc,
+            (cooc.wa == F.least(prs.wi, prs.wj)) & (cooc.wb == F.greatest(prs.wi, prs.wj)),
+            "left",
+        )
+        .join(dw, dw.word == prs.wj)
+        .join(F.broadcast(sizes), "label")
+    )
+    term = F.log((F.coalesce(F.col("dij"), F.lit(0)) + 1) * 1.0 / F.col("d"))
+    return joined.groupBy("label", "n").agg(
+        F.round(2.0 / (F.col("n") * (F.col("n") - 1)) * F.sum(term), 6).alias("umass")
+    ).select("label", "umass")

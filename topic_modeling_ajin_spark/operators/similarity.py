@@ -1,1 +1,226 @@
-"""(round 1) placeholder — operators land incrementally."""
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+The reference does all embedding math driver-side with numpy
+(``BERTopic_Analysis.py:471-496,574-589``). Here every similarity is a
+DataFrame expression over distributed rows:
+
+- brute-force top-k: broadcast the (small) query set, cross-join against
+  the corpus, rank per query — the exact baseline;
+- label-bucketed search: IVF-style — restrict candidate pairs to the same
+  coarse bucket (here the ``label`` column; in production the assignment of
+  a KMeans coarse quantizer), turning O(N²) into O(Σ bucket²);
+- centroids: per-label mean vector via posexplode/groupBy — the building
+  block for J4 (doc↔topic-centroid similarity) and IVF assignment.
+
+Vector math is double-precision sequential-sum (``functions.vectors``) so
+DuckDB's ``list_cosine_similarity`` on DOUBLE[] matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..registry import register
+from ..sources import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+@register(
+    "embedding_norms",
+    sql="""
+SELECT vec_id,
+       CAST(length(embedding) AS INT) AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings
+""",
+    tags=("similarity",),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math warm-up: per-row L2 norm, pure codegen expression."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double("embedding")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(V.norm(emb), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    sql=f"""
+SELECT q.vec_id AS query_id,
+       c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+       row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rank
+FROM embeddings q
+JOIN embeddings c ON q.vec_id <> c.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "flagship"),
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the correctness baseline for ANN.
+
+    The query set is broadcast (it is small by construction), so the
+    corpus-side scan never shuffles — each partition scores its rows
+    against all queries and the per-query top-k window runs on a
+    (n_queries × N) intermediate. The scale path is
+    ``label_bucket_topk_pairs``.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), V.as_double("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rank"
+        )
+    )
+
+
+@register(
+    "label_bucket_topk_pairs",
+    sql="""
+SELECT a.label,
+       a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+       row_number() OVER (
+           PARTITION BY a.label
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                    a.vec_id, b.vec_id) AS rank
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+QUALIFY rank <= 10
+""",
+    tags=("similarity", "scale"),
+)
+def q_label_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed similarity: candidate pairs only within the same
+    coarse bucket (label), shuffling both sides on the bucket key. Pair
+    cost drops from O(N²) to O(Σ_b n_b²); at 100 TB the bucket key comes
+    from a KMeans coarse quantizer instead of a given label."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("vec_a"), V.as_double("embedding").alias("ea"))
+    b = e.select("label", F.col("vec_id").alias("vec_b"), V.as_double("embedding").alias("eb"))
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "label", "vec_a", "vec_b", V.cosine(F.col("ea"), F.col("eb")).alias("cos_raw")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("cos_raw"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("label", "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "centroid_by_label",
+    sql="""
+WITH pos AS (
+    SELECT label,
+           unnest(embedding)::DOUBLE AS v,
+           unnest(range(1, length(embedding) + 1)) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT label, pos, avg(v) AS c FROM pos GROUP BY label, pos
+)
+SELECT label,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm,
+       CAST(count(*) AS INT) AS dim
+FROM cent
+GROUP BY label
+""",
+    tags=("similarity", "cluster"),
+)
+def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via posexplode + two-level aggregation (SURVEY
+    M13's cluster-center step as pure DataFrame algebra). The shuffle
+    carries (label, pos) partial sums — dimension-parallel, no driver
+    materialization of any matrix."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode(V.as_double("embedding")).alias("pos0", "v")
+    )
+    cent = pos.groupBy("label", "pos0").agg(F.avg("v").alias("c"))
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.count("*").cast("int").alias("dim"),
+        )
+    )
+
+
+@register(
+    "doc_centroid_similarity",
+    sql=f"""
+WITH pos AS (
+    SELECT label,
+           unnest(embedding)::DOUBLE AS v,
+           unnest(range(1, length(embedding) + 1)) AS pos
+    FROM embeddings
+),
+cent AS (
+    SELECT label, pos, avg(v) AS c FROM pos GROUP BY label, pos
+),
+centv AS (
+    SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round((list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) + 1) / 2, 6)
+           AS norm_similarity
+FROM embeddings e
+JOIN centv c ON c.label = e.label
+WHERE e.vec_id < 100
+""",
+    tags=("similarity", "cluster"),
+)
+def q_doc_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J4: cosine(doc embedding, own-cluster centroid), normalized
+    (x+1)/2 exactly as ``BERTopic_Analysis.py:574-589``. Centroids are tiny
+    (K × d) → broadcast join against the member rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode(V.as_double("embedding")).alias("pos0", "v"))
+    cent = pos.groupBy("label", "pos0").agg(F.avg("v").alias("c"))
+    centv = cent.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos0", "c"))
+        ).alias("pc")
+    ).select("label", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    docs = e.filter(F.col("vec_id") < 100).select(
+        "vec_id", "label", V.as_double("embedding").alias("emb")
+    )
+    return docs.join(F.broadcast(centv), "label").select(
+        "vec_id",
+        "label",
+        F.round((V.cosine(F.col("emb"), F.col("cvec")) + 1) / 2, 6).alias(
+            "norm_similarity"
+        ),
+    )

@@ -1,1 +1,253 @@
-"""(round 1) placeholder — operators land incrementally."""
+"""Text-analysis operators for a training-data pipeline.
+
+Beyond-reference surface (BASELINE.json north star): token counting,
+quality scoring, language-id heuristics, and SimHash fingerprinting over
+the ``documents`` table. All pure column expressions — the per-document
+math is codegen'd, the only shuffles are final aggregates, and each op has
+an exact DuckDB oracle (SimHash included: the bit math is written portably
+on md5 nibbles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources import load_table, parallelized
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelized(load_table(spark, sf_dir, "documents"))
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.ENGLISH_STOPWORDS) + "]"
+
+# word tokens: split on non-alnum runs (shared SQL fragment)
+_SQL_WORD_TOKS = r"""
+SELECT doc_id, lang, n_chars, text,
+       list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+FROM documents
+"""
+
+
+@register(
+    "token_stats",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS})
+SELECT doc_id,
+       CAST(length(toks) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(toks)) AS BIGINT) AS n_unique,
+       round(CASE WHEN length(toks) > 0
+                  THEN list_sum(list_transform(toks, w -> length(w))) * 1.0 / length(toks)
+                  ELSE 0 END, 6) AS avg_token_len
+FROM t
+""",
+    tags=("text_analysis",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + punctuation split): count, distinct
+    count, mean token length — all array expressions, zero shuffles."""
+    df = _docs(spark, sf_dir)
+    toks = TX.word_tokens("text")
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        F.round(
+            F.when(F.size(toks) > 0, total_len / F.size(toks)).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "quality_score",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+m AS (
+    SELECT doc_id,
+           length(toks) AS n_tokens,
+           CASE WHEN length(toks) > 0
+                THEN length(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) * 1.0 / length(toks)
+                ELSE 0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9가-힣 ]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0 END AS punct_ratio
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.25 * least(stop_ratio * 5, 1.0)
+             + 0.25 * (1.0 - punct_ratio), 6) AS quality
+FROM m
+""",
+    tags=("text_analysis", "flagship"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score — the C4/Gopher-style signal mix:
+    length saturation, stopword density (natural language has some),
+    punctuation noise. Weights are fixed; the value is the *pipeline*:
+    score 100 TB of text with zero Python in the loop."""
+    df = _docs(spark, sf_dir)
+    toks = TX.word_tokens("text")
+    n_tokens = F.size(toks)
+    stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_lit, w)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    kept = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9가-힣 ]", ""))
+    punct_ratio = F.when(
+        F.length("text") > 0, (F.length("text") - kept) / F.length("text")
+    ).otherwise(0.0)
+    quality = (
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.25 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.25 * (1.0 - punct_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "langid_heuristic",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+m AS (
+    SELECT doc_id, lang,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^가-힣]', '', 'g')) * 1.0 / length(text)
+                ELSE 0 END AS hangul_ratio,
+           CASE WHEN length(toks) > 0
+                THEN length(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) * 1.0 / length(toks)
+                ELSE 0 END AS stop_ratio
+    FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN hangul_ratio > 0.3 THEN 'ko'
+            WHEN stop_ratio >= 0.05 THEN 'en'
+            ELSE 'unk' END AS predicted
+FROM m
+""",
+    tags=("text_analysis",),
+)
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-id heuristic: script ratio (Hangul) then function-word
+    density (English). N-gram-free and shuffle-free; a real pipeline swaps
+    the rule for a per-language stopword bank, same plan shape."""
+    df = _docs(spark, sf_dir)
+    toks = TX.word_tokens("text")
+    hangul = F.length(F.regexp_replace(F.col("text"), r"[^가-힣]", ""))
+    hangul_ratio = F.when(F.length("text") > 0, hangul / F.length("text")).otherwise(0.0)
+    stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_lit, w)))
+    stop_ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(0.0)
+    predicted = (
+        F.when(hangul_ratio > 0.3, "ko")
+        .when(stop_ratio >= 0.05, "en")
+        .otherwise("unk")
+    )
+    return df.select("doc_id", "lang", predicted.alias("predicted"))
+
+
+def _nibble_sql(h: str, i: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+
+_SIMHASH_BITS = 16
+
+
+@register(
+    "simhash16",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+tok AS (
+    SELECT doc_id, unnest(toks) AS word FROM t WHERE length(toks) > 0
+),
+hv AS (
+    SELECT doc_id,
+           {_nibble_sql("md5(word)", 1)} * 4096
+         + {_nibble_sql("md5(word)", 2)} * 256
+         + {_nibble_sql("md5(word)", 3)} * 16
+         + {_nibble_sql("md5(word)", 4)} AS v
+    FROM tok
+),
+bits AS (
+    SELECT doc_id,
+           {", ".join(f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SIMHASH_BITS))}
+    FROM hv GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM bits
+""",
+    tags=("text_analysis", "dedup", "scale"),
+)
+def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (16-bit here; same construction widens
+    to 64). Near-dup docs land on nearby hashes — grouping by simhash (or
+    by bit-bands of it) is an O(N) near-dup prefilter, the cheap cousin of
+    MinHash-LSH. Hash source is md5 nibbles so the DuckDB oracle verifies
+    the *exact* bit math."""
+    df = _docs(spark, sf_dir)
+    tok = df.select("doc_id", F.explode(TX.word_tokens("text")).alias("word"))
+    v = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
+    hv = tok.select("doc_id", v.alias("v"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = hv.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "source_quality_report",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+m AS (
+    SELECT doc_id, text, length(toks) AS n_tokens,
+           CASE WHEN length(toks) > 0
+                THEN length(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) * 1.0 / length(toks)
+                ELSE 0 END AS stop_ratio
+    FROM t
+),
+d AS (SELECT source, lang, doc_id FROM documents)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(avg(m.n_tokens), 6) AS avg_tokens,
+       round(avg(m.stop_ratio), 6) AS avg_stop_ratio
+FROM d JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.source
+""",
+    tags=("text_analysis",),
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation rollup: per-source document counts + mean quality
+    signals (the aggregate a data-mixing decision actually consumes)."""
+    df = _docs(spark, sf_dir)
+    toks = TX.word_tokens("text")
+    stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_lit, w)))
+    stop_ratio = F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(0.0)
+    per_doc = df.select("source", F.size(toks).alias("n_tokens"), stop_ratio.alias("stop_ratio"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+    )

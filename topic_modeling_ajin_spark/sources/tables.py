@@ -52,6 +52,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parallelized(df: DataFrame) -> DataFrame:
+    """Right-size input partitioning for CPU-heavy operators.
+
+    A 100 TB table arrives as thousands of parquet splits and this is a
+    no-op. A small local file arrives as ONE split, which would serialize
+    tokenize/hash/shingle work onto a single core — for those inputs,
+    round-robin repartition to the session's parallelism. The shuffle moves
+    only the small input, never the (much larger) derived token/shingle
+    rows."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
