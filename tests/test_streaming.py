@@ -1,0 +1,109 @@
+"""Structured Streaming tests: each streaming pipeline replays the static
+parquet with ``availableNow`` and must agree with its batch twin (SURVEY
+§2.8 — streaming is the engine's scale extension, semantically identical
+to the batch operators)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from topic_modeling_ajin_spark import streaming as ST
+from topic_modeling_ajin_spark.registry import load_all
+from topic_modeling_ajin_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path, registry):
+    events = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.hourly_event_counts(events), "s_hourly", str(tmp_path / "ck1")
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["cnt"], r["total_value"])
+        for r in spark.table("s_hourly").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["cnt"], r["total_value"])
+        for r in registry["events_hourly"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sliding_windows_cover_each_event_4x(spark, sf_dir, tmp_path):
+    events = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.sliding_type_counts(events), "s_sliding", str(tmp_path / "ck2")
+    )
+    total = spark.table("s_sliding").agg(F.sum("cnt")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == 4 * n_events  # 1h window / 15min slide → 4 windows/event
+
+
+def test_streaming_sessions_match_batch_sessionizer(spark, sf_dir, tmp_path, registry):
+    events = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.session_event_counts(events), "s_sessions", str(tmp_path / "ck3")
+    )
+    sess = spark.table("s_sessions")
+    got = {
+        (r["user_id"],): (r["n_sessions"], r["n_events"])
+        for r in sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        (r["user_id"],): (r["n_sessions"], r["n_events"])
+        for r in registry["sessionize_events"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_word_count_matches_batch(spark, sf_dir, tmp_path):
+    docs = ST.read_documents_stream(spark, sf_dir)
+    ST.run_to_memory(ST.streaming_word_count(docs), "s_words", str(tmp_path / "ck4"))
+    stream_counts = {
+        r["word"]: r["cnt"] for r in spark.table("s_words").collect()
+    }
+    # batch twin: same expressions, full (un-limited) counts
+    from topic_modeling_ajin_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = (
+        d.select(F.explode(TX.tokens(TX.cleaned("text"))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .filter(~F.col("word").isin(*TX.ENGLISH_STOPWORDS))
+        .groupBy("word")
+        .count()
+    )
+    batch_counts = {r["word"]: r["count"] for r in batch.collect()}
+    assert stream_counts == batch_counts
+
+
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    events = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.user_running_totals(events),
+        "s_state",
+        str(tmp_path / "ck5"),
+        output_mode="append",
+    )
+    rows = spark.table("s_state").collect()
+    assert rows
+    # the final state row per user must equal the batch per-user count
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]:
+            final[r["user_id"]] = r["n_events"]
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert final == want

@@ -1,0 +1,21 @@
+from .pipelines import (
+    hourly_event_counts,
+    read_documents_stream,
+    read_events_stream,
+    run_to_memory,
+    session_event_counts,
+    sliding_type_counts,
+    streaming_word_count,
+    user_running_totals,
+)
+
+__all__ = [
+    "hourly_event_counts",
+    "read_documents_stream",
+    "read_events_stream",
+    "run_to_memory",
+    "session_event_counts",
+    "sliding_type_counts",
+    "streaming_word_count",
+    "user_running_totals",
+]

@@ -1,0 +1,225 @@
+"""Structured Streaming surface (SURVEY §2.8 / §7.2 step 8).
+
+The reference is batch-only — its docs list "online topic modeling of
+real-time streams" as future work (``BERTopic_guideline.md:175``). The
+engine exposes its event/text pipeline over Structured Streaming as the
+scale extension: the SAME column expressions used by the batch operators
+(``operators/events.py``, ``operators/frequency.py``) are applied to a
+``readStream`` DataFrame, so batch and streaming stay semantically twinned
+— each streaming pipeline here has a batch query in the registry whose
+results the tests compare against.
+
+Design notes for real deployments:
+- File source here (the driver testdata is static parquet); swap for Kafka
+  by replacing ``read_events_stream`` only — everything downstream is
+  source-agnostic.
+- Watermarks bound state: windowed aggregates drop state once the watermark
+  passes the window end, so state size is O(windows-in-flight), not O(data).
+- ``session_window`` is the streaming-native sessionization; the batch twin
+  (``sessionize_events``) uses the lag/cumsum pattern. Both use the same
+  30-minute gap.
+- The stateful per-user totals operator uses ``applyInPandasWithState`` —
+  the PySpark arbitrary-stateful-processing hook (Arrow-batched per group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions import text as TX
+from ..operators.events import SESSION_GAP_SECONDS
+
+WATERMARK = "2 hours"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    The file source replays existing files then tails the directory — the
+    standard pattern for reprocessing + live ingest. Schema comes from a
+    metadata-only batch read (streaming sources require an explicit schema;
+    inferring from the footer costs nothing and keeps one source of truth).
+    ``ts`` arrives as parquet TIMESTAMP(NANOS) (int64 under
+    ``nanosAsLong``), truncated to microseconds exactly like the batch
+    loader so batch/stream results compare equal.
+    """
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory; glob-filter selects this table's
+    # file(s) from the shared dataset directory
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type with a 2-hour watermark —
+    the streaming twin of the batch ``events_hourly`` query."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sliding_type_counts(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour window, 15-minute slide: each event lands in 4
+    overlapping windows (late-data handled by the watermark)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_event_counts(events: DataFrame) -> DataFrame:
+    """Streaming sessionization with ``session_window`` (30-min inactivity
+    gap, same constant as the batch lag/cumsum sessionizer)."""
+    gap = f"{SESSION_GAP_SECONDS} seconds"
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_word_count(docs: DataFrame) -> DataFrame:
+    """The flagship word-frequency pipeline (SURVEY §3.1) as a streaming
+    aggregation — identical column expressions to the batch ``word_count``
+    query, minus the top-k (global sort is a batch-side concern; at stream
+    time you keep the full running counts and top-k at read time)."""
+    return (
+        docs.select(F.explode(TX.tokens(TX.cleaned("text"))).alias("word"))
+        .filter(F.length("word") >= 2)
+        .filter(~F.col("word").isin(*TX.ENGLISH_STOPWORDS))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ------------------------------------------------- arbitrary stateful op
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("batch_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime event count carried in group state across micro-batches.
+
+    This is the engine's template for reference-style stateful extensions
+    (e.g. online topic-assignment counters): state is a single tiny row per
+    key, input arrives Arrow-batched per group, and the emitted row stream
+    is append-only.
+    """
+    import pandas as pd  # noqa: F401  (imported for the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        batch = 0
+        last_ts = None
+        for pdf in pdf_iter:
+            batch += len(pdf)
+            m = pdf["ts"].max()
+            if last_ts is None or m > last_ts:
+                last_ts = m
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [total],
+                "batch_events": [batch],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "complete"
+):
+    """Execute a streaming DataFrame to completion against the in-memory
+    sink with ``availableNow`` (process-everything-then-stop — the batch
+    replay trigger) and return the finished query. Results land in the
+    temp view ``name``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
