@@ -105,3 +105,58 @@ def test_minhash_finds_planted_near_dups(spark, registry):
     assert brute, "expected planted near-dup pairs at sf0.01"
     assert lsh <= brute  # no false positives after verification
     assert len(lsh) >= 0.9 * len(brute)  # s-curve recall at j>=0.8
+
+
+def test_npmi_bounds(spark, sf_dir, registry):
+    rows = registry["npmi_coherence"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["c_npmi"] <= 1.0 + 1e-6
+        assert r["n_pairs"] == 45  # C(10,2) pairs per topic
+
+
+def test_topic_reduction_merges_to_max(spark, sf_dir, registry):
+    rows = registry["topic_reduction"].fn(spark, sf_dir).collect()
+    labels = {r["label"] for r in rows}
+    merged = {r["merged_topic"] for r in rows}
+    assert len(labels) == 10  # every input topic mapped
+    assert len(merged) == 6  # reduced to MAX_TOPICS_AFTER_REDUCE
+    assert merged <= labels  # merge targets are existing (smallest-id) topics
+
+
+def test_lda_k_sweep_curve(spark, sf_dir, registry):
+    rows = {r["k"]: r for r in registry["lda_k_sweep"].fn(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(2, 9))
+    for r in rows.values():
+        assert 0.0 < r["diversity"] <= 1.0
+        assert r["log_perplexity"] > 0
+
+
+def test_gmm_soft_cluster_partitions(spark, sf_dir, registry):
+    from topic_modeling_ajin_spark.sources import load_table
+
+    rows = registry["gmm_soft_cluster"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    assert all(-1 <= r["cluster"] < 10 for r in rows)
+
+
+def test_pca_variance_decreasing(spark, sf_dir, registry):
+    rows = sorted(
+        registry["pca_project"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["component"],
+    )
+    ev = [r["explained_variance"] for r in rows]
+    assert len(ev) == 5
+    assert all(v >= 0 for v in ev)
+    assert ev == sorted(ev, reverse=True)
+    assert sum(ev) <= 1.0 + 1e-6
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    import pytest as _pytest
+
+    from topic_modeling_ajin_spark.operators.multimodal import decode_image_real
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")

@@ -217,3 +217,155 @@ def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("label", "n").agg(
         F.round(2.0 / (F.col("n") * (F.col("n") - 1)) * F.sum(term), 6).alias("umass")
     ).select("label", "umass")
+
+
+# ------------------------------------------- sliding-window coherence (M4)
+
+COHERENCE_WINDOW = 10  # boolean sliding window size (gensim c_npmi default)
+_EPS = 1e-12
+
+
+@register(
+    "npmi_coherence",
+    sql=f"""
+WITH {SQL_CTFIDF},
+tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w <> '' AND length(w) >= 2) AS toks
+    FROM documents
+),
+tokpos AS (
+    SELECT doc_id,
+           unnest(toks) AS word,
+           unnest(generate_series(0, len(toks) - 1)) AS pos,
+           len(toks) AS n
+    FROM tokd
+),
+totw AS (
+    SELECT sum(greatest(n - {COHERENCE_WINDOW - 1}, 1)) AS t
+    FROM (SELECT len(toks) AS n FROM tokd)
+),
+winword AS (
+    SELECT DISTINCT doc_id,
+           unnest(generate_series(greatest(0, pos - {COHERENCE_WINDOW - 1}),
+                                  least(pos, greatest(n - {COHERENCE_WINDOW}, 0)))) AS s,
+           word
+    FROM tokpos
+    WHERE word IN (SELECT word FROM topk)
+),
+wc AS (SELECT word, count(*) AS cw FROM winword GROUP BY word),
+pc AS (
+    SELECT a.word AS wa, b.word AS wb, count(*) AS cab
+    FROM winword a
+    JOIN winword b ON a.doc_id = b.doc_id AND a.s = b.s AND a.word < b.word
+    GROUP BY a.word, b.word
+),
+prs AS (
+    SELECT t1.label, t1.word AS wi, t2.word AS wj
+    FROM topk t1
+    JOIN topk t2 ON t1.label = t2.label AND t1.rank < t2.rank
+),
+scored AS (
+    SELECT prs.label,
+           ln((coalesce(pc.cab, 0) * 1.0 / totw.t + {_EPS}) /
+              ((wi.cw * 1.0 / totw.t) * (wj.cw * 1.0 / totw.t))) AS pmi,
+           -ln(coalesce(pc.cab, 0) * 1.0 / totw.t + {_EPS}) AS denom
+    FROM prs
+    LEFT JOIN pc ON pc.wa = least(prs.wi, prs.wj) AND pc.wb = greatest(prs.wi, prs.wj)
+    JOIN wc wi ON wi.word = prs.wi
+    JOIN wc wj ON wj.word = prs.wj
+    CROSS JOIN totw
+)
+SELECT label,
+       round(avg(pmi), 6) AS c_uci,
+       round(avg(pmi / denom), 6) AS c_npmi,
+       count(*) AS n_pairs
+FROM scored
+GROUP BY label
+""",
+    tags=("metrics", "coherence", "flagship"),
+)
+def q_npmi_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M4: c_uci / c_npmi topic coherence over a boolean sliding
+    window of {COHERENCE_WINDOW} tokens (gensim's window-based coherence
+    family, ``LDA_Analysis.py:286-308``; Röder et al.'s S_one_one
+    segmentation with mean aggregation).
+
+    Scale design: the corpus-wide stage only assigns token positions and
+    counts windows per document; the ×W window-membership explode happens
+    AFTER a broadcast semi-join against the ≤ K·k topic words, so its input
+    is topic-word occurrences, not the corpus. Window probabilities:
+    P(w) = |windows containing w| / T with T = Σ_doc max(n-W+1, 1);
+    NPMI = ln((P(ij)+ε)/(P(i)P(j))) / -ln(P(ij)+ε), ε=1e-12."""
+    W = COHERENCE_WINDOW
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    from ..functions import text as TX
+
+    topk = topk_keywords(spark, sf_dir)
+    topk_words = topk.select("word").distinct()
+
+    toks = d.select(
+        "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
+    )
+    # total window count — needs doc lengths only (no explode)
+    t_total = (
+        toks.select(F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw"))
+        .agg(F.sum("nw").alias("t"))
+    )
+    tokpos = toks.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos", "word"),
+    ).join(F.broadcast(topk_words), "word", "left_semi")
+    # each topic-word occurrence joins the ≤W overlapping windows it sits in
+    winword = (
+        tokpos.select(
+            "doc_id",
+            "word",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - (W - 1), F.lit(0)),
+                    F.least(F.col("pos"), F.greatest(F.col("n") - W, F.lit(0))),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    wc = winword.groupBy("word").agg(F.count("*").alias("cw"))
+    a = winword.select("doc_id", "s", F.col("word").alias("wa"))
+    b = winword.select("doc_id", "s", F.col("word").alias("wb"))
+    pc = (
+        a.join(b, ["doc_id", "s"])
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cab"))
+    )
+    t1 = topk.select("label", F.col("word").alias("wi"), F.col("rank").alias("ri"))
+    t2 = topk.select("label", F.col("word").alias("wj"), F.col("rank").alias("rj"))
+    prs = t1.join(t2, "label").filter(F.col("ri") < F.col("rj"))
+    joined = (
+        prs.join(
+            pc,
+            (pc.wa == F.least(prs.wi, prs.wj)) & (pc.wb == F.greatest(prs.wi, prs.wj)),
+            "left",
+        )
+        .join(wc.select(F.col("word").alias("wi"), F.col("cw").alias("cwi")), "wi")
+        .join(wc.select(F.col("word").alias("wj"), F.col("cw").alias("cwj")), "wj")
+        .crossJoin(F.broadcast(t_total))
+    )
+    p_ij = F.coalesce(F.col("cab"), F.lit(0)) * 1.0 / F.col("t")
+    p_i = F.col("cwi") * 1.0 / F.col("t")
+    p_j = F.col("cwj") * 1.0 / F.col("t")
+    pmi = F.log((p_ij + F.lit(_EPS)) / (p_i * p_j))
+    denom = -F.log(p_ij + F.lit(_EPS))
+    return (
+        joined.select("label", pmi.alias("pmi"), denom.alias("denom"))
+        .groupBy("label")
+        .agg(
+            F.round(F.avg("pmi"), 6).alias("c_uci"),
+            F.round(F.avg(F.col("pmi") / F.col("denom")), 6).alias("c_npmi"),
+            F.count("*").alias("n_pairs"),
+        )
+    )

@@ -224,3 +224,65 @@ def q_doc_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_similarity"
         ),
     )
+
+
+LSH_BITS = 8  # axis-aligned hyperplane signs -> 2^8 buckets
+# the synthetic corpus plants no embedding-level duplicates (max in-bucket
+# cosine ~0.43) -- 0.3 keeps the pair path exercised with real output
+NEAR_DUP_COS = 0.3
+
+
+@register(
+    "embedding_near_dup",
+    sql=f"""
+WITH sig AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM sig a
+JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {NEAR_DUP_COS}
+""",
+    tags=("similarity", "dedup", "lsh"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH (random-hyperplane
+    LSH with axis-aligned planes — deterministic, oracle-reproducible).
+
+    Scale path: bucket key = sign bits of the first {LSH_BITS} components;
+    candidate pairs only form inside a bucket (equi-join on ``bucket``, a
+    plain shuffle-hash join), then the exact cosine filter keeps pairs
+    ≥ {NEAR_DUP_COS}. O(N²) → O(Σ bucket²); more planes = smaller buckets.
+    In production the planes come from a seeded Gaussian matrix broadcast to
+    executors; axis-aligned planes keep the DuckDB oracle exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(LSH_BITS):
+        bit = F.when(F.col("embedding")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sig = e.select(
+        "vec_id", V.as_double("embedding").alias("emb"), bucket.alias("bucket")
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), "bucket"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), "bucket"
+    )
+    cos = V.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= NEAR_DUP_COS)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -251,3 +251,112 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
     )
+
+
+TFIDF_TOP_K = 5
+
+
+@register(
+    "tfidf_top_terms",
+    sql=f"""
+WITH toks AS ({_SQL_WORD_TOKS}),
+tf AS (
+    SELECT doc_id, word, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS word FROM toks)
+    WHERE length(word) >= 2
+    GROUP BY doc_id, word
+),
+dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+    SELECT tf.doc_id, tf.word,
+           tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfc.df)) + 1.0) AS tfidf
+    FROM tf JOIN dfc USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, round(tfidf, 6) AS tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+FROM w
+QUALIFY rank <= {TFIDF_TOP_K}
+""",
+    tags=("text", "vectorize"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M16: TF-IDF vectorization (sklearn ``TfidfVectorizer``
+    semantics — smooth idf ln((1+N)/(1+df))+1, ``BERTopic_Analysis.py:
+    595-607``) kept in long form; top-{TFIDF_TOP_K} terms per document.
+
+    The MLlib route (``CountVectorizer`` + ``IDF``) produces SparseVectors
+    for model input; this explicit-algebra form is the queryable twin — at
+    scale the df table is vocabulary-sized (fits in a broadcast) and the tf
+    table shuffles once on (doc, word)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tf = (
+        d.select("doc_id", F.explode(TX.word_tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    w = tf.join(F.broadcast(dfc), "word").withColumn(
+        "tfidf",
+        F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+TOP_BIGRAMS = 30
+
+
+@register(
+    "bigram_counts",
+    sql=f"""
+WITH toks AS ({_SQL_WORD_TOKS}),
+grams AS (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM toks
+)
+SELECT bigram, count(*) AS cnt
+FROM grams
+GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT {TOP_BIGRAMS}
+""",
+    tags=("text", "vectorize"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M14's ngram_range=(1,2) leg (``BERTopic_Analysis.py:224-229``;
+    MLlib ``NGram(n=2)`` equivalent) as a pure array expression: adjacent
+    token pairs, global top-{TOP_BIGRAMS}. The explode emits n-1 bigrams per
+    doc and partial aggregation collapses them map-side before the single
+    shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(TX.word_tokens("text").alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    "toks",
+                    lambda t, i: F.when(
+                        i < F.size("toks") - 1,
+                        F.concat_ws(" ", t, F.element_at("toks", i + 2)),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS)
+    )

@@ -296,3 +296,229 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------------------ labeling & reduce
+
+# Rule-based category patterns (SURVEY P13): the reference matches topic
+# keywords against 6 Korean category dicts (LDA_Analysis.py:471-507); the
+# engine's synthetic corpus is relational-English, so the dicts are themed
+# to it. Order = precedence on ties, exactly like the reference's dict walk.
+CATEGORY_PATTERNS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("조인 연산", ("join", "hash", "merge", "key", "part")),
+    ("집계 연산", ("agg", "group", "sort", "order", "window")),
+    ("스캔/필터", ("scan", "filter", "column", "row", "table", "line")),
+    ("스트리밍", ("stream", "batch", "value", "fast", "slow")),
+    ("벡터 처리", ("vector", "data", "query", "spark", "big", "small")),
+)
+OTHER_LABEL = "기타"
+
+_SQL_CATS = ", ".join(
+    f"len(list_intersect(words, {list(kws)!r})) AS c{i}".replace('"', "'")
+    for i, (_, kws) in enumerate(CATEGORY_PATTERNS)
+)
+_SQL_BEST = f"greatest({', '.join(f'c{i}' for i in range(len(CATEGORY_PATTERNS)))})"
+_SQL_PICK = "CASE " + " ".join(
+    f"WHEN c{i} = {_SQL_BEST} THEN '{name}'"
+    for i, (name, _) in enumerate(CATEGORY_PATTERNS)
+) + f" END"
+
+
+@register(
+    "topic_labels",
+    sql=f"""
+WITH {SQL_CTFIDF},
+words AS (SELECT label, list(word) AS words FROM topk GROUP BY label),
+scored AS (SELECT label, {_SQL_CATS} FROM words)
+SELECT label,
+       CASE WHEN {_SQL_BEST} = 0 THEN '{OTHER_LABEL}' ELSE {_SQL_PICK} END
+           AS topic_label,
+       CAST({_SQL_BEST} AS INT) AS matched
+FROM scored
+""",
+    tags=("topics", "label"),
+)
+def q_topic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P13: rule-based topic labeling — intersect each topic's top-k
+    keywords with ordered category keyword lists; the first category with
+    the maximal overlap names the topic, zero overlap falls through to
+    '기타' (``LDA_Analysis.py:471-507``). Pure ``array_intersect`` +
+    ``when`` chain over the K-row keyword table — no UDF."""
+    topk = topk_keywords(spark, sf_dir)
+    words = topk.groupBy("label").agg(F.collect_list("word").alias("words"))
+    sizes = [
+        F.size(F.array_intersect("words", F.array(*[F.lit(k) for k in kws])))
+        for _, kws in CATEGORY_PATTERNS
+    ]
+    best = F.greatest(*sizes) if len(sizes) > 1 else sizes[0]
+    pick = F
+    expr = None
+    for (name, _), sz in zip(CATEGORY_PATTERNS, sizes):
+        cond = sz == best
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return words.select(
+        "label",
+        F.when(best == 0, OTHER_LABEL).otherwise(expr).alias("topic_label"),
+        best.cast("int").alias("matched"),
+    )
+
+
+MAX_TOPICS_AFTER_REDUCE = 6
+
+
+@register("topic_reduction", tags=("topics", "reduce"))
+def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M15: BERTopic-style topic reduction — iteratively merge the
+    most-cosine-similar topic pair until K ≤ {MAX_TOPICS_AFTER_REDUCE}
+    (``BERTopic_Analysis.py:352-367``).
+
+    The pairwise matrix is K×K (K ≤ 50 by design, SURVEY §1.1) so the
+    greedy loop runs driver-side on collected rows — the one sanctioned
+    driver materialization — while the expensive part (the topic-term
+    cosine matrix over the full corpus) stays distributed. Ties break on
+    (i, j) so the merge order is total."""
+    w = class_term_weights(spark, sf_dir)
+    norms = w.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    x = w.select(F.col("label").alias("i"), "word", F.col("wt").alias("wi"))
+    y = w.select(F.col("label").alias("j"), "word", F.col("wt").alias("wj"))
+    dots = (
+        x.join(y, "word")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("wi") * F.col("wj")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms.select(F.col("label").alias("i"), F.col("nrm").alias("ni")), "i")
+        .join(norms.select(F.col("label").alias("j"), F.col("nrm").alias("nj")), "j")
+        .select("i", "j", (F.col("dot") / (F.col("ni") * F.col("nj"))).alias("cos"))
+        .collect()
+    )
+    labels = sorted({r["i"] for r in sims} | {r["j"] for r in sims})
+    parent = {l: l for l in labels}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    pairs = sorted(sims, key=lambda r: (-r["cos"], r["i"], r["j"]))
+    n = len(labels)
+    for r in pairs:
+        if n <= MAX_TOPICS_AFTER_REDUCE:
+            break
+        a, b = find(r["i"]), find(r["j"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+            n -= 1
+    mapping = [(l, find(l)) for l in labels]
+    return spark.createDataFrame(mapping, ["label", "merged_topic"])
+
+
+# ------------------------------------------------- sweep & soft clustering
+
+SWEEP_KS = tuple(range(2, 9))
+
+
+@register("lda_k_sweep", tags=("topics", "ml", "sweep"))
+def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M3: optimal-K sweep — train LDA for K={SWEEP_KS[0]}..{SWEEP_KS[-1]}
+    on ONE cached featurized corpus (the reference rebuilds nothing either:
+    corpus/dictionary built once at ``LDA_Analysis.py:167-177`` then reused
+    ``:192-205``), score each K, emit the curve. Metrics: MLlib
+    ``logPerplexity`` (lower better) + topic diversity (top-10 words;
+    ``BERTopic_Analysis.py:1076-1097`` computes the same curve)."""
+    from pyspark.ml.clustering import LDA
+
+    _, corpus = _vector_corpus(spark, sf_dir)
+    corpus = corpus.persist()
+    corpus.count()  # materialize once before the sweep
+    rows = []
+    for k in SWEEP_KS:
+        lda = LDA(k=k, seed=42, maxIter=10, optimizer="online", featuresCol="features")
+        model = lda.fit(corpus)
+        topics = model.describeTopics(10)
+        terms = topics.select(F.explode("termIndices").alias("t"))
+        n_terms = terms.count()
+        n_unique = terms.distinct().count()
+        rows.append(
+            (
+                k,
+                round(model.logPerplexity(corpus), 4),
+                round(n_unique / n_terms, 6),
+            )
+        )
+    corpus.unpersist()
+    return spark.createDataFrame(rows, ["k", "log_perplexity", "diversity"])
+
+
+@register("pca_project", tags=("topics", "ml", "reduce_dim"))
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M11 substitute: UMAP has no Spark primitive; ML ``PCA(k=5)``
+    is the documented stand-in (semantic delta: linear projection). Output:
+    per-component explained variance — sign-invariant, so stable across
+    BLAS implementations (the loadings themselves are rows-only by
+    nature)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feat = e.select(array_to_vector(F.col("embedding")).alias("features"))
+    model = PCA(k=5, inputCol="features", outputCol="pc").fit(feat)
+    ev = model.explainedVariance.toArray().tolist()
+    return spark.createDataFrame(
+        [(i, round(float(v), 6)) for i, v in enumerate(ev)],
+        ["component", "explained_variance"],
+    )
+
+
+GMM_NOISE_THRESHOLD = 0.6
+
+
+@register("gmm_soft_cluster", tags=("topics", "ml", "cluster"))
+def q_gmm_soft_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M12 substitute: HDBSCAN (auto-K, noise label −1) has no Spark
+    primitive; ML ``GaussianMixture`` + a max-posterior threshold replicates
+    the soft-assignment-with-noise surface: rows whose best posterior
+    < {GMM_NOISE_THRESHOLD} get the noise label −1 exactly like HDBSCAN's
+    unassigned points (``BERTopic_Analysis.py:210-216``).
+
+    Mirrors the reference's full pipeline shape: reduce to 5 dims first
+    (UMAP→5 there, ``BERTopic_Analysis.py:201-208``; PCA→5 here), THEN
+    cluster — full-dimension GMM covariances are degenerate when cluster
+    sizes approach the dimensionality."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feat = e.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("emb64")
+    )
+    pipe = Pipeline(
+        stages=[
+            PCA(k=5, inputCol="emb64", outputCol="features"),
+            GaussianMixture(k=10, seed=42, featuresCol="features"),
+        ]
+    )
+    model = pipe.fit(feat)
+    pred = model.transform(feat).select(
+        "vec_id",
+        "prediction",
+        vector_to_array("probability").alias("p"),
+    )
+    noisy = pred.select(
+        "vec_id",
+        F.when(
+            F.array_max("p") < GMM_NOISE_THRESHOLD, F.lit(-1)
+        ).otherwise(F.col("prediction")).alias("cluster"),
+        F.round(F.array_max("p"), 6).alias("confidence"),
+    )
+    return (
+        noisy.groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.round(F.avg("confidence"), 6).alias("avg_conf"))
+        .orderBy("cluster")
+    )
