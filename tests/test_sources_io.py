@@ -1,0 +1,85 @@
+"""Source/sink roundtrip tests (SURVEY §2.1 S1–S8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topic_modeling_ajin_spark.sources import (
+    export_excel,
+    load_model,
+    load_table,
+    read_csv,
+    read_stopwords,
+    save_model,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_csv")
+    write_csv(docs, path)
+    back = read_csv(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_permissive_coerces_bad_cells_to_null(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    p = tmp_path / "bad.csv"
+    p.write_text("x,y\n1,2\n3,notanint\n")
+    schema = StructType([StructField("x", IntegerType()), StructField("y", IntegerType())])
+    df = read_csv(spark, str(p), schema)
+    rows = sorted(df.collect(), key=lambda r: (r["x"] is None, r["x"]))
+    assert rows[0]["x"] == 1 and rows[0]["y"] == 2
+    assert rows[1]["y"] is None  # errors='coerce' semantics
+
+
+def test_stopword_textlines_source(spark, tmp_path):
+    p = tmp_path / "stopwords.txt"
+    p.write_text("the\n  a  \n\nand\n   \nof\n")
+    sw = read_stopwords(spark, str(p))
+    assert sw == ("the", "a", "and", "of")
+
+
+def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = str(tmp_path / "docs_part")
+    write_parquet(docs, path, partition_by=("lang",))
+    back = spark.read.parquet(path)
+    one_lang = back.select("lang").first()["lang"]
+    pruned = back.filter(F.col("lang") == one_lang)
+    # partition pruning: the filtered scan must report a partition filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert pruned.count() == docs.filter(F.col("lang") == one_lang).count()
+
+
+def test_excel_export_shim_gated(tmp_path):
+    import pandas as pd
+
+    ok = export_excel({"sheet": pd.DataFrame({"a": [1]})}, str(tmp_path / "r.xlsx"))
+    # openpyxl may or may not exist in this container; both outcomes are
+    # valid — the contract is "no crash, False when unavailable"
+    assert ok in (True, False)
+    if ok:
+        assert (tmp_path / "r.xlsx").exists()
+
+
+def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.ml.clustering import KMeans, KMeansModel
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feat = e.select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+    model = KMeans(k=4, seed=42, featuresCol="features").fit(feat)
+    path = str(tmp_path / "kmeans_model")
+    save_model(model, path)
+    back = load_model(KMeansModel, path)
+    a = model.transform(feat).select("vec_id", "prediction").collect()
+    b = back.transform(feat).select("vec_id", "prediction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,9 +1,25 @@
+from .io import (
+    export_excel,
+    load_model,
+    read_csv,
+    read_stopwords,
+    save_model,
+    write_csv,
+    write_parquet,
+)
 from .tables import TABLE_NAMES, load_table, load_tables, parallelized, register_views
 
 __all__ = [
     "TABLE_NAMES",
+    "export_excel",
+    "load_model",
     "load_table",
     "load_tables",
     "parallelized",
+    "read_csv",
+    "read_stopwords",
     "register_views",
+    "save_model",
+    "write_csv",
+    "write_parquet",
 ]

@@ -1,0 +1,106 @@
+"""Source/sink surface beyond the native parquet path (SURVEY §2.1).
+
+The reference reads Excel/CSV with inferred schemas and writes Excel
+workbooks (S1–S5, ``preprocessing.py:303,531``, ``BERTopic_Analysis.py:
+136-138``). The engine's equivalents, Spark-first:
+
+- CSV scan with an EXPLICIT schema + permissive/coerce nulling — the
+  distributed analogue of ``pd.read_csv`` + ``errors='coerce'`` (bad cells
+  become null, then ``na.drop`` downstream, SURVEY §1.3);
+- text-lines scan for the stopword file (S3): one term per line, trimmed,
+  blanks dropped — returned as a plain tuple for broadcasting into array
+  expressions (the reference's ``set[str]``, ``preprocessing.py:82-86``);
+- parquet sinks, partitioned — the native output path; partition columns
+  give free partition pruning to every downstream reader;
+- CSV sink for interchange;
+- Excel export shim (S4/S5): DRIVER-side only, over already-collected
+  small report tables, gated behind an import-try (openpyxl is not a
+  runtime dependency of the engine);
+- ML model persistence (S8): thin wrappers over ``Model.write().save()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CSV_OPTIONS = {
+    "header": "true",
+    "encoding": "UTF-8",
+    "mode": "PERMISSIVE",  # malformed cells -> null, like errors='coerce'
+}
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV scan (S2) with an explicit schema. No ``inferSchema`` — a 100 TB
+    CSV would be scanned twice just to guess types the caller already
+    knows; the explicit schema also makes malformed-value coercion
+    deterministic."""
+    reader = spark.read.schema(schema)
+    for k, v in CSV_OPTIONS.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink. ``single_file`` coalesces to one partition — only for
+    small report tables; large outputs keep their partitioning."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_stopwords(spark: SparkSession, path: str) -> tuple[str, ...]:
+    """Text-lines stopword source (S3): one term per line, strip, drop
+    blanks (``preprocessing.py:82-86``). Collected to the driver (the
+    reference file is ~1,380 lines; even a million-term lexicon is MBs)
+    and returned as a tuple ready for ``F.lit``-array broadcast or
+    ``StopWordsRemover.stopWords``."""
+    lines = spark.read.text(path)
+    rows = (
+        lines.select(F.trim("value").alias("w"))
+        .filter(F.col("w") != "")
+        .collect()
+    )
+    return tuple(r["w"] for r in rows)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Parquet sink, optionally hive-partitioned. Partition columns become
+    directories ⇒ any downstream filter on them prunes whole files before
+    a single row is read."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def export_excel(tables: dict[str, "object"], path: str) -> bool:
+    """Multi-sheet Excel export shim (S5, ``preprocessing.py:552-569``) —
+    DRIVER-side, for small collected report tables (pandas DataFrames).
+    Returns False when openpyxl isn't installed; the engine's native
+    interchange format stays parquet."""
+    try:
+        import pandas as pd  # noqa: F401
+        from openpyxl import Workbook  # noqa: F401
+    except ImportError:
+        return False
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as xl:
+        for sheet, pdf in tables.items():
+            assert isinstance(pdf, pd.DataFrame)
+            pdf.to_excel(xl, sheet_name=sheet[:31], index=False)
+    return True
+
+
+def save_model(model, path: str) -> None:
+    """Model persistence (S8): ``LDA_Analysis.py:281-284`` /
+    ``BERTopic_Analysis.py:1022-1037`` → ``ml.Model.write().save()``."""
+    model.write().overwrite().save(path)
+
+
+def load_model(model_cls, path: str):
+    return model_cls.load(path)
