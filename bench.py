@@ -26,10 +26,16 @@ HEADLINE = (
     "sessionize_events",     # lag/cumsum session windows
     "minhash_lsh_pairs",     # near-dup dedup scale path
     "simhash16",             # O(N) fingerprint
+    "embedding_near_dup",    # sign-LSH cosine near-dup
     "ann_cosine_topk",       # vector similarity
+    "tfidf_top_terms",       # per-doc TF-IDF ranking
     "ctfidf_keywords",       # topic keywords
     "topic_cosine_similarity",  # sparse matrix product
     "umass_coherence",       # co-occurrence coherence
+    "npmi_coherence",        # sliding-window NPMI coherence
+    "mm_image_meta",         # binary-column mapInPandas plumbing
+    "q6_forecast_revenue",   # pure-pushdown scan
+    "q10_returned_items",    # multi-join top-k
 )
 
 

@@ -60,9 +60,18 @@ def parallelized(df: DataFrame) -> DataFrame:
     tokenize/hash/shingle work onto a single core — for those inputs,
     round-robin repartition to the session's parallelism. The shuffle moves
     only the small input, never the (much larger) derived token/shingle
-    rows."""
+    rows.
+
+    Sizing uses the scan's file listing (pure metadata), not
+    ``df.rdd.getNumPartitions()`` — converting to an RDD builds a second
+    physical plan and costs ~100 ms per call, which multiplies across a
+    66-query correctness run."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. createDataFrame)
+        return df.repartition(target)
+    if n_files < max(target // 4, 1):
         return df.repartition(target)
     return df
 
