@@ -51,3 +51,16 @@ def test_hangul_tokens(spark):
     df = spark.createDataFrame([("인공지능 AI 광고 abc 모델",)], ["t"])
     out = df.select(TX.hangul_tokens("t").alias("v")).collect()[0]["v"]
     assert out == ["인공지능", "광고", "모델"]
+
+
+def test_morph_udf_fallback_kind_and_tokens(spark, sf_dir):
+    from topic_modeling_ajin_spark.functions.morph import analyzer_kind, morph_tokens
+    from topic_modeling_ajin_spark.sources import load_table
+
+    assert analyzer_kind() in ("kiwi", "regex")
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    rows = d.select("text", morph_tokens("text").alias("m")).collect()
+    assert rows
+    for r in rows:
+        assert all(len(t) >= 2 for t in r["m"])  # length filter applied
+        assert all(t == t.lower() for t in r["m"])

@@ -227,3 +227,34 @@ def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "daily_count_stats",
+    sql="""
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT count(*) AS n_days,
+       round(avg(n), 6) AS avg_daily,
+       CAST(max(n) AS BIGINT) AS max_daily,
+       CAST(min(n) AS BIGINT) AS min_daily
+FROM daily
+""",
+    tags=("events", "agg"),
+)
+def q_daily_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A7: per-date group count, then mean/max/min OF the daily
+    series (``preprocessing.py:630-636``) — a two-level aggregate; level
+    one shuffles to ~365 rows/year, level two is a scalar."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("n"), 6).alias("avg_daily"),
+        F.max("n").alias("max_daily"),
+        F.min("n").alias("min_daily"),
+    )

@@ -148,3 +148,30 @@ def q_truncate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY P11: example-sentence truncation (``LDA_Analysis.py:452``)."""
     df = load_table(spark, sf_dir, "documents")
     return df.select("doc_id", TX.truncated("text", 80).alias("preview"))
+
+
+@register(
+    "concat_title_body",
+    sql="""
+SELECT doc_id,
+       trim(concat_ws(' ', coalesce(source, ''), coalesce(text, ''))) AS title_contents
+FROM documents
+""",
+    tags=("text", "prep"),
+)
+def q_concat_title_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P4: null-safe two-column concat —
+    ``title.fillna('') + ' ' + contents.fillna('')`` then strip
+    (``preprocessing.py:353``); here source+text stand in for
+    title+contents."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.trim(
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col("source"), F.lit("")),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ).alias("title_contents"),
+    )

@@ -360,3 +360,36 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(TOP_BIGRAMS)
     )
+
+
+@register(
+    "morph_token_counts",
+    sql=r"""
+WITH m AS (
+    SELECT doc_id,
+           regexp_extract_all(lower(text), '[가-힣]{2,}|[a-z0-9]{2,}') AS morphs
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(morphs) AS INT) AS n_morphs,
+       array_to_string(morphs[1:5], ' ') AS head_morphs
+FROM m
+""",
+    tags=("text", "udf", "morph"),
+)
+def q_morph_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY P9: the morphological-tokenizer pandas UDF — Arrow-batched,
+    analyzer lazily built once per executor (``functions.morph``). In this
+    container kiwipiepy is absent, so the UDF runs the reference's own
+    regex fallback (``preprocessing.py:266-277``), which the DuckDB oracle
+    mirrors exactly; with Kiwi installed the same query runs morphological
+    analysis and the check downgrades to rows-only semantics."""
+    from ..functions.morph import morph_tokens
+
+    d = _docs(spark, sf_dir)
+    m = d.select("doc_id", morph_tokens("text").alias("morphs"))
+    return m.select(
+        "doc_id",
+        F.size("morphs").alias("n_morphs"),
+        F.concat_ws(" ", F.slice("morphs", 1, 5)).alias("head_morphs"),
+    )

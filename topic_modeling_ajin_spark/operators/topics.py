@@ -522,3 +522,190 @@ def q_gmm_soft_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("confidence"), 6).alias("avg_conf"))
         .orderBy("cluster")
     )
+
+
+# -------------------------------------------- keyword filter & topic info
+
+# substring-stopword filter uses only stopwords long enough to be
+# meaningful substrings (the reference's Korean stopwords are all >= 2
+# chars; single-letter English articles would nuke every keyword)
+SUBSTR_STOPWORDS = tuple(w for w in TX.ENGLISH_STOPWORDS if len(w) >= 3)
+_SUBSTR_SQL = "[" + ", ".join(f"'{w}'" for w in SUBSTR_STOPWORDS) + "]"
+
+
+@register(
+    "keyword_substr_filter",
+    sql=f"""
+WITH {SQL_CTFIDF}
+SELECT label, word AS keyword, rank AS keyword_rank
+FROM topk
+WHERE NOT EXISTS (
+    SELECT 1 FROM unnest({_SUBSTR_SQL}) AS s(sw) WHERE contains(word, sw)
+)
+""",
+    tags=("topics", "filter"),
+)
+def q_keyword_substr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F8: drop a keyword when any stopword is a SUBSTRING of it
+    (``BERTopic_Analysis.py:701-705``) — ``exists`` over a broadcast
+    literal array, pure codegen."""
+    topk = topk_keywords(spark, sf_dir)
+    sw = F.array(*[F.lit(s) for s in SUBSTR_STOPWORDS])
+    has_sub = F.exists(sw, lambda s: F.col("word").contains(s))
+    return (
+        topk.filter(~has_sub)
+        .select("label", F.col("word").alias("keyword"), F.col("rank").alias("keyword_rank"))
+    )
+
+
+REPR_DOCS_PER_TOPIC = 3
+
+SQL_CENTROIDS = """
+cent AS (
+    SELECT label, pos0, avg(v) AS c
+    FROM (
+        SELECT label,
+               unnest(embedding::DOUBLE[]) AS v,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos0
+        FROM embeddings
+    )
+    GROUP BY label, pos0
+),
+centv AS (
+    SELECT label, list(c ORDER BY pos0) AS cvec
+    FROM cent GROUP BY label
+)
+"""
+
+
+@register(
+    "topic_representative_docs",
+    sql=f"""
+WITH {SQL_CENTROIDS},
+scored AS (
+    SELECT e.label, e.vec_id,
+           list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cos,
+           row_number() OVER (
+               PARTITION BY e.label
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                        e.vec_id) AS rank
+    FROM embeddings e JOIN centv c ON c.label = e.label
+)
+SELECT label, vec_id AS doc_id, round(cos, 6) AS similarity, rank
+FROM scored
+WHERE rank <= {REPR_DOCS_PER_TOPIC}
+""",
+    tags=("topics", "report"),
+)
+def q_topic_representative_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY T3: per-topic representative documents — rank members by
+    cosine(doc, topic centroid), keep the top {REPR_DOCS_PER_TOPIC}
+    (BERTopic's example docs, ``BERTopic_Analysis.py:560-649``; LDA's
+    probability ranking is the ``lda_doc_topics`` twin). Centroids are
+    K×d (tiny) ⇒ broadcast; the rank window shuffles once on label."""
+    from ..functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode(V.as_double("embedding")).alias("pos0", "v"))
+    cent = pos.groupBy("label", "pos0").agg(F.avg("v").alias("c"))
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos0", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
+    scored = (
+        e.join(F.broadcast(centv), "label")
+        .select(
+            "label",
+            "vec_id",
+            V.cosine(V.as_double("embedding"), F.col("cvec")).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("label").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= REPR_DOCS_PER_TOPIC)
+        .select(
+            "label",
+            F.col("vec_id").alias("doc_id"),
+            F.round("cos", 6).alias("similarity"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "topic_info",
+    sql=f"""
+WITH {SQL_CTFIDF},
+words AS (SELECT label, list(word) AS words FROM topk GROUP BY label),
+scored AS (SELECT label, {_SQL_CATS} FROM words),
+named AS (
+    SELECT label,
+           CASE WHEN {_SQL_BEST} = 0 THEN '{OTHER_LABEL}' ELSE {_SQL_PICK} END AS topic_label
+    FROM scored
+),
+kw AS (
+    SELECT label, string_agg(word, ', ' ORDER BY rank) AS keywords
+    FROM topk GROUP BY label
+),
+counts AS (SELECT label, count(*) AS n_docs FROM embeddings GROUP BY label),
+{SQL_CENTROIDS.strip().rstrip()},
+ex AS (
+    SELECT label, vec_id,
+           row_number() OVER (
+               PARTITION BY label
+               ORDER BY list_cosine_similarity(embeddings.embedding::DOUBLE[], centv.cvec) DESC,
+                        vec_id) AS rank
+    FROM embeddings JOIN centv USING (label)
+),
+exa AS (
+    SELECT label, string_agg(vec_id::VARCHAR, ',' ORDER BY rank) AS example_docs
+    FROM ex WHERE rank <= {REPR_DOCS_PER_TOPIC} GROUP BY label
+)
+SELECT n.label, n.topic_label, kw.keywords, c.n_docs, exa.example_docs
+FROM named n
+JOIN kw USING (label)
+JOIN counts c USING (label)
+JOIN exa USING (label)
+""",
+    tags=("topics", "report", "flagship"),
+)
+def q_topic_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M9: the composed per-topic report — keywords (T2) +
+    rule-based interpretation (P13) + member count (A8) + representative
+    docs (T3) in one wide row per topic, mirroring the reference's
+    토픽상세정보 sheet (``LDA_Analysis.py:413-469``,
+    ``BERTopic_Analysis.py:539-665``). Every input is a tiny K-row
+    DataFrame by this point — the joins are broadcast no-ops; the heavy
+    lifting happened in the reused upstream operators."""
+    topk = topk_keywords(spark, sf_dir)
+    labels = q_topic_labels(spark, sf_dir).select("label", "topic_label")
+    kw = (
+        topk.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "word"))).alias("rw"))
+        .select(
+            "label",
+            F.array_join(F.transform("rw", lambda s: s["word"]), ", ").alias("keywords"),
+        )
+    )
+    counts = (
+        load_table(spark, sf_dir, "embeddings").groupBy("label").agg(F.count("*").alias("n_docs"))
+    )
+    ex = (
+        q_topic_representative_docs(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("rank", "doc_id"))).alias("rd"))
+        .select(
+            "label",
+            F.array_join(
+                F.transform("rd", lambda s: s["doc_id"].cast("string")), ","
+            ).alias("example_docs"),
+        )
+    )
+    return (
+        labels.join(kw, "label")
+        .join(counts, "label")
+        .join(ex, "label")
+        .select("label", "topic_label", "keywords", "n_docs", "example_docs")
+    )
