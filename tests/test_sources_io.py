@@ -83,3 +83,14 @@ def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
     a = model.transform(feat).select("vec_id", "prediction").collect()
     b = back.transform(feat).select("vec_id", "prediction").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_text_report_sink(spark, sf_dir, tmp_path):
+    from topic_modeling_ajin_spark.report import render_text_report
+
+    path = str(tmp_path / "report.txt")
+    text = render_text_report(spark, sf_dir, path)
+    assert "CORPUS ANALYSIS REPORT" in text
+    assert "[Top-10 words]" in text
+    with open(path, encoding="utf-8") as fh:
+        assert fh.read() == text

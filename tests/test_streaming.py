@@ -107,3 +107,33 @@ def test_stateful_user_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_topic_assign_matches_batch_argmax(spark, sf_dir, tmp_path):
+    ST.run_to_memory(
+        ST.streaming_topic_assign(spark, sf_dir),
+        "s_assign",
+        str(tmp_path / "ck6"),
+    )
+    got = {r["vec_id"]: r["topic"] for r in spark.table("s_assign").collect()}
+
+    from topic_modeling_ajin_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode(V.as_double("embedding")).alias("pos0", "v"))
+    cent = pos.groupBy("label", "pos0").agg(F.avg("v").alias("c"))
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos0", "c"))).alias("pc"))
+        .select(F.col("label").alias("topic"), F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
+    batch = (
+        e.crossJoin(F.broadcast(centv))
+        .select("vec_id", "topic", V.cosine(V.as_double("embedding"), F.col("cvec")).alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max_by("topic", "cos").alias("topic"))
+    )
+    want = {r["vec_id"]: r["topic"] for r in batch.collect()}
+    assert got == want
+    n_vecs = e.count()
+    assert len(got) == n_vecs

@@ -369,3 +369,53 @@ def q_npmi_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_pairs"),
         )
     )
+
+
+@register(
+    "doc_topic_jaccard",
+    sql=f"""
+WITH {SQL_CTFIDF},
+kw AS (SELECT label, list(word) AS kws FROM topk GROUP BY label),
+docw AS (
+    SELECT doc_id, label, list(DISTINCT word) AS words
+    FROM toks
+    GROUP BY doc_id, label
+)
+SELECT d.doc_id, d.label,
+       round(len(list_intersect(d.words, kw.kws)) * 1.0 /
+             len(list_distinct(list_concat(d.words, kw.kws))), 6) AS jaccard
+FROM docw d
+JOIN kw ON kw.label = d.label
+WHERE d.doc_id < 100
+""",
+    tags=("metrics", "similarity"),
+)
+def q_doc_topic_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J6: token-set Jaccard between each document and its own
+    topic's keyword set — the reference's no-embedding fallback similarity
+    (``BERTopic_Analysis.py:619-630``). Keyword sets are K tiny arrays ⇒
+    broadcast; per-doc set math is a codegen'd array expression (bounded to
+    doc_id < 100 to keep the oracle fixture small)."""
+    from ..functions import text as TX
+
+    kw = topk_keywords(spark, sf_dir).groupBy("label").agg(
+        F.collect_list("word").alias("kws")
+    )
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docw = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select("doc_id", "label", F.explode(TX.tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("doc_id", "label")
+        .agg(F.array_distinct(F.collect_list("word")).alias("words"))
+    )
+    return docw.join(F.broadcast(kw), "label").select(
+        "doc_id",
+        "label",
+        F.round(
+            F.size(F.array_intersect("words", "kws"))
+            / F.size(F.array_union("words", "kws")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -1,10 +1,12 @@
 from .pipelines import (
     hourly_event_counts,
     read_documents_stream,
+    read_embeddings_stream,
     read_events_stream,
     run_to_memory,
     session_event_counts,
     sliding_type_counts,
+    streaming_topic_assign,
     streaming_word_count,
     user_running_totals,
 )
@@ -12,10 +14,12 @@ from .pipelines import (
 __all__ = [
     "hourly_event_counts",
     "read_documents_stream",
+    "read_embeddings_stream",
     "read_events_stream",
     "run_to_memory",
     "session_event_counts",
     "sliding_type_counts",
+    "streaming_topic_assign",
     "streaming_word_count",
     "user_running_totals",
 ]

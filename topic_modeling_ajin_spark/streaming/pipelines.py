@@ -145,6 +145,57 @@ def streaming_word_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online topic assignment — the reference's listed future work
+    (``BERTopic_guideline.md:175``): as embedding rows stream in, assign
+    each to the nearest (batch-trained) topic centroid by cosine.
+
+    Stream-static pattern: centroids are a K×d batch DataFrame computed
+    once and broadcast into every micro-batch join; the stream side never
+    shuffles. Swapping the centroid table for a refreshed model output
+    gives rolling re-assignment for free."""
+    from pyspark.sql import functions as SF
+
+    from ..functions import vectors as V
+
+    e_static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pos = e_static.select(
+        "label", SF.posexplode(V.as_double("embedding")).alias("pos0", "v")
+    )
+    cent = pos.groupBy("label", "pos0").agg(SF.avg("v").alias("c"))
+    centv = (
+        cent.groupBy("label")
+        .agg(SF.array_sort(SF.collect_list(SF.struct("pos0", "c"))).alias("pc"))
+        .select(
+            SF.col("label").alias("topic"),
+            SF.transform("pc", lambda s: s["c"]).alias("cvec"),
+        )
+    )
+    stream = read_embeddings_stream(spark, sf_dir)
+    scored = stream.crossJoin(SF.broadcast(centv)).select(
+        "vec_id",
+        "topic",
+        V.cosine(V.as_double("embedding"), SF.col("cvec")).alias("cos"),
+    )
+    # per-row argmax without a stateful aggregation: rank topics per vec
+    # inside each micro-batch via groupBy + max_by (batch-local, stateless
+    # w.r.t. the stream because each vec_id arrives exactly once)
+    return scored.groupBy("vec_id").agg(
+        SF.max_by("topic", "cos").alias("topic"),
+        SF.round(SF.max("cos"), 6).alias("cosine"),
+    )
+
+
 # ------------------------------------------------- arbitrary stateful op
 
 _STATE_SCHEMA = StructType(
