@@ -393,3 +393,97 @@ def q_morph_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("morphs").alias("n_morphs"),
         F.concat_ws(" ", F.slice("morphs", 1, 5)).alias("head_morphs"),
     )
+
+
+_SIMHASH_HAM_MAX = 2
+_SQL_SIMHASH = None  # filled below to reuse the simhash16 oracle body
+
+# reuse the simhash CTE body by re-deriving it (keeps one source of truth
+# for the bit math): everything up to the final SELECT
+_SIMHASH_BODY = rf"""
+t AS ({_SQL_WORD_TOKS}),
+tok AS (
+    SELECT doc_id, unnest(toks) AS word FROM t WHERE length(toks) > 0
+),
+hv AS (
+    SELECT doc_id,
+           {_nibble_sql("md5(word)", 1)} * 4096
+         + {_nibble_sql("md5(word)", 2)} * 256
+         + {_nibble_sql("md5(word)", 3)} * 16
+         + {_nibble_sql("md5(word)", 4)} AS v
+    FROM tok
+),
+bits AS (
+    SELECT doc_id,
+           {", ".join(f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(_SIMHASH_BITS))}
+    FROM hv GROUP BY doc_id
+),
+sh AS (
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM bits
+)
+"""
+
+
+@register(
+    "simhash_near_dup",
+    sql=f"""
+WITH {_SIMHASH_BODY},
+banded AS (
+    SELECT doc_id, simhash,
+           simhash % 256 AS band_lo, simhash // 256 AS band_hi
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM banded a
+    JOIN banded b
+      ON a.doc_id < b.doc_id
+     AND (a.band_lo = b.band_lo OR a.band_hi = b.band_hi)
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAM_MAX}
+""",
+    tags=("text_analysis", "dedup", "scale"),
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: band the 16-bit fingerprint into
+    two bytes; candidates form via two equi-joins (union), never a
+    similarity scan, and verification is ``bit_count(xor)`` — pure integer
+    codegen. Recall guarantee (pigeonhole): a pair within Hamming distance
+    b-1 of b bands always shares an exact band — here b=2, so distance ≤ 1
+    is guaranteed and distance-2 pairs are found only when both flipped
+    bits land in the same band (LSH-style partial recall, identical in the
+    oracle). At 100 TB: 64-bit simhash, 4 bands ⇒ guaranteed ≤ 3."""
+    sh = q_simhash16(spark, sf_dir).persist()
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("band_lo"),
+        (F.col("simhash") / 256).cast("long").alias("band_hi"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band_lo",
+        "band_hi",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        F.col("band_lo").alias("blo"),
+        F.col("band_hi").alias("bhi"),
+    )
+    lo = a.join(b, (F.col("band_lo") == F.col("blo")) & (F.col("doc_a") < F.col("doc_b")))
+    hi = a.join(b, (F.col("band_hi") == F.col("bhi")) & (F.col("doc_a") < F.col("doc_b")))
+    cand = lo.select("doc_a", "doc_b", "ha", "hb").union(
+        hi.select("doc_a", "doc_b", "ha", "hb")
+    ).distinct()
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _SIMHASH_HAM_MAX
+    )
