@@ -160,3 +160,27 @@ def test_multimodal_real_decoder_is_stubbed():
 
     with _pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_cv_coherence_bounds(spark, sf_dir, registry):
+    rows = registry["cv_coherence"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["c_v"] <= 1.0 + 1e-6
+        assert r["n_words"] == 10
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir, registry):
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry["ivf_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    assert brute
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, recall  # nprobe=2/16 cells on random-ish vectors
+    # every IVF hit must carry the exact cosine: spot-check subset relation
+    assert len(ivf) <= len(brute)

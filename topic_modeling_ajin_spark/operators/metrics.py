@@ -419,3 +419,194 @@ def q_doc_topic_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+# ------------------------------------------------------- c_v coherence (M4)
+
+CV_WINDOW = 110  # gensim c_v boolean sliding window
+
+
+def _sql_wincooc(w: int) -> str:
+    """Window co-occurrence CTE block (tokd → winword → wc/pc/totw),
+    parameterized by window size — same shape as the c_npmi block above."""
+    return f"""
+tokd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       w -> w <> '' AND length(w) >= 2) AS toks
+    FROM documents
+),
+tokpos AS (
+    SELECT doc_id,
+           unnest(toks) AS word,
+           unnest(generate_series(0, len(toks) - 1)) AS pos,
+           len(toks) AS n
+    FROM tokd
+),
+totw AS (
+    SELECT sum(greatest(n - {w - 1}, 1)) AS t
+    FROM (SELECT len(toks) AS n FROM tokd)
+),
+winword AS (
+    SELECT DISTINCT doc_id,
+           unnest(generate_series(greatest(0, pos - {w - 1}),
+                                  least(pos, greatest(n - {w}, 0)))) AS s,
+           word
+    FROM tokpos
+    WHERE word IN (SELECT word FROM topk)
+),
+wc AS (SELECT word, count(*) AS cw FROM winword GROUP BY word),
+pc AS (
+    SELECT a.word AS wa, b.word AS wb, count(*) AS cab
+    FROM winword a
+    JOIN winword b ON a.doc_id = b.doc_id AND a.s = b.s AND a.word < b.word
+    GROUP BY a.word, b.word
+)
+"""
+
+
+@register(
+    "cv_coherence",
+    sql=f"""
+WITH {SQL_CTFIDF},
+{_sql_wincooc(CV_WINDOW)},
+allp AS (
+    SELECT t1.label, t1.word AS wi, t2.word AS wj
+    FROM topk t1 JOIN topk t2 ON t1.label = t2.label
+),
+m AS (
+    SELECT allp.label, allp.wi, allp.wj,
+           CASE WHEN allp.wi = allp.wj THEN
+               ln((wca.cw * 1.0 / totw.t + {_EPS}) /
+                  ((wca.cw * 1.0 / totw.t) * (wca.cw * 1.0 / totw.t)))
+               / -ln(wca.cw * 1.0 / totw.t + {_EPS})
+           ELSE
+               ln((coalesce(pc.cab, 0) * 1.0 / totw.t + {_EPS}) /
+                  ((wca.cw * 1.0 / totw.t) * (wcb.cw * 1.0 / totw.t)))
+               / -ln(coalesce(pc.cab, 0) * 1.0 / totw.t + {_EPS})
+           END AS npmi
+    FROM allp
+    LEFT JOIN pc ON pc.wa = least(allp.wi, allp.wj)
+                AND pc.wb = greatest(allp.wi, allp.wj)
+    JOIN wc wca ON wca.word = allp.wi
+    JOIN wc wcb ON wcb.word = allp.wj
+    CROSS JOIN totw
+),
+s AS (SELECT label, wj, sum(npmi) AS sv FROM m GROUP BY label, wj),
+norms AS (SELECT label, sqrt(sum(sv * sv)) AS ns FROM s GROUP BY label),
+per_i AS (
+    SELECT m.label, m.wi,
+           sum(m.npmi * s.sv) AS dot,
+           sqrt(sum(m.npmi * m.npmi)) AS ni
+    FROM m JOIN s ON s.label = m.label AND s.wj = m.wj
+    GROUP BY m.label, m.wi
+)
+SELECT per_i.label,
+       round(avg(dot / (ni * norms.ns)), 6) AS c_v,
+       count(*) AS n_words
+FROM per_i JOIN norms ON norms.label = per_i.label
+GROUP BY per_i.label
+""",
+    tags=("metrics", "coherence", "flagship"),
+)
+def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M4 hard part: full c_v coherence (Röder et al. — gensim's
+    default metric, ``LDA_Analysis.py:208-216``). Per topic with top words
+    W = w_1..w_N:
+
+    1. NPMI context vectors over a {CV_WINDOW}-token boolean sliding
+       window: v(w_i)_j = NPMI(w_i, w_j) for j in W (diagonal from the
+       marginal: NPMI(w,w) = ln((p+ε)/p²)/−ln(p+ε) ≈ 1);
+    2. topic context vector v(W) = Σ_i v(w_i) (S_one_set segmentation);
+    3. c_v = mean_i cos(v(w_i), v(W)).
+
+    Everything is joins/aggregations over the (window, word) incidence —
+    the same distributed machinery as c_npmi, reused at W={CV_WINDOW}; the
+    N×N NPMI matrix is K·N² rows (tiny) by the time cosines are taken."""
+    from ..functions import text as TX
+
+    W = CV_WINDOW
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    topk = topk_keywords(spark, sf_dir)
+    topk_words = topk.select("word").distinct()
+
+    toks = d.select(
+        "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
+    )
+    t_total = (
+        toks.select(F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw"))
+        .agg(F.sum("nw").alias("t"))
+    )
+    tokpos = toks.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos", "word"),
+    ).join(F.broadcast(topk_words), "word", "left_semi")
+    winword = (
+        tokpos.select(
+            "doc_id",
+            "word",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("pos") - (W - 1), F.lit(0)),
+                    F.least(F.col("pos"), F.greatest(F.col("n") - W, F.lit(0))),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    wc = winword.groupBy("word").agg(F.count("*").alias("cw"))
+    a = winword.select("doc_id", "s", F.col("word").alias("wa"))
+    b = winword.select("doc_id", "s", F.col("word").alias("wb"))
+    pc = (
+        a.join(b, ["doc_id", "s"])
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").alias("cab"))
+    )
+    t1 = topk.select("label", F.col("word").alias("wi"))
+    t2 = topk.select("label", F.col("word").alias("wj"))
+    allp = t1.join(t2, "label")
+    joined = (
+        allp.join(
+            pc,
+            (pc.wa == F.least(allp.wi, allp.wj))
+            & (pc.wb == F.greatest(allp.wi, allp.wj)),
+            "left",
+        )
+        .join(wc.select(F.col("word").alias("wi"), F.col("cw").alias("cwi")), "wi")
+        .join(wc.select(F.col("word").alias("wj"), F.col("cw").alias("cwj")), "wj")
+        .crossJoin(F.broadcast(t_total))
+    )
+    p_i = F.col("cwi") * 1.0 / F.col("t")
+    p_j = F.col("cwj") * 1.0 / F.col("t")
+    p_ij_off = F.coalesce(F.col("cab"), F.lit(0)) * 1.0 / F.col("t")
+    npmi_diag = F.log((p_i + F.lit(_EPS)) / (p_i * p_i)) / -F.log(p_i + F.lit(_EPS))
+    npmi_off = F.log((p_ij_off + F.lit(_EPS)) / (p_i * p_j)) / -F.log(
+        p_ij_off + F.lit(_EPS)
+    )
+    m = joined.select(
+        "label",
+        "wi",
+        "wj",
+        F.when(F.col("wi") == F.col("wj"), npmi_diag).otherwise(npmi_off).alias("npmi"),
+    )
+    s = m.groupBy("label", "wj").agg(F.sum("npmi").alias("sv"))
+    norms = s.groupBy("label").agg(F.sqrt(F.sum(F.col("sv") * F.col("sv"))).alias("ns"))
+    per_i = (
+        m.join(s, ["label", "wj"])
+        .groupBy("label", "wi")
+        .agg(
+            F.sum(F.col("npmi") * F.col("sv")).alias("dot"),
+            F.sqrt(F.sum(F.col("npmi") * F.col("npmi"))).alias("ni"),
+        )
+    )
+    return (
+        per_i.join(F.broadcast(norms), "label")
+        .groupBy("label")
+        .agg(
+            F.round(F.avg(F.col("dot") / (F.col("ni") * F.col("ns"))), 6).alias("c_v"),
+            F.count("*").alias("n_words"),
+        )
+    )
