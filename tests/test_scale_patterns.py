@@ -1,0 +1,67 @@
+"""Scale-pattern tests: salted aggregation equivalence and bucketed
+co-located joins (shuffle-free plan assertion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from topic_modeling_ajin_spark.plans import salted_agg, write_bucketed
+from topic_modeling_ajin_spark.sources import load_table
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: (r["cnt"], round(r["total"], 6))
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["cnt"], round(r["total"], 6))
+        for r in salted_agg(e, "event_type", n_salt=16, sum_col="value").collect()
+    }
+    assert salted == direct
+
+
+def test_salted_agg_deterministic_across_runs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, salted_agg(d, "lang").collect()))
+    b = sorted(map(tuple, salted_agg(d, "lang").collect()))
+    assert a == b  # xxhash64 salt, not rand(): reruns identical
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", "o_orderkey", 8, str(tmp_path / "b_orders"))
+    write_bucketed(l, "b_lineitem", "l_orderkey", 8, str(tmp_path / "b_lineitem"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join so the bucketing (not a broadcast) is what
+        # eliminates the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderkey"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        # neither join input may re-shuffle: no Exchange below the join
+        assert "SortMergeJoin" in plan, plan[:500]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # sanity: same result as the plain parquet join
+        direct = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
