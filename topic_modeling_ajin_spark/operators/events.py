@@ -258,3 +258,33 @@ def q_daily_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_daily"),
         F.min("n").alias("min_daily"),
     )
+
+
+@register(
+    "props_json_extract",
+    sql="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+WHERE props IS NOT NULL
+""",
+    tags=("events", "semistructured"),
+)
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (beyond-reference; every event pipeline needs it).
+    ``get_json_object`` stays JVM-side; at scale prefer ``from_json`` with
+    an explicit schema once the shape is known — both push the scan down
+    to (event_id, props) only."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            k.alias("k"),
+            F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+        )
+    )

@@ -437,3 +437,125 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q18_large_orders",
+    sql="""
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("relational",),
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as an IN-subquery
+    (Catalyst plans it as a left-semi join), then the fact re-joins only
+    the qualifying orders. The `big` aggregate and the semi-join reuse the
+    same orderkey partitioning — one shuffle serves both."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "price_distribution",
+    sql="""
+SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_cov
+FROM lineitem
+""",
+    tags=("relational", "stats"),
+)
+def q_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution aggregates: exact interpolated percentiles + Pearson
+    correlation/covariance in one pass. ``percentile`` is exact here to
+    match the oracle; at 100 TB swap to ``approx_percentile`` (t-digest,
+    mergeable sketch) — same query shape, bounded memory."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_cov"
+        ),
+    )
+
+
+@register(
+    "customer_value_quartiles",
+    sql="""
+WITH ranked AS (
+    SELECT c_custkey, c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+)
+SELECT quartile,
+       count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 6) AS avg_bal
+FROM ranked
+GROUP BY quartile
+""",
+    tags=("relational", "window"),
+)
+def q_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile banding + per-band stats. The global-order window is
+    the one operator that genuinely serializes — at 100 TB replace with
+    approx_percentile cutpoints + a bucketing join (same output, no global
+    sort); kept here in window form for surface parity."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+    )
