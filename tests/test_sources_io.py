@@ -94,3 +94,15 @@ def test_text_report_sink(spark, sf_dir, tmp_path):
     assert "[Top-10 words]" in text
     with open(path, encoding="utf-8") as fh:
         assert fh.read() == text
+
+
+def test_full_analysis_pipeline(spark, sf_dir, tmp_path):
+    from topic_modeling_ajin_spark.pipeline import run_full_analysis
+
+    written = run_full_analysis(spark, sf_dir, str(tmp_path / "out"))
+    assert "word_count" in written and "topic_info" in written
+    for name, path in written.items():
+        if name == "analysis_report":
+            continue
+        df = spark.read.parquet(path)
+        assert df.count() > 0, name

@@ -205,8 +205,23 @@ def q_doc_frequency_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- MLlib path
 
+LDA_K = 5  # CLI-overridable topic count (python -m topic_modeling_ajin_spark -t N)
+
+# per-session memo: (sf_dir) -> fitted CountVectorizer/corpus/LDA model.
+# The reference builds its corpus and dictionary once and reuses them across
+# every downstream consumer (LDA_Analysis.py:167-177); the Spark analogue is
+# fitting once per dataset and caching the featurized DataFrame — without
+# this, lda_topic_terms / lda_doc_topics / the K-sweep would each re-fit.
+_CORPUS_CACHE: dict[str, tuple] = {}
+_LDA_CACHE: dict[tuple[str, int], object] = {}
+
+
 def _vector_corpus(spark: SparkSession, sf_dir: str):
-    """CountVectorizer pipeline over tokenized documents (SURVEY M1)."""
+    """CountVectorizer pipeline over tokenized documents (SURVEY M1),
+    memoized per dataset; the corpus DataFrame is persisted because every
+    consumer (fit, transform, sweep) scans it repeatedly."""
+    if sf_dir in _CORPUS_CACHE:
+        return _CORPUS_CACHE[sf_dir]
     from pyspark.ml.feature import CountVectorizer
 
     d = parallelized(load_table(spark, sf_dir, "documents"))
@@ -217,21 +232,33 @@ def _vector_corpus(spark: SparkSession, sf_dir: str):
         inputCol="tokens", outputCol="features", minDF=2.0, vocabSize=50_000
     )
     model = cv.fit(toks)
-    return model, model.transform(toks)
+    corpus = model.transform(toks).persist()
+    _CORPUS_CACHE[sf_dir] = (model, corpus)
+    return _CORPUS_CACHE[sf_dir]
+
+
+def _lda_model(spark: SparkSession, sf_dir: str, k: int | None = None):
+    """Fitted LDA (seed=42, online optimizer), memoized per (dataset, k)."""
+    from pyspark.ml.clustering import LDA
+
+    k = k or LDA_K
+    key = (sf_dir, k)
+    if key not in _LDA_CACHE:
+        _, corpus = _vector_corpus(spark, sf_dir)
+        lda = LDA(k=k, seed=42, maxIter=20, optimizer="online", featuresCol="features")
+        _LDA_CACHE[key] = lda.fit(corpus)
+    return _LDA_CACHE[key]
 
 
 @register("lda_topic_terms", tags=("topics", "ml"))
 def q_lda_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY M2/M9: MLlib LDA (k=5, seed=42, online optimizer — the
+    """SURVEY M2/M9: MLlib LDA (k={LDA_K}, seed=42, online optimizer — the
     distributed analogue of gensim LdaModel at ``LDA_Analysis.py:264-276``;
     alpha/eta 'auto' has no MLlib analogue, fixed priors documented) →
     long-form (topic, term, weight, rank). Rows-only: topic-word weights
     are library-specific (SURVEY §4)."""
-    from pyspark.ml.clustering import LDA
-
     cv_model, corpus = _vector_corpus(spark, sf_dir)
-    lda = LDA(k=5, seed=42, maxIter=20, optimizer="online", featuresCol="features")
-    model = lda.fit(corpus)
+    model = _lda_model(spark, sf_dir)
     vocab = cv_model.vocabulary
     topics = model.describeTopics(TOP_K_KEYWORDS)
     vocab_df = spark.createDataFrame(
@@ -256,12 +283,10 @@ def q_lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY M8/T4: per-document dominant topic + probability from the
     LDA topicDistribution (argmax over the simplex — the reference's
     ``max(doc_topic, key=...)`` at ``LDA_Analysis.py:655``)."""
-    from pyspark.ml.clustering import LDA
     from pyspark.ml.functions import vector_to_array
 
     _, corpus = _vector_corpus(spark, sf_dir)
-    lda = LDA(k=5, seed=42, maxIter=20, optimizer="online", featuresCol="features")
-    model = lda.fit(corpus)
+    model = _lda_model(spark, sf_dir)
     dist = model.transform(corpus).select(
         "doc_id", vector_to_array("topicDistribution").alias("p")
     )
@@ -432,8 +457,7 @@ def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``BERTopic_Analysis.py:1076-1097`` computes the same curve)."""
     from pyspark.ml.clustering import LDA
 
-    _, corpus = _vector_corpus(spark, sf_dir)
-    corpus = corpus.persist()
+    _, corpus = _vector_corpus(spark, sf_dir)  # persisted by the memo
     corpus.count()  # materialize once before the sweep
     rows = []
     for k in SWEEP_KS:
@@ -450,7 +474,6 @@ def q_lda_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(n_unique / n_terms, 6),
             )
         )
-    corpus.unpersist()
     return spark.createDataFrame(rows, ["k", "log_perplexity", "diversity"])
 
 
