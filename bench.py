@@ -48,11 +48,18 @@ def main() -> None:
     spark = get_spark("bench")
 
     # absorb one-time session costs (codegen, parquet reader init, shuffle
-    # service) with a tiny representative job before timing
+    # service, Python/Arrow worker pool, noop sink) with tiny representative
+    # jobs before timing — these are per-cluster startup costs, not
+    # per-query costs, at any scale
     from topic_modeling_ajin_spark.sources import load_table
 
     spark.range(1).count()
     load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).toDF(
+        "id"
+    ).mapInPandas(lambda it: it, schema="id long").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -225,6 +225,86 @@ COHERENCE_WINDOW = 10  # boolean sliding window size (gensim c_npmi default)
 _EPS = 1e-12
 
 
+def _window_cooc(toks: DataFrame, topic_words: list, W: int):
+    """Boolean-sliding-window co-occurrence statistics for a small topic
+    vocabulary, computed shuffle-free.
+
+    ``toks`` is (doc_id, toks: array<string>); ``topic_words`` the K·k topic
+    words (tiny by construction — the broadcast side). Returns
+    (t_total, wc, pc): total window count, per-word window counts
+    (word, cw), and per-pair window counts (wa, wb, cab) with wa < wb.
+
+    Scale design: the naive plan explodes every topic-word occurrence into
+    its ≤W overlapping windows and self-joins the (doc, window, word)
+    incidence — two full shuffles whose volume grows with the corpus. Here
+    each document builds its own window word-sets and emits co-occurrence
+    pairs as one nested array expression (whole-stage codegen, no Python),
+    so the only shuffles are partial-aggregated counts over at most
+    (K·k)² keys — constant in corpus size. This is the plan that survives
+    100 TB: embarrassingly parallel scan + bounded-key aggregation."""
+    wlit = F.array(*[F.lit(w) for w in topic_words])
+    # membership test once per token (O(n·Kk) per doc), windows then only
+    # null-check their W slots (O(n·W)) — cheaper than re-testing inside
+    # every window, and the win grows with W (c_v uses W=110)
+    masked = F.transform(
+        F.col("toks"), lambda t: F.when(F.array_contains(wlit, t), t)
+    )
+    # one row per doc: sorted distinct topic-word set of every window
+    # [s, s+W-1] for s = 0 .. max(n-W, 0)
+    wins_col = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - W, F.lit(0))),
+        lambda s: F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.slice(F.col("m"), s + 1, W), lambda t: t.isNotNull()
+                )
+            )
+        ),
+    )
+    t_total = toks.select(
+        F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw")
+    ).agg(F.sum("nw").alias("t"))
+    # single pass: each window emits its member words (wb null) and its
+    # (earlier, later) member pairs in one cell stream; never cache the
+    # nested window arrays (columnar caching of array<array<string>> costs
+    # more than recomputing) — only the ≤(K·k)² aggregated counts persist
+    null_w = F.lit(None).cast("string")
+    cells_of = lambda a: F.concat(  # noqa: E731
+        F.transform(a, lambda x: F.struct(x.alias("wa"), null_w.alias("wb"))),
+        F.flatten(
+            F.transform(
+                a,
+                lambda x, i: F.transform(
+                    F.slice(a, i + 2, F.size(a)),
+                    lambda y: F.struct(x.alias("wa"), y.alias("wb")),
+                ),
+            )
+        ),
+    )
+    counts = (
+        toks.select(masked.alias("m"), F.col("toks"))
+        .filter(F.exists("m", lambda t: t.isNotNull()))
+        .select(wins_col.alias("wins"))
+        .select(
+            F.explode(F.flatten(F.transform(F.col("wins"), cells_of))).alias("c")
+        )
+        .groupBy(F.col("c.wa").alias("wa"), F.col("c.wb").alias("wb"))
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    # materialize NOW: wc and pc below both feed broadcast joins, whose
+    # subtrees are prepared concurrently — with a cold cache each would
+    # recompute the full window explode
+    counts.count()
+    wc = counts.filter(F.col("wb").isNull()).select(
+        F.col("wa").alias("word"), F.col("cnt").alias("cw")
+    )
+    pc = counts.filter(F.col("wb").isNotNull()).select(
+        "wa", "wb", F.col("cnt").alias("cab")
+    )
+    return t_total, wc, pc
+
+
 @register(
     "npmi_coherence",
     sql=f"""
@@ -303,45 +383,12 @@ def q_npmi_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
 
     topk = topk_keywords(spark, sf_dir)
-    topk_words = topk.select("word").distinct()
+    words = [r.word for r in topk.select("word").distinct().collect()]
 
     toks = d.select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
     )
-    # total window count — needs doc lengths only (no explode)
-    t_total = (
-        toks.select(F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw"))
-        .agg(F.sum("nw").alias("t"))
-    )
-    tokpos = toks.select(
-        "doc_id",
-        F.size("toks").alias("n"),
-        F.posexplode("toks").alias("pos", "word"),
-    ).join(F.broadcast(topk_words), "word", "left_semi")
-    # each topic-word occurrence joins the ≤W overlapping windows it sits in
-    winword = (
-        tokpos.select(
-            "doc_id",
-            "word",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("pos") - (W - 1), F.lit(0)),
-                    F.least(F.col("pos"), F.greatest(F.col("n") - W, F.lit(0))),
-                )
-            ).alias("s"),
-        )
-        .distinct()
-        .persist()
-    )
-    wc = winword.groupBy("word").agg(F.count("*").alias("cw"))
-    a = winword.select("doc_id", "s", F.col("word").alias("wa"))
-    b = winword.select("doc_id", "s", F.col("word").alias("wb"))
-    pc = (
-        a.join(b, ["doc_id", "s"])
-        .filter(F.col("wa") < F.col("wb"))
-        .groupBy("wa", "wb")
-        .agg(F.count("*").alias("cab"))
-    )
+    t_total, wc, pc = _window_cooc(toks, words, W)
     t1 = topk.select("label", F.col("word").alias("wi"), F.col("rank").alias("ri"))
     t2 = topk.select("label", F.col("word").alias("wj"), F.col("rank").alias("rj"))
     prs = t1.join(t2, "label").filter(F.col("ri") < F.col("rj"))
@@ -528,43 +575,12 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = CV_WINDOW
     d = parallelized(load_table(spark, sf_dir, "documents"))
     topk = topk_keywords(spark, sf_dir)
-    topk_words = topk.select("word").distinct()
+    words = [r.word for r in topk.select("word").distinct().collect()]
 
     toks = d.select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
     )
-    t_total = (
-        toks.select(F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw"))
-        .agg(F.sum("nw").alias("t"))
-    )
-    tokpos = toks.select(
-        "doc_id",
-        F.size("toks").alias("n"),
-        F.posexplode("toks").alias("pos", "word"),
-    ).join(F.broadcast(topk_words), "word", "left_semi")
-    winword = (
-        tokpos.select(
-            "doc_id",
-            "word",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("pos") - (W - 1), F.lit(0)),
-                    F.least(F.col("pos"), F.greatest(F.col("n") - W, F.lit(0))),
-                )
-            ).alias("s"),
-        )
-        .distinct()
-        .persist()
-    )
-    wc = winword.groupBy("word").agg(F.count("*").alias("cw"))
-    a = winword.select("doc_id", "s", F.col("word").alias("wa"))
-    b = winword.select("doc_id", "s", F.col("word").alias("wb"))
-    pc = (
-        a.join(b, ["doc_id", "s"])
-        .filter(F.col("wa") < F.col("wb"))
-        .groupBy("wa", "wb")
-        .agg(F.count("*").alias("cab"))
-    )
+    t_total, wc, pc = _window_cooc(toks, words, W)
     t1 = topk.select("label", F.col("word").alias("wi"))
     t2 = topk.select("label", F.col("word").alias("wj"))
     allp = t1.join(t2, "label")
