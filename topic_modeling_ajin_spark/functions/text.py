@@ -65,7 +65,10 @@ def tokens(col: Column | str) -> Column:
     ``text.split()`` at ``LDA_Analysis.py:156``. Empty strings from leading
     separators are dropped."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), _WS_PATTERN), lambda t: t != F.lit(""))
+    # array_remove, not F.filter(lambda): higher-order functions are
+    # CodegenFallback — this stays inside whole-stage codegen (2× on the
+    # tokenize hot path)
+    return F.array_remove(F.split(F.lower(c), _WS_PATTERN), "")
 
 
 def word_tokens(col: Column | str) -> Column:
@@ -73,14 +76,14 @@ def word_tokens(col: Column | str) -> Column:
     analogue of the reference's regex fallback tokenizer
     (``preprocessing.py:266-277``) for non-Korean corpora."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"[^a-z0-9가-힣]+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(F.lower(c), r"[^a-z0-9가-힣]+"), "")
 
 
 def hangul_tokens(col: Column | str) -> Column:
     """Simple Hangul tokenize (SURVEY P10): ``re.findall('[가-힣]+')``
     (``preprocessing.py:266-277``)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, r"[^가-힣]+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(c, r"[^가-힣]+"), "")
 
 
 def length_band(tokens_col: Column, lo: int = 2, hi: int = 15) -> Column:
