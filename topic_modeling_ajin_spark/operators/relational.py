@@ -559,3 +559,483 @@ def q_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
     )
+
+
+# --------------------------------------------------- TPC-H fill-ins, wave 2
+# The remaining classic TPC-H query shapes expressible over this schema
+# (no partsupp / shipmode / phone columns — each query notes its
+# adaptation). All exact-oracle-checked.
+
+
+@register(
+    "q2_min_cost_supplier",
+    sql="""
+WITH unit AS (
+    SELECT l_partkey, l_suppkey,
+           avg(l_extendedprice / l_quantity) AS unit_price
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+    SELECT u.l_partkey, u.l_suppkey, u.unit_price,
+           row_number() OVER (PARTITION BY u.l_partkey
+                              ORDER BY u.unit_price, u.l_suppkey) AS rk
+    FROM unit u
+)
+SELECT p.p_partkey, p.p_name, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+       round(r.unit_price, 6) AS unit_price
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rk = 1 AND p.p_size <= 10 AND p.p_type = 'LARGE'
+ORDER BY s_acctbal DESC, p.p_partkey
+""",
+    tags=("relational", "join", "window"),
+)
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table: supply cost ≈ observed avg unit
+    price per (part, supplier) from lineitem): cheapest supplier per part,
+    restricted to one size/type band. The min-cost-per-part correlated
+    subquery becomes a rank window over the aggregated unit prices — one
+    shuffle keyed on partkey serves both the aggregate and the window."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    unit = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = unit.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+    )
+
+
+@register(
+    "q4_priority_count",
+    sql="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("relational", "join"),
+)
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (late-shipment EXISTS; commit/receipt dates absent, so
+    "late" = any line shipped >60 days after the order date): date-windowed
+    orders LEFT SEMI JOIN lineitem on orderkey + the theta condition, then a
+    tiny priority rollup. The semi-join keeps only order columns flowing —
+    nothing from lineitem survives the probe."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-04-01 00:00:00")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_nation_volume",
+    sql="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("relational", "join"),
+)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The one fact-to-fact shuffle is lineitem ⋈ orders on orderkey;
+    customer/supplier/nation are broadcast, and the nation-pair predicate
+    prunes rows before the expensive join via the broadcast hash lookup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    sql="""
+WITH allrev AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           ns.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM allrev
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("relational", "join"),
+)
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume per
+    year — the share is a conditional-sum ratio inside ONE aggregation, not
+    two scans. Region/nation prune customers before the fact join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nc = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nc_key")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"), "inner")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    sql="""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+    tags=("relational", "join"),
+)
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp supplycost → profit ≈ discounted
+    revenue; part filter by type instead of LIKE on name): profit by
+    supplier nation × order year. The part filter broadcasts and prunes
+    the fact before the orderkey shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q12_priority_by_flag",
+    sql="""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    tags=("relational", "join"),
+)
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column → grouped by returnflag):
+    conditional counts split by order priority over a one-year ship
+    window. The date filter pushes to the parquet scan; the single
+    shuffle is the orderkey join."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    sql="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+    tags=("relational", "join"),
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one month — conditional-sum
+    ratio in a single pass, part broadcast, month filter on the scan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-10-01 00:00:00")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    sql="""
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (5, 10, 15, 20, 25, 30)
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+""",
+    tags=("relational", "join"),
+)
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety from lineitem, no partsupp):
+    distinct suppliers per (brand, size) with brand/size exclusions.
+    COUNT(DISTINCT) expands to a two-phase aggregate — partial distinct
+    within partitions, exact merge after one shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    sql="""
+WITH avgq AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_floor
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avgq a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2' AND l.l_quantity < a.qty_floor
+""",
+    tags=("relational", "join"),
+)
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity order revenue for one brand. The
+    correlated per-part average becomes an aggregate joined back to the
+    fact; at scale both sides share the partkey partitioning so the join
+    adds no extra shuffle beyond the aggregate's own."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    avgq = l.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_floor")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    sql="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("relational", "join"),
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate across
+    the join. Catalyst extracts the common join key so the OR evaluates
+    post-probe on the broadcast hash join — one fact scan, no union of
+    three subqueries."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    sql="""
+WITH floor_bal AS (
+    SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c CROSS JOIN floor_bal
+WHERE c.c_acctbal > floor_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    tags=("relational", "join"),
+)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (grouped by nation — no phone column to derive
+    country codes): above-average-balance customers with no orders since 2000 (the synthetic data gives
+    every customer at least one historical order). The
+    scalar average broadcasts as a 1-row cross join; the NOT EXISTS is a
+    left-anti join probing only the slim o_custkey column."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01 00:00:00")
+        .select("o_custkey")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
