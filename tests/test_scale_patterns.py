@@ -65,3 +65,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_is_pure_pushdown_scan(spark, sf_dir):
+    """q6's range predicates must reach the parquet scan and the plan must
+    contain no join and no wide shuffle — the scan + partial agg IS the query."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    plan = _plan(load_all()["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "Join" not in plan
+    # only the final single-partition gather of partial sums
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+def test_q5_snowflake_joins_all_broadcast(spark, sf_dir):
+    """Every join in the q5 snowflake must be broadcast — a sort-merge join
+    against region/nation/customer/supplier would shuffle the fact table."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    plan = _plan(load_all()["q5_region_revenue"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_word_count_topk_has_no_global_sort(spark, sf_dir):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    never a global Sort + Limit, and the scan must prune to the text column."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    plan = _plan(load_all()["word_count"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan
