@@ -137,3 +137,39 @@ def test_streaming_topic_assign_matches_batch_argmax(spark, sf_dir, tmp_path):
     assert got == want
     n_vecs = e.count()
     assert len(got) == n_vecs
+
+
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    """Replay the events file TWICE from a spool dir (simulated
+    at-least-once redelivery, one file per micro-batch): the deduped stream
+    must emit exactly the batch-distinct set of event_ids."""
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    shutil.copy(src, spool / "a.parquet")
+    shutil.copy(src, spool / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(str(spool))
+    schema = batch.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(spool))
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ST.run_to_memory(
+        ST.streaming_event_dedup(raw),
+        "s_dedup",
+        str(tmp_path / "ck_dedup"),
+        output_mode="append",
+    )
+    got = spark.table("s_dedup")
+    n_unique = batch.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique

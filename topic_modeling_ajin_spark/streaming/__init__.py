@@ -6,6 +6,7 @@ from .pipelines import (
     run_to_memory,
     session_event_counts,
     sliding_type_counts,
+    streaming_event_dedup,
     streaming_topic_assign,
     streaming_word_count,
     user_running_totals,
@@ -19,6 +20,7 @@ __all__ = [
     "run_to_memory",
     "session_event_counts",
     "sliding_type_counts",
+    "streaming_event_dedup",
     "streaming_topic_assign",
     "streaming_word_count",
     "user_running_totals",

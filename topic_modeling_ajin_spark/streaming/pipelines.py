@@ -274,3 +274,17 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_event_dedup(events: DataFrame) -> DataFrame:
+    """Ingest-time exact dedup for at-least-once delivery (beyond-reference
+    training-pipeline surface): each ``event_id`` is emitted once;
+    redeliveries arriving within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) bounds
+    the dedup state: keys older than the watermark are evicted, so state is
+    O(events per horizon), not O(all events ever) — the difference between
+    a pipeline that runs for a day and one that runs forever at 100 TB."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
