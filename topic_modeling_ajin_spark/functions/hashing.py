@@ -64,17 +64,22 @@ def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
     affine rehash of the shingle's md5 base. Returns ``array<bigint>`` of
     length ``num_hashes``. One md5 per shingle total — the 12× md5 cost of
     the naive seeded variant collapses to integer math."""
-    bases = F.transform(shingle_col, md5_base32)
-
-    def _min_hash(a: int, b: int) -> Column:
-        # NB: single-param lambda — a second param would make Spark pass
-        # the element index instead of closing over the constants.
-        return F.array_min(
-            F.transform(bases, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-        )
-
-    return F.array(
-        *[_min_hash(MINHASH_A[i], MINHASH_B[i]) for i in range(num_hashes)]
+    # One fold over the md5 bases with an elementwise running min. The
+    # obvious alternative — num_hashes separate array_min(transform(bases))
+    # subtrees — re-evaluates the md5 transform per hash: higher-order
+    # functions are CodegenFallback, so no common-subexpression elimination
+    # rescues it. This form hashes each shingle exactly once.
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_A[:num_hashes]])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_B[:num_hashes]])
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)  # > any residue
+    return F.aggregate(
+        F.transform(shingle_col, md5_base32),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MINHASH_P)),
+            lambda x, y: F.least(x, y),
+        ),
     )
 
 
