@@ -237,70 +237,83 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int):
     Scale design: the naive plan explodes every topic-word occurrence into
     its ≤W overlapping windows and self-joins the (doc, window, word)
     incidence — two full shuffles whose volume grows with the corpus. Here
-    each document builds its own window word-sets and emits co-occurrence
-    pairs as one nested array expression (whole-stage codegen, no Python),
-    so the only shuffles are partial-aggregated counts over at most
-    (K·k)² keys — constant in corpus size. This is the plan that survives
-    100 TB: embarrassingly parallel scan + bounded-key aggregation."""
-    wlit = F.array(*[F.lit(w) for w in topic_words])
-    # membership test once per token (O(n·Kk) per doc), windows then only
-    # null-check their W slots (O(n·W)) — cheaper than re-testing inside
-    # every window, and the win grows with W (c_v uses W=110)
-    masked = F.transform(
-        F.col("toks"), lambda t: F.when(F.array_contains(wlit, t), t)
-    )
-    # one row per doc: sorted distinct topic-word set of every window
-    # [s, s+W-1] for s = 0 .. max(n-W, 0)
-    wins_col = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("toks") - W, F.lit(0))),
-        lambda s: F.array_sort(
-            F.array_distinct(
-                F.filter(
-                    F.slice(F.col("m"), s + 1, W), lambda t: t.isNotNull()
-                )
-            )
-        ),
-    )
+    an Arrow-batched kernel builds, per document, the boolean
+    window×vocab membership matrix M (M[s,w] = window s contains topic
+    word w) and accumulates the Gram matrix MᵀM per partition: its
+    diagonal is the per-word window count, the upper triangle the pair
+    count — exactly the DISTINCT-(window, word) semantics of the oracle.
+    Each task emits one (K·k)²/2 partial-count frame, so the only shuffle
+    is a bounded-key aggregation — constant in corpus size, and the scan
+    stage is embarrassingly parallel. This is the plan that survives
+    100 TB. (A pure array-expression formulation was measured 4-5× slower
+    here: nested higher-order functions are CodegenFallback — interpreted
+    per element — while the kernel is one numpy matmul per document.)"""
+    import numpy as np
+    import pandas as pd
+
+    words = sorted(set(topic_words))
+    V = len(words)
+    vocab = {w: i for i, w in enumerate(words)}
+
     t_total = toks.select(
         F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw")
     ).agg(F.sum("nw").alias("t"))
-    # single pass: each window emits its member words (wb null) and its
-    # (earlier, later) member pairs in one cell stream; never cache the
-    # nested window arrays (columnar caching of array<array<string>> costs
-    # more than recomputing) — only the ≤(K·k)² aggregated counts persist
-    null_w = F.lit(None).cast("string")
-    cells_of = lambda a: F.concat(  # noqa: E731
-        F.transform(a, lambda x: F.struct(x.alias("wa"), null_w.alias("wb"))),
-        F.flatten(
-            F.transform(
-                a,
-                lambda x, i: F.transform(
-                    F.slice(a, i + 2, F.size(a)),
-                    lambda y: F.struct(x.alias("wa"), y.alias("wb")),
-                ),
+
+    def kernel(batches):
+        acc = np.zeros((V, V), dtype=np.int64)
+        touched = False
+        for pdf in batches:
+            for tok_arr in pdf["toks"]:
+                n = len(tok_arr)
+                if n == 0:
+                    continue
+                ids = np.fromiter(
+                    (vocab.get(t, -1) for t in tok_arr), dtype=np.int64, count=n
+                )
+                pos = np.nonzero(ids >= 0)[0]
+                if pos.size == 0:
+                    continue
+                touched = True
+                nw = max(n - W + 1, 1)
+                # windows s ∈ [max(0, p-W+1), min(p, nw-1)] contain the
+                # occurrence at position p; M is boolean ⇒ distinct per window
+                M = np.zeros((nw, V), dtype=np.int64)
+                lo = np.maximum(pos - (W - 1), 0).tolist()
+                hi = np.minimum(pos, nw - 1).tolist()
+                for left, right, w_id in zip(lo, hi, ids[pos].tolist()):
+                    M[left : right + 1, w_id] = 1
+                acc += M.T @ M
+        if touched:
+            iu = np.triu_indices(V)
+            cnt = acc[iu]
+            keep = cnt > 0
+            yield pd.DataFrame(
+                {"ia": iu[0][keep], "ja": iu[1][keep], "cnt": cnt[keep]}
             )
-        ),
-    )
+
     counts = (
-        toks.select(masked.alias("m"), F.col("toks"))
-        .filter(F.exists("m", lambda t: t.isNotNull()))
-        .select(wins_col.alias("wins"))
-        .select(
-            F.explode(F.flatten(F.transform(F.col("wins"), cells_of))).alias("c")
-        )
-        .groupBy(F.col("c.wa").alias("wa"), F.col("c.wb").alias("wb"))
-        .agg(F.count("*").alias("cnt"))
+        toks.select("toks")
+        .mapInPandas(kernel, schema="ia int, ja int, cnt long")
+        .groupBy("ia", "ja")
+        .agg(F.sum("cnt").alias("cnt"))
         .persist()
     )
     # materialize NOW: wc and pc below both feed broadcast joins, whose
     # subtrees are prepared concurrently — with a cold cache each would
-    # recompute the full window explode
+    # recompute the full kernel pass
     counts.count()
-    wc = counts.filter(F.col("wb").isNull()).select(
-        F.col("wa").alias("word"), F.col("cnt").alias("cw")
+    # ids → words via a literal array lookup (codegen, no join); words is
+    # sorted, so ia < ja ⇒ word(ia) < word(ja), preserving the wa < wb
+    # convention of the oracle
+    warr = F.array(*[F.lit(w) for w in words])
+    word_at = lambda c: F.element_at(warr, F.col(c) + 1)  # noqa: E731
+    wc = counts.filter(F.col("ia") == F.col("ja")).select(
+        word_at("ia").alias("word"), F.col("cnt").alias("cw")
     )
-    pc = counts.filter(F.col("wb").isNotNull()).select(
-        "wa", "wb", F.col("cnt").alias("cab")
+    pc = counts.filter(F.col("ia") < F.col("ja")).select(
+        word_at("ia").alias("wa"),
+        word_at("ja").alias("wb"),
+        F.col("cnt").alias("cab"),
     )
     return t_total, wc, pc
 
