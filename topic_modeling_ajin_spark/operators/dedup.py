@@ -242,9 +242,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingled(docs).filter(F.size("shingles") > 0)
-    sig = sh.select(
-        "doc_id", H.minhash_signature(F.col("shingles"), NUM_HASHES).alias("sig")
-    )
+    sig = H.minhash_signatures(sh, NUM_HASHES)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = sig.select(
         "doc_id",
