@@ -174,32 +174,23 @@ def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-occurrence table is the only heavy aggregate and it's bounded by
     vocabulary², further cut by the top-k word filter at scale."""
     d = parallelized(load_table(spark, sf_dir, "documents"))
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
     from ..functions import text as TX
 
     topk = topk_keywords(spark, sf_dir)
-    topk_words = topk.select("word").distinct()
-    # (doc, word) incidence restricted to the top-k words — coherence only
-    # ever looks up pairs among them, and the restriction turns the
-    # co-occurrence self-join from |vocab|² per doc into |topk|² per doc.
-    # Three consumers (D(w), both sides of the pair join) ⇒ persist.
-    docw = (
-        d.join(e, d.doc_id == e.vec_id)
-        .select("doc_id", F.explode(TX.tokens("text")).alias("word"))
-        .filter(F.length("word") >= 2)
-        .join(F.broadcast(topk_words), "word", "left_semi")
-        .distinct()
-        .persist()
+    words = [r.word for r in topk.select("word").distinct().collect()]
+    # Document co-occurrence is the sliding-window kernel's degenerate case:
+    # one window spanning the whole document (W ≥ any doc length) — the
+    # per-doc membership vector's Gram matrix counts D(w) on the diagonal
+    # and D(wi, wj) off it. Reusing _window_cooc replaces the (doc, word)
+    # incidence self-join (corpus-sized shuffle) with partition-local
+    # accumulation and a (K·k)²-bounded aggregate.
+    toks = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000_000).alias("toks")
     )
-    dw = docw.groupBy("word").agg(F.count("*").alias("d"))
-    a = docw.select("doc_id", F.col("word").alias("wa"))
-    b = docw.select("doc_id", F.col("word").alias("wb"))
-    cooc = (
-        a.join(b, "doc_id")
-        .filter(F.col("wa") < F.col("wb"))
-        .groupBy("wa", "wb")
-        .agg(F.count("*").alias("dij"))
-    )
+    _, wc, pc = _window_cooc(toks, words, 10_000_000)
+    dw = wc.select("word", F.col("cw").alias("d"))
+    cooc = pc.select("wa", "wb", F.col("cab").alias("dij"))
     sizes = topk.groupBy("label").agg(F.count("*").alias("n"))
     t1 = topk.select("label", F.col("word").alias("wi"), F.col("rank").alias("ri"))
     t2 = topk.select("label", F.col("word").alias("wj"), F.col("rank").alias("rj"))
