@@ -114,6 +114,9 @@ def test_streaming_topic_assign_matches_batch_argmax(spark, sf_dir, tmp_path):
         ST.streaming_topic_assign(spark, sf_dir),
         "s_assign",
         str(tmp_path / "ck6"),
+        # stateless projection ⇒ append mode (complete mode would require a
+        # streaming aggregation — the unbounded-state shape ADVICE flagged)
+        output_mode="append",
     )
     got = {r["vec_id"]: r["topic"] for r in spark.table("s_assign").collect()}
 

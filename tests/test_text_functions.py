@@ -64,3 +64,42 @@ def test_morph_udf_fallback_kind_and_tokens(spark, sf_dir):
     for r in rows:
         assert all(len(t) >= 2 for t in r["m"])  # length filter applied
         assert all(t == t.lower() for t in r["m"])
+
+
+def test_minhash_kernel_empty_shingles_sentinel(spark):
+    """ADVICE r1: the Arrow minhash kernel must not crash on zero-shingle
+    docs — it emits the all-P sentinel (the expression form's fold init)."""
+    from topic_modeling_ajin_spark.functions import hashing as H
+
+    df = spark.createDataFrame(
+        [(1, ["a b c", "b c d"]), (2, [])],
+        "doc_id long, shingles array<string>",
+    )
+    rows = {r["doc_id"]: r["sig"] for r in H.minhash_signatures(df, 4).collect()}
+    assert rows[2] == [H.MINHASH_P] * 4
+    assert all(v < H.MINHASH_P for v in rows[1])
+    # kernel values == expression-form values on the non-empty doc
+    expr = df.filter("doc_id = 1").select(
+        H.minhash_signature(F.col("shingles"), 4).alias("sig")
+    ).collect()[0]["sig"]
+    assert rows[1] == expr
+
+
+def test_cache_memo_and_clear(spark):
+    from topic_modeling_ajin_spark.cache import clear_caches, memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5)
+
+    a = memo(spark, ("t", "x"), build, persist=True)
+    b = memo(spark, ("t", "x"), build, persist=True)
+    assert a is b and len(calls) == 1
+    assert a.storageLevel.useMemory
+    released = clear_caches(spark)
+    assert released >= 1
+    c = memo(spark, ("t", "x"), build, persist=True)
+    assert len(calls) == 2 and c is not a
+    clear_caches(spark)

@@ -19,3 +19,7 @@ semantics genuinely require them (and then as Arrow-batched pandas UDFs).
 """
 
 __version__ = "0.1.0"
+
+from .cache import clear_caches  # noqa: E402  (public unpersist hook)
+
+__all__ = ["clear_caches"]

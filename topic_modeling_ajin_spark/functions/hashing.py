@@ -107,6 +107,12 @@ def minhash_signatures(shingled, num_hashes: int):
         for pdf in batches:
             sigs = []
             for shl in pdf["shingles"]:
+                if len(shl) == 0:
+                    # Same init sentinel as the expression form's fold: an
+                    # empty doc gets the all-P signature instead of crashing
+                    # np.min on a zero-length axis.
+                    sigs.append(np.full(num_hashes, MINHASH_P, dtype=np.int64))
+                    continue
                 bases = np.fromiter(
                     (
                         int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import memo
 from ..functions import hashing as H
 from ..functions import text as TX
 from ..registry import register
@@ -68,23 +69,33 @@ WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
 """
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, shingles array<string>) for docs with ≥3 tokens.
 
-    Persisted: every consumer (signatures, banding, verification, sizes)
-    branches from this node, and recomputing tokenize+shingle per branch
-    would quadruple the CPU cost. The cached form is one slim row per doc.
-    """
-    toks = parallelized(docs).select(
-        "doc_id", TX.tokens("text").alias("toks")
-    ).filter(F.size("toks") >= 3)
-    return toks.select(
-        "doc_id", H.shingles(F.col("toks"), 3).alias("shingles")
-    ).persist()
+    Persisted, memoized per (session, dataset): every consumer (signatures,
+    banding, verification, sizes — across the Jaccard/MinHash/discard
+    queries) branches from this node, and recomputing tokenize+shingle per
+    branch would quadruple the CPU cost. The cached form is one slim row
+    per doc. Lazy materialization on purpose: consumers are ordinary plan
+    branches, not concurrently-prepared broadcast subtrees (measured in r1:
+    an eager count() cost more than it saved here)."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = parallelized(docs).select(
+            "doc_id", TX.tokens("text").alias("toks")
+        ).filter(F.size("toks") >= 3)
+        return toks.select(
+            "doc_id", H.shingles(F.col("toks"), 3).alias("shingles")
+        )
+
+    return memo(spark, ("shingled", sf_dir), build, persist=True)
 
 
-def _exploded_shingles(docs: DataFrame) -> DataFrame:
-    return _shingled(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
 
 
 def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -161,8 +172,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle equi-join. Correctness baseline for the LSH variant below;
     quadratic in per-shingle document frequency, so at scale prefer
     ``minhash_lsh_pairs``."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _exploded_shingles(docs)
+    sh = _exploded_shingles(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -240,8 +250,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification: exact Jaccard only on candidates. Portable md5 hashing
     makes even the banding stage oracle-checkable in DuckDB.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingled(docs).filter(F.size("shingles") > 0)
+    sh = _shingled(spark, sf_dir).filter(F.size("shingles") > 0)
     sig = H.minhash_signatures(sh, NUM_HASHES)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = sig.select(
@@ -290,8 +299,7 @@ SELECT DISTINCT doc_b AS discard_doc_id FROM dup
 def q_near_dup_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup decision: discard the higher-id member of every near-dup pair
     (keep-first policy, deterministic under parallelism)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _exploded_shingles(docs)
+    sh = _exploded_shingles(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import memo
 from ..registry import register
 from ..sources import load_table, parallelized
 from .topics import SQL_CTFIDF, class_term_weights, topk_keywords
@@ -188,7 +189,7 @@ def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000_000).alias("toks")
     )
-    _, wc, pc = _window_cooc(toks, words, 10_000_000)
+    _, wc, pc = _window_cooc(toks, words, 10_000_000, memo_key=sf_dir)
     dw = wc.select("word", F.col("cw").alias("d"))
     cooc = pc.select("wa", "wb", F.col("cab").alias("dij"))
     sizes = topk.groupBy("label").agg(F.count("*").alias("n"))
@@ -216,7 +217,7 @@ COHERENCE_WINDOW = 10  # boolean sliding window size (gensim c_npmi default)
 _EPS = 1e-12
 
 
-def _window_cooc(toks: DataFrame, topic_words: list, W: int):
+def _window_cooc(toks: DataFrame, topic_words: list, W: int, memo_key=None):
     """Boolean-sliding-window co-occurrence statistics for a small topic
     vocabulary, computed shuffle-free.
 
@@ -250,6 +251,13 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int):
         F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw")
     ).agg(F.sum("nw").alias("t"))
 
+    # Bound per-task memory regardless of document length: the Gram matrix
+    # over all window rows equals the sum of Grams over disjoint window-row
+    # chunks, so a very long document (nw ~ token count) costs at most
+    # CHUNK×V bytes of membership + one CHUNK×V int64 copy per chunk
+    # (~2 MB + ~16 MB at V=500) instead of an unbounded nw×V allocation.
+    CHUNK = 4096
+
     def kernel(batches):
         acc = np.zeros((V, V), dtype=np.int64)
         touched = False
@@ -268,12 +276,27 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int):
                 nw = max(n - W + 1, 1)
                 # windows s ∈ [max(0, p-W+1), min(p, nw-1)] contain the
                 # occurrence at position p; M is boolean ⇒ distinct per window
-                M = np.zeros((nw, V), dtype=np.int64)
-                lo = np.maximum(pos - (W - 1), 0).tolist()
-                hi = np.minimum(pos, nw - 1).tolist()
-                for left, right, w_id in zip(lo, hi, ids[pos].tolist()):
-                    M[left : right + 1, w_id] = 1
-                acc += M.T @ M
+                lo = np.maximum(pos - (W - 1), 0)
+                hi = np.minimum(pos, nw - 1)
+                wid = ids[pos]
+                for s0 in range(0, nw, CHUNK):
+                    s1 = min(s0 + CHUNK, nw)
+                    # lo/hi are nondecreasing in pos, so the occurrences
+                    # overlapping window rows [s0, s1) are one contiguous
+                    # index range — no per-chunk full scan
+                    i0 = int(np.searchsorted(hi, s0, side="left"))
+                    i1 = int(np.searchsorted(lo, s1 - 1, side="right"))
+                    if i0 >= i1:
+                        continue
+                    M = np.zeros((s1 - s0, V), dtype=np.uint8)
+                    for left, right, w_id in zip(
+                        np.maximum(lo[i0:i1], s0).tolist(),
+                        np.minimum(hi[i0:i1], s1 - 1).tolist(),
+                        wid[i0:i1].tolist(),
+                    ):
+                        M[left - s0 : right - s0 + 1, w_id] = 1
+                    M64 = M.astype(np.int64)
+                    acc += M64.T @ M64
         if touched:
             iu = np.triu_indices(V)
             cnt = acc[iu]
@@ -282,17 +305,26 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int):
                 {"ia": iu[0][keep], "ja": iu[1][keep], "cnt": cnt[keep]}
             )
 
-    counts = (
-        toks.select("toks")
-        .mapInPandas(kernel, schema="ia int, ja int, cnt long")
-        .groupBy("ia", "ja")
-        .agg(F.sum("cnt").alias("cnt"))
-        .persist()
-    )
-    # materialize NOW: wc and pc below both feed broadcast joins, whose
+    def build_counts() -> DataFrame:
+        return (
+            toks.select("toks")
+            .mapInPandas(kernel, schema="ia int, ja int, cnt long")
+            .groupBy("ia", "ja")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    # materialize eagerly: wc and pc below both feed broadcast joins, whose
     # subtrees are prepared concurrently — with a cold cache each would
-    # recompute the full kernel pass
-    counts.count()
+    # recompute the full kernel pass. Memoized per (session, caller key, W,
+    # vocab) so a repeated query in one session reuses instead of
+    # double-persisting an equal plan.
+    counts = memo(
+        toks.sparkSession,
+        ("window_cooc", memo_key, W, tuple(words)),
+        build_counts,
+        persist=True,
+        eager=True,
+    )
     # ids → words via a literal array lookup (codegen, no join); words is
     # sorted, so ia < ja ⇒ word(ia) < word(ja), preserving the wa < wb
     # convention of the oracle
@@ -392,7 +424,7 @@ def q_npmi_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
     )
-    t_total, wc, pc = _window_cooc(toks, words, W)
+    t_total, wc, pc = _window_cooc(toks, words, W, memo_key=sf_dir)
     t1 = topk.select("label", F.col("word").alias("wi"), F.col("rank").alias("ri"))
     t2 = topk.select("label", F.col("word").alias("wj"), F.col("rank").alias("rj"))
     prs = t1.join(t2, "label").filter(F.col("ri") < F.col("rj"))
@@ -584,7 +616,7 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
     )
-    t_total, wc, pc = _window_cooc(toks, words, W)
+    t_total, wc, pc = _window_cooc(toks, words, W, memo_key=sf_dir)
     t1 = topk.select("label", F.col("word").alias("wi"))
     t2 = topk.select("label", F.col("word").alias("wj"))
     allp = t1.join(t2, "label")

@@ -313,12 +313,21 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from ..cache import memo
+
     e = load_table(spark, sf_dir, "embeddings")
-    feat = e.select(
-        "vec_id",
-        V.as_double("embedding").alias("emb"),
-        array_to_vector(F.col("embedding")).alias("features"),
-    ).persist()
+    # fit + transform + probe all rescan this; memoized per (session,
+    # dataset) so repeated calls reuse one persisted copy
+    feat = memo(
+        spark,
+        ("ivf_feat", sf_dir),
+        lambda: e.select(
+            "vec_id",
+            V.as_double("embedding").alias("emb"),
+            array_to_vector(F.col("embedding")).alias("features"),
+        ),
+        persist=True,
+    )
     km = KMeans(k=IVF_NLIST, seed=42, featuresCol="features", predictionCol="cell")
     model = km.fit(feat)
     assigned = model.transform(feat).select("vec_id", "emb", "cell")

@@ -459,7 +459,13 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is guaranteed and distance-2 pairs are found only when both flipped
     bits land in the same band (LSH-style partial recall, identical in the
     oracle). At 100 TB: 64-bit simhash, 4 bands ⇒ guaranteed ≤ 3."""
-    sh = q_simhash16(spark, sf_dir).persist()
+    from ..cache import memo
+
+    # both band-joins below branch from the simhash table; memoized persist
+    # keeps one cached copy per (session, dataset)
+    sh = memo(
+        spark, ("simhash16", sf_dir), lambda: q_simhash16(spark, sf_dir), persist=True
+    )
     banded = sh.select(
         "doc_id",
         "simhash",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import memo
 from ..functions import text as TX
 from ..registry import register
 from ..sources import load_table, parallelized
@@ -82,10 +83,18 @@ def class_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full c-TF-IDF weight table (label, word, wt) — the topic-term matrix
     in long form (SURVEY M14). Three small aggregates + two broadcast
     joins; the only full shuffle is the (label, word) count."""
-    toks = class_tokens(spark, sf_dir)
     # (label, word) counts feed three consumers (class mass, term df, the
     # weight join) — persist the compact count table, not the token stream.
-    tc = toks.groupBy("label", "word").agg(F.count("*").alias("tf")).persist()
+    # Memoized per (session, dataset): topk_keywords AND topic_reduction
+    # both build this subtree, and re-persisting an equal plan double-caches.
+    tc = memo(
+        spark,
+        ("ctfidf_tc", sf_dir),
+        lambda: class_tokens(spark, sf_dir)
+        .groupBy("label", "word")
+        .agg(F.count("*").alias("tf")),
+        persist=True,
+    )
     ct = tc.groupBy("label").agg(F.sum("tf").cast("double").alias("total"))
     wf = tc.groupBy("word").agg(F.sum("tf").cast("double").alias("f"))
     a = ct.agg(F.avg("total").alias("a"))
@@ -101,24 +110,23 @@ def class_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOPK_CACHE: dict[str, DataFrame] = {}
-
-
 def topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-topic top-k keyword table (SURVEY T2), memoized per dataset —
-    every coherence/diversity/similarity metric consumes this same K×k
-    table, and recomputing the c-TF-IDF aggregation for each would repeat
-    the corpus scan (the reference likewise extracts topic words once and
-    reuses them across its metric suite)."""
-    if sf_dir not in _TOPK_CACHE:
+    """Per-topic top-k keyword table (SURVEY T2), memoized per (session,
+    dataset) — every coherence/diversity/similarity metric consumes this
+    same K×k table, and recomputing the c-TF-IDF aggregation for each would
+    repeat the corpus scan (the reference likewise extracts topic words once
+    and reuses them across its metric suite)."""
+
+    def build() -> DataFrame:
         w = class_term_weights(spark, sf_dir)
         win = Window.partitionBy("label").orderBy(F.desc("wt"), F.asc("word"))
-        _TOPK_CACHE[sf_dir] = (
+        return (
             w.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= TOP_K_KEYWORDS)
-            .persist()  # K×k rows; reused by every metric downstream
         )
-    return _TOPK_CACHE[sf_dir]
+
+    # K×k rows; reused by every metric downstream
+    return memo(spark, ("topk_keywords", sf_dir), build, persist=True)
 
 
 @register(
@@ -216,47 +224,47 @@ def q_doc_frequency_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LDA_K = 5  # CLI-overridable topic count (python -m topic_modeling_ajin_spark -t N)
 
-# per-session memo: (sf_dir) -> fitted CountVectorizer/corpus/LDA model.
 # The reference builds its corpus and dictionary once and reuses them across
 # every downstream consumer (LDA_Analysis.py:167-177); the Spark analogue is
-# fitting once per dataset and caching the featurized DataFrame — without
-# this, lda_topic_terms / lda_doc_topics / the K-sweep would each re-fit.
-_CORPUS_CACHE: dict[str, tuple] = {}
-_LDA_CACHE: dict[tuple[str, int], object] = {}
+# fitting once per (session, dataset) and caching the featurized DataFrame —
+# without this, lda_topic_terms / lda_doc_topics / the K-sweep would re-fit.
 
 
 def _vector_corpus(spark: SparkSession, sf_dir: str):
     """CountVectorizer pipeline over tokenized documents (SURVEY M1),
-    memoized per dataset; the corpus DataFrame is persisted because every
-    consumer (fit, transform, sweep) scans it repeatedly."""
-    if sf_dir in _CORPUS_CACHE:
-        return _CORPUS_CACHE[sf_dir]
-    from pyspark.ml.feature import CountVectorizer
+    memoized per (session, dataset); the corpus DataFrame is persisted
+    because every consumer (fit, transform, sweep) scans it repeatedly."""
 
-    d = parallelized(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", TX.tokens("text").alias("tokens")).filter(
-        F.size("tokens") >= 3
-    )
-    cv = CountVectorizer(
-        inputCol="tokens", outputCol="features", minDF=2.0, vocabSize=50_000
-    )
-    model = cv.fit(toks)
-    corpus = model.transform(toks).persist()
-    _CORPUS_CACHE[sf_dir] = (model, corpus)
-    return _CORPUS_CACHE[sf_dir]
+    def build():
+        from pyspark.ml.feature import CountVectorizer
+
+        d = parallelized(load_table(spark, sf_dir, "documents"))
+        toks = d.select("doc_id", TX.tokens("text").alias("tokens")).filter(
+            F.size("tokens") >= 3
+        )
+        cv = CountVectorizer(
+            inputCol="tokens", outputCol="features", minDF=2.0, vocabSize=50_000
+        )
+        model = cv.fit(toks)
+        corpus = model.transform(toks).persist()
+        return (model, corpus)
+
+    return memo(spark, ("vector_corpus", sf_dir), build)
 
 
 def _lda_model(spark: SparkSession, sf_dir: str, k: int | None = None):
-    """Fitted LDA (seed=42, online optimizer), memoized per (dataset, k)."""
-    from pyspark.ml.clustering import LDA
-
+    """Fitted LDA (seed=42, online optimizer), memoized per (session,
+    dataset, k)."""
     k = k or LDA_K
-    key = (sf_dir, k)
-    if key not in _LDA_CACHE:
+
+    def build():
+        from pyspark.ml.clustering import LDA
+
         _, corpus = _vector_corpus(spark, sf_dir)
         lda = LDA(k=k, seed=42, maxIter=20, optimizer="online", featuresCol="features")
-        _LDA_CACHE[key] = lda.fit(corpus)
-    return _LDA_CACHE[key]
+        return lda.fit(corpus)
+
+    return memo(spark, ("lda_model", sf_dir, k), build)
 
 
 @register("lda_topic_terms", tags=("topics", "ml"))

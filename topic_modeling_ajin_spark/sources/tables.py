@@ -44,12 +44,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_nanos_parquet(spark, f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet file whose TIMESTAMP(NANOS) columns should surface as
+    int64 nanos, without leaking ``nanosAsLong`` into the session: the conf
+    is consulted at schema-inference time (verified: a later action on the
+    returned DataFrame succeeds with the conf restored), so save/restore
+    around the ``read.parquet`` call keeps other reads in the session seeing
+    real timestamp types."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def parallelized(df: DataFrame) -> DataFrame:

@@ -50,9 +50,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nanosAsLong``), truncated to microseconds exactly like the batch
     loader so batch/stream results compare equal.
     """
+    from ..sources.tables import _read_nanos_parquet
+
     path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    schema = _read_nanos_parquet(spark, path).schema
     # the file source wants a directory; glob-filter selects this table's
     # file(s) from the shared dataset directory
     raw = (
@@ -160,10 +161,15 @@ def streaming_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``BERTopic_guideline.md:175``): as embedding rows stream in, assign
     each to the nearest (batch-trained) topic centroid by cosine.
 
-    Stream-static pattern: centroids are a K×d batch DataFrame computed
-    once and broadcast into every micro-batch join; the stream side never
-    shuffles. Swapping the centroid table for a refreshed model output
-    gives rolling re-assignment for free."""
+    Fully stateless: the K centroids (tiny — K×d doubles) are collected at
+    plan-build time and inlined as literal arrays, so each stream row is a
+    single projection — cosine against every centroid + argmax inside one
+    expression. No stream aggregation means no per-key state, append output
+    mode, and watermark-free operation; every micro-batch emits exactly its
+    own rows. Swapping in a refreshed centroid table = rebuild the query
+    (the standard stream-static restart pattern)."""
+    import math
+
     from pyspark.sql import functions as SF
 
     from ..functions import vectors as V
@@ -181,18 +187,38 @@ def streaming_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             SF.transform("pc", lambda s: s["c"]).alias("cvec"),
         )
     )
+    cent_rows = centv.collect()  # K rows — the broadcast-sized model
+
     stream = read_embeddings_stream(spark, sf_dir)
-    scored = stream.crossJoin(SF.broadcast(centv)).select(
-        "vec_id",
-        "topic",
-        V.cosine(V.as_double("embedding"), SF.col("cvec")).alias("cos"),
+    emb = V.as_double("embedding")
+    withn = stream.select("vec_id", emb.alias("e"), V.norm(emb).alias("ne"))
+    # math.sqrt over the same left-to-right Python sum gives the identical
+    # double as V.norm's sequential fold, keeping stream == batch bitwise
+    scored = SF.array(
+        *[
+            SF.struct(
+                (
+                    V.dot(
+                        SF.col("e"),
+                        SF.array(*[SF.lit(float(x)) for x in r["cvec"]]),
+                    )
+                    / (
+                        SF.col("ne")
+                        * SF.lit(math.sqrt(sum(x * x for x in r["cvec"])))
+                    )
+                ).alias("cos"),
+                SF.lit(int(r["topic"])).cast("long").alias("topic"),
+            )
+            for r in cent_rows
+        ]
     )
-    # per-row argmax without a stateful aggregation: rank topics per vec
-    # inside each micro-batch via groupBy + max_by (batch-local, stateless
-    # w.r.t. the stream because each vec_id arrives exactly once)
-    return scored.groupBy("vec_id").agg(
-        SF.max_by("topic", "cos").alias("topic"),
-        SF.round(SF.max("cos"), 6).alias("cosine"),
+    # array_max on array<struct> compares (cos, topic) lexicographically —
+    # the per-row argmax, no aggregation anywhere in the streaming plan
+    best = SF.array_max(scored).alias("best")
+    return withn.select("vec_id", best).select(
+        "vec_id",
+        SF.col("best.topic").alias("topic"),
+        SF.round(SF.col("best.cos"), 6).alias("cosine"),
     )
 
 
