@@ -9,6 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from topic_modeling_ajin_spark import streaming as ST
+from topic_modeling_ajin_spark.streaming import pipelines as _p
+ST.pipelines = _p
 from topic_modeling_ajin_spark.registry import load_all
 from topic_modeling_ajin_spark.sources import load_table
 
@@ -176,3 +178,49 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     n_unique = batch.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join (click→purchase attribution) must emit
+    exactly the batch interval-join result on a full replay."""
+    events = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.click_purchase_attribution(events),
+        "s_attr",
+        str(tmp_path / "ck7"),
+        output_mode="append",  # inner stream-stream joins are append-only
+    )
+    got = {
+        (r["click_id"], r["purchase_id"]): (r["user_id"], r["lag_seconds"])
+        for r in spark.table("s_attr").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr(
+            f"INTERVAL {ST.pipelines.ATTRIBUTION_WINDOW_SECONDS} SECONDS")),
+    )
+    want = {
+        (r["click_id"], r["purchase_id"]): (
+            r["cu"],
+            r["lag"],
+        )
+        for r in batch.select(
+            "click_id", "purchase_id", "cu",
+            (F.unix_timestamp("pts").cast("long")
+             - F.unix_timestamp("cts").cast("long")).alias("lag"),
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-trivial: the synthetic data must produce attributions

@@ -17,8 +17,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def shingles(tokens_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token array column."""
+def token_ngrams(tokens_col: Column, n: int = 3) -> Column:
+    """All word n-grams (with duplicates, in order) from a token array —
+    the raw stream repetition metrics need; ``shingles`` is its distinct
+    form."""
     idx = F.sequence(F.lit(0), F.size(tokens_col) - n)
     grams = F.transform(
         idx,
@@ -26,9 +28,14 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
             " ", *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.when(F.size(tokens_col) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(tokens_col) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array column."""
+    return F.array_distinct(token_ngrams(tokens_col, n))
 
 
 def seeded_md5(col: Column, seed: int) -> Column:

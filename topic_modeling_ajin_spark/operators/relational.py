@@ -1039,3 +1039,220 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    sql="""
+WITH c_orders AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("relational", "join"),
+)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (no o_comment column, so the excluded-orders
+    predicate filters a priority class instead of a comment pattern):
+    order-count-per-customer histogram via LEFT OUTER JOIN — customers with
+    zero qualifying orders must appear in the c_count=0 bucket, which an
+    inner join would silently drop. Two hash aggregations; the second one
+    is over at most |distinct counts| keys (tiny)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    sql="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    tags=("relational", "agg"),
+)
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the max. The
+    reference query's view becomes a reused DataFrame; the scalar max
+    broadcasts as a 1-row cross join (no second scan of lineitem — the
+    per-supplier aggregate is tiny and feeds both the max and the filter).
+    Comparison happens on the 2dp-rounded revenue in BOTH engines so float
+    association order can't flip the winner."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-04-01 00:00:00")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    sql="""
+WITH shipped AS (
+    SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_2'
+  AND EXISTS (
+      SELECT 1
+      FROM shipped sh
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE sh.l_suppkey = s.s_suppkey
+        AND p.p_name LIKE 'small%'
+        AND sh.qty > 60
+  )
+ORDER BY s.s_suppkey
+""",
+    tags=("relational", "join"),
+)
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp table, so "excess availability" becomes
+    a shipped-quantity threshold over the same nested aggregate): suppliers
+    in one nation who moved >60 units of any 'small%' part in a year. The
+    inner aggregate runs once over the date-pruned lineitem scan; part is a
+    broadcast filter on its result; the outer EXISTS is a left-semi join
+    against the (tiny) qualifying-supplier set."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1999-01-01 00:00:00")
+    )
+    shipped = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    sql="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    tags=("relational", "join"),
+)
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no commit/receipt dates, so "kept the order
+    waiting" = was the strictly-latest shipper on a multi-supplier 'F'
+    order): the signature EXISTS + NOT-EXISTS double correlation becomes a
+    left-semi then left-anti join against two more lineitem instances —
+    both probe only (orderkey, suppkey, shipdate) slim projections, and all
+    three lineitem scans shuffle on the same l_orderkey key so AQE can
+    reuse the exchange."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lslim = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = lslim.alias("l1")
+    l2 = lslim.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lslim.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    base = l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+    multi = base.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("k2"))
+        & (F.col("l1.l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    latest = multi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("k3"))
+        & (F.col("l1.l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        latest.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -493,3 +493,117 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= _SIMHASH_HAM_MAX
     )
+
+
+# -------------------------------------------- repetition & decontamination
+
+REPETITION_NGRAM = 3
+REPETITION_THRESHOLD = 0.3  # Gopher-style "too repetitive" cut
+
+
+@register(
+    "repetition_ratio",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+g AS (
+    SELECT doc_id,
+           CASE WHEN length(toks) >= {REPETITION_NGRAM}
+                THEN list_transform(range(1, length(toks) - {REPETITION_NGRAM - 2}),
+                                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                ELSE []::VARCHAR[] END AS grams
+    FROM t
+)
+SELECT doc_id,
+       CAST(length(grams) AS BIGINT) AS n_trigrams,
+       CAST(length(list_distinct(grams)) AS BIGINT) AS n_unique,
+       round(CASE WHEN length(grams) > 0
+                  THEN (length(grams) - length(list_distinct(grams))) * 1.0 / length(grams)
+                  ELSE 0 END, 6) AS dup_ratio,
+       CASE WHEN length(grams) > 0
+             AND (length(grams) - length(list_distinct(grams))) * 1.0 / length(grams)
+                 > {REPETITION_THRESHOLD}
+            THEN true ELSE false END AS repetitive
+FROM g
+""",
+    tags=("text_analysis", "quality", "scale"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher-rules signal): the
+    fraction of word trigram occurrences that are repeats of an earlier
+    trigram in the same document. Crawl/boilerplate text scores high and
+    gets flagged. Pure per-row array expressions — zero shuffles, so the
+    100 TB plan is a single scan + project."""
+    from ..functions import hashing as H
+
+    df = _docs(spark, sf_dir)
+    toks = TX.word_tokens("text")
+    grams = H.token_ngrams(toks, REPETITION_NGRAM)
+    n = F.size(grams)
+    n_uniq = F.size(F.array_distinct(grams))
+    dup = F.when(n > 0, (n - n_uniq) * 1.0 / n).otherwise(0.0)
+    return df.select(
+        "doc_id",
+        n.cast("bigint").alias("n_trigrams"),
+        n_uniq.cast("bigint").alias("n_unique"),
+        F.round(dup, 6).alias("dup_ratio"),
+        (dup > REPETITION_THRESHOLD).alias("repetitive"),
+    )
+
+
+DECON_NGRAM = 5
+DECON_BENCH_MAX_DOC_ID = 50  # doc_id < 50 plays the held-out benchmark set
+
+
+@register(
+    "decontamination_overlap",
+    sql=rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, length(toks) - {DECON_NGRAM - 2}),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                    || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS gram
+    FROM t
+    WHERE length(toks) >= {DECON_NGRAM}
+),
+bench AS (SELECT doc_id, gram FROM g WHERE doc_id < {DECON_BENCH_MAX_DOC_ID}),
+corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= {DECON_BENCH_MAX_DOC_ID})
+SELECT c.doc_id,
+       count(DISTINCT c.gram) AS n_shared_grams,
+       count(DISTINCT b.doc_id) AS n_bench_docs
+FROM corpus c JOIN bench b ON b.gram = c.gram
+GROUP BY c.doc_id
+""",
+    tags=("text_analysis", "dedup", "scale"),
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage scan every training
+    pipeline runs before a model sees the data: flag corpus documents that
+    share any {DECON_NGRAM}-gram with the held-out benchmark set (here the
+    docs with doc_id < {DECON_BENCH_MAX_DOC_ID} stand in for it). Scale
+    shape: the benchmark side is tiny by construction, so its exploded
+    gram set BROADCASTS and the corpus side never shuffles — a 100 TB scan
+    with a hash-probe per gram, aggregated per document."""
+    from ..functions import hashing as H
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(H.shingles(TX.tokens("text"), DECON_NGRAM)).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") < DECON_BENCH_MAX_DOC_ID).select(
+        F.col("doc_id").alias("bench_doc"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )

@@ -1,4 +1,5 @@
 from .pipelines import (
+    click_purchase_attribution,
     hourly_event_counts,
     read_documents_stream,
     read_embeddings_stream,
@@ -13,6 +14,7 @@ from .pipelines import (
 )
 
 __all__ = [
+    "click_purchase_attribution",
     "hourly_event_counts",
     "read_documents_stream",
     "read_embeddings_stream",

@@ -314,3 +314,56 @@ def streaming_event_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+ATTRIBUTION_WINDOW_SECONDS = 1800  # purchase credited to a click ≤ 30 min prior
+
+
+def click_purchase_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to every click by
+    the same user in the preceding 30 minutes.
+
+    The canonical two-stream correlation pattern: BOTH sides carry a
+    watermark and the join condition bounds purchase_ts relative to
+    click_ts, so each side's state store holds only the events inside the
+    attribution horizon — late rows past the watermark are dropped and
+    matched state is evicted, keeping state O(events per 30 min + slack),
+    not O(stream). Output mode is append (inner stream-stream joins emit
+    exactly once, when both sides have arrived)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        (
+            F.unix_timestamp("purchase_ts").cast("long")
+            - F.unix_timestamp("click_ts").cast("long")
+        ).alias("lag_seconds"),
+    )
