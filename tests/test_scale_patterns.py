@@ -102,3 +102,14 @@ def test_word_count_topk_has_no_global_sort(spark, sf_dir):
     plan = _plan(load_all()["word_count"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
+    """The exact-Jaccard verification stage must broadcast the (tiny)
+    LSH candidate set and intersect shingle arrays per row — never
+    re-shuffle the corpus-sized shingle table on (doc_a, doc_b)."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    plan = _plan(load_all()["minhash_lsh_pairs"].fn(spark, sf_dir))
+    assert "array_intersect" in plan
+    assert "BroadcastHashJoin" in plan

@@ -98,23 +98,24 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard verification for (doc_a, doc_b) candidate pairs via
-    shingle join — only candidates pay the quadratic cost. ``sh`` is the
-    exploded (doc_id, shingle) table, shared with candidate generation."""
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = (
-        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+def _jaccard_on_pairs(cand: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact Jaccard verification for (doc_a, doc_b) candidate pairs.
+
+    ``shingled`` is the per-doc (doc_id, shingles array) table. The
+    candidate set is LSH-pruned — orders of magnitude smaller than the
+    corpus — so it BROADCASTS into a join that prunes the corpus scan to
+    candidate rows, and the intersection is a per-row ``array_intersect``
+    in codegen. Compared to exploding shingles and re-aggregating, this
+    removes both corpus-sized shuffles and the (doc_a, doc_b) hash
+    aggregation; per-pair cost is |A|+|B| with no data movement. (If a
+    single pair's arrays were huge, the exploded-join form degrades more
+    gracefully — at that point candidates are no longer 'near-dups'.)"""
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    paired = a.join(F.broadcast(cand), "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = paired.withColumn(
+        "jaccard", inter / (F.size("sha") + F.size("shb") - inter)
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -274,8 +275,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    shx = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    return _jaccard_on_pairs(cand, shx)
+    return _jaccard_on_pairs(cand, sh)
 
 
 @register(
