@@ -150,3 +150,166 @@ def q_mm_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").alias("max_bytes"),
         )
     )
+
+
+# ------------------------------------------- frame sampling / resize / audio
+
+FRAME_BYTES = 64  # fake "video": fixed-size byte chunks stand in for frames
+SAMPLE_EVERY = 4  # keep every 4th frame
+RESIZE_TARGET = 64  # fit-into box for the resize plan
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+@register(
+    "mm_frame_sample",
+    sql=f"""
+WITH f AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n,
+           unnest(range(0, CAST(ceil(octet_length(encode(text)) * 1.0
+                                     / {FRAME_BYTES}) AS BIGINT))) AS frame_idx
+    FROM documents
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * {FRAME_BYTES} AS BIGINT) AS "offset",
+       CAST(least(n - frame_idx * {FRAME_BYTES}, {FRAME_BYTES}) AS INT) AS n_bytes,
+       md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}))
+           AS frame_md5
+FROM f
+WHERE frame_idx % {SAMPLE_EVERY} = 0
+""",
+    tags=("multimodal", "udf", "scale"),
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary "video" column: chunk the payload into
+    fixed {FRAME_BYTES}-byte frames, keep every {SAMPLE_EVERY}th, emit one
+    typed row per sampled frame with its content digest. The mapInPandas
+    kernel slices raw bytes per Arrow batch — exactly the shape of a real
+    ffmpeg keyframe extractor (bytes in, a few slim rows out, no shuffle);
+    the md5 digest proves the sliced bytes match the stored payload
+    byte-for-byte (the oracle recomputes it with substr on the same
+    all-ASCII text). At 100 TB the output is ~1/{SAMPLE_EVERY} of frame
+    count and a tiny fraction of input bytes."""
+    import hashlib
+
+    docs = parallelized(load_table(spark, sf_dir, "documents"))
+    payload = with_binary_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "offset": [], "n_bytes": [], "frame_md5": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, SAMPLE_EVERY):
+                    chunk = p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["offset"].append(i * FRAME_BYTES)
+                    out["n_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, frame_idx int, offset long, n_bytes int, frame_md5 string"
+    return payload.mapInPandas(batches, schema=schema)
+
+
+@register(
+    "mm_resize_plan",
+    sql=f"""
+WITH dims AS (
+    SELECT doc_id,
+           CAST(32 + octet_length(encode(text)) % 97 AS INT) AS width,
+           CAST(32 + (7 * octet_length(encode(text))) % 89 AS INT) AS height
+    FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+                 THEN width * {RESIZE_TARGET} // greatest(width, height)
+                 ELSE width END AS INT) AS out_w,
+       CAST(CASE WHEN greatest(width, height) > {RESIZE_TARGET}
+                 THEN height * {RESIZE_TARGET} // greatest(width, height)
+                 ELSE height END AS INT) AS out_h,
+       greatest(width, height) > {RESIZE_TARGET} AS resized
+FROM dims
+""",
+    tags=("multimodal",),
+)
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (plan form): fit each decoded image into a
+    {RESIZE_TARGET}×{RESIZE_TARGET} box preserving aspect ratio. The output
+    dims use INTEGER arithmetic (scale then floor-divide) so both engines
+    agree exactly; the pixel transform itself belongs in the
+    ``decode_image_real`` seam — this query is the metadata contract a
+    resize UDF must satisfy."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = extract_image_meta(with_binary_payload(docs))
+    maxd = F.greatest("width", "height")
+    out_w = F.when(
+        maxd > RESIZE_TARGET,
+        F.floor(F.col("width") * RESIZE_TARGET / maxd),
+    ).otherwise(F.col("width"))
+    out_h = F.when(
+        maxd > RESIZE_TARGET,
+        F.floor(F.col("height") * RESIZE_TARGET / maxd),
+    ).otherwise(F.col("height"))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+        (maxd > RESIZE_TARGET).alias("resized"),
+    )
+
+
+AUDIO_SAMPLE_RATE = 16_000  # fake 16-bit PCM mono
+
+
+@register(
+    "mm_audio_meta",
+    sql=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+       {AUDIO_SAMPLE_RATE} AS sample_rate,
+       round((octet_length(encode(text)) // 2) * 1.0 / {AUDIO_SAMPLE_RATE}, 6)
+           AS duration_s
+FROM documents
+""",
+    tags=("multimodal", "udf"),
+)
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-typed metadata over the same binary seam: interpret the
+    payload as 16-bit PCM mono at {AUDIO_SAMPLE_RATE} Hz and emit
+    (n_samples, duration). A real torchaudio/soundfile probe drops into the
+    kernel exactly where the arithmetic sits; the Spark-side contract
+    (binary in, typed struct out, Arrow-batched, shuffle-free) is what is
+    being pinned here."""
+    docs = parallelized(load_table(spark, sf_dir, "documents"))
+    payload = with_binary_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns = [len(p) // 2 for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": ns,
+                    "sample_rate": [AUDIO_SAMPLE_RATE] * len(ns),
+                }
+            )
+
+    schema = "doc_id long, n_samples long, sample_rate int"
+    # round in SQL, not the kernel: Python's round() is banker's rounding,
+    # Spark/DuckDB round HALF_UP — 123/16000 = .0076875 rounds differently
+    return payload.mapInPandas(batches, schema=schema).withColumn(
+        "duration_s", F.round(F.col("n_samples") / AUDIO_SAMPLE_RATE, 6)
+    )
