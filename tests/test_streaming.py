@@ -218,8 +218,10 @@ def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
         )
         for r in batch.select(
             "click_id", "purchase_id", "cu",
-            (F.unix_timestamp("pts").cast("long")
-             - F.unix_timestamp("cts").cast("long")).alias("lag"),
+            F.floor(
+                (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts")))
+                / 1_000_000
+            ).cast("long").alias("lag"),
         ).collect()
     }
     assert got == want

@@ -288,3 +288,64 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(k >= 50, "high").otherwise("low").alias("k_band"),
         )
     )
+
+
+ATTRIBUTION_WINDOW_SECONDS = 1800
+
+
+@register(
+    "click_attribution",
+    sql=f"""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       round(p.value, 2) AS purchase_value,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_seconds
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS
+""",
+    tags=("events", "join", "interval"),
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: attribute each purchase to every click by the
+    same user within the preceding {ATTRIBUTION_WINDOW_SECONDS}s — the batch
+    twin of the streaming ``click_purchase_attribution`` pipeline. The
+    equi-key (user_id) carries the shuffle; the time band is a post-probe
+    filter, so this is a plain hash join, not an O(N²) theta join. At 100 TB
+    both sides would be pre-bucketed by user_id, making it co-located."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("value"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") > F.col("cts"))
+        & (
+            F.col("pts")
+            <= F.col("cts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SECONDS} SECONDS")
+        )
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("cu").alias("user_id"),
+        F.round("value", 2).alias("purchase_value"),
+        # µs difference then floor-divide: epoch()/unix_timestamp() disagree
+        # on sub-second handling (fractional vs truncated) across engines
+        F.floor(
+            (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))) / 1_000_000
+        ).cast("long").alias("lag_seconds"),
+    )

@@ -362,8 +362,11 @@ def click_purchase_attribution(events: DataFrame) -> DataFrame:
         "click_id",
         "purchase_id",
         F.round("purchase_value", 2).alias("purchase_value"),
-        (
-            F.unix_timestamp("purchase_ts").cast("long")
-            - F.unix_timestamp("click_ts").cast("long")
-        ).alias("lag_seconds"),
+        # same µs-floor formula as the batch click_attribution query
+        F.floor(
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts")))
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("lag_seconds"),
     )
