@@ -292,13 +292,26 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
-    tf = (
-        d.select("doc_id", F.explode(TX.word_tokens("text")).alias("word"))
+    toks = TX.word_tokens("text")
+    # document frequency straight off the scan via per-doc distinct words —
+    # an independent slim subtree (word, df) that broadcasts without
+    # dragging the tf tree into the broadcast preparation
+    dfc = (
+        d.select(F.explode(F.array_distinct(toks)).alias("word"))
         .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    # one explicit doc_id partitioning serves BOTH the (doc_id, word)
+    # aggregation (hash(doc_id) co-locates every (doc_id, word) group) and
+    # the per-doc rank window — two shuffles collapse into this one
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("word"))
+        .filter(F.length("word") >= 2)
+        .repartition("doc_id")
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )
-    dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()
     w = tf.join(F.broadcast(dfc), "word").withColumn(
         "tfidf",

@@ -95,19 +95,30 @@ def class_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf")),
         persist=True,
     )
-    ct = tc.groupBy("label").agg(F.sum("tf").cast("double").alias("total"))
-    wf = tc.groupBy("word").agg(F.sum("tf").cast("double").alias("f"))
-    a = ct.agg(F.avg("total").alias("a"))
-    return (
-        tc.join(F.broadcast(ct), "label")
-        .join(wf, "word")
-        .crossJoin(F.broadcast(a))
-        .withColumn(
-            "wt",
-            (F.col("tf") * 1.0 / F.col("total")) * F.log(1 + F.col("a") / F.col("f")),
+    def build() -> DataFrame:
+        ct = tc.groupBy("label").agg(F.sum("tf").cast("double").alias("total"))
+        wf = tc.groupBy("word").agg(F.sum("tf").cast("double").alias("f"))
+        a = ct.agg(F.avg("total").alias("a"))
+        return (
+            tc.join(F.broadcast(ct), "label")
+            # wf is vocabulary-sized (slim 2 cols) — broadcast beats
+            # re-shuffling tc on word; at a vocabulary too big to
+            # broadcast this degrades gracefully to a sort-merge join
+            # by removing the hint, not by re-planning the query.
+            .join(F.broadcast(wf), "word")
+            .crossJoin(F.broadcast(a))
+            .withColumn(
+                "wt",
+                (F.col("tf") * 1.0 / F.col("total")) * F.log(1 + F.col("a") / F.col("f")),
+            )
+            .select("label", "word", "wt")
         )
-        .select("label", "word", "wt")
-    )
+
+    # topic_cosine_similarity consumes this table three times (norms + both
+    # sides of the word self-join) and topic_reduction twice more; persist
+    # the compact (label, word, wt) result so each consumer reads the cache
+    # instead of re-deriving the joins.
+    return memo(spark, ("ctfidf_w", sf_dir), build, persist=True)
 
 
 def topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
