@@ -1,0 +1,104 @@
+"""Curation-operator invariants: packing conservation + no global sort,
+chunk coverage, sampling determinism, shard balance, mixture feasibility,
+redaction completeness."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from topic_modeling_ajin_spark.operators.curation import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    MIX_TARGETS,
+    N_SHARDS,
+    PACK_BUDGET,
+    q_chunk_documents,
+    q_mixture_plan,
+    q_pack_sequences,
+    q_pii_redact,
+    q_shuffle_shards,
+    q_stratified_sample,
+)
+from topic_modeling_ajin_spark.functions import text as TX
+from topic_modeling_ajin_spark.sources import load_table
+
+
+def _total_tokens(spark, sf_dir) -> int:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(F.sum(F.size(TX.word_tokens("text"))).alias("t")).first()["t"]
+
+
+def test_pack_sequences_conserves_tokens_and_orders_packs(spark, sf_dir):
+    rows = q_pack_sequences(spark, sf_dir).orderBy("pack_id").collect()
+    assert sum(r["n_tokens"] for r in rows) == _total_tokens(spark, sf_dir)
+    # packs partition the doc_id axis into ordered, non-overlapping ranges
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["last_doc"] < cur["first_doc"]
+    assert sum(r["n_docs"] for r in rows) == load_table(spark, sf_dir, "documents").count()
+
+
+def test_pack_sequences_plan_has_no_global_sort_partition(spark, sf_dir):
+    df = q_pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the two-phase prefix sum must not fall back to a single-partition
+    # global window (the thing that dies at 100 TB)
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_chunk_documents_covers_every_token_once_per_stride(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.word_tokens("text")).alias("n")
+    )
+    n_by_doc = {r["doc_id"]: r["n"] for r in d.collect()}
+    chunks = q_chunk_documents(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in n_by_doc.items():
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # one chunk per stride start, each capped at CHUNK_SIZE
+        starts = list(range(0, n, CHUNK_STRIDE))
+        assert len(rows) == len(starts)
+        for r, s in zip(rows, starts):
+            assert r["n_tokens"] == min(CHUNK_SIZE, n - s)
+
+
+def test_stratified_sample_is_deterministic_and_monotone(spark, sf_dir):
+    a = sorted(r["doc_id"] for r in q_stratified_sample(spark, sf_dir).collect())
+    b = sorted(r["doc_id"] for r in q_stratified_sample(spark, sf_dir).collect())
+    assert a == b
+    # rate 1.0 language keeps everything
+    d = load_table(spark, sf_dir, "documents")
+    n_en = d.filter(F.col("lang") == "en").count()
+    kept = q_stratified_sample(spark, sf_dir)
+    assert kept.filter(F.col("lang") == "en").count() == n_en
+
+
+def test_shuffle_shards_partition_all_docs(spark, sf_dir):
+    rows = q_shuffle_shards(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == load_table(spark, sf_dir, "documents").count()
+    assert all(0 <= r["shard"] < N_SHARDS for r in rows)
+    assert sum(r["n_tokens"] for r in rows) == _total_tokens(spark, sf_dir)
+
+
+def test_mixture_plan_is_feasible_and_tight(spark, sf_dir):
+    rows = {r["lang"]: r for r in q_mixture_plan(spark, sf_dir).collect()}
+    assert set(rows) == {l for l, _ in MIX_TARGETS}
+    for r in rows.values():
+        assert 0 < r["keep_rate"] <= 1.0 + 1e-9
+        assert r["n_keep"] <= r["n_docs"]
+    # the binding language is kept (nearly) whole: total_max = n/w there
+    assert any(abs(r["keep_rate"] - 1.0) < 1e-6 for r in rows.values())
+
+
+def test_pii_redact_leaves_no_digits(spark, sf_dir):
+    rows = q_pii_redact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert not re.search(r"[0-9]", r["redacted"])
+        assert r["n_redactions"] >= 1  # every props payload carries a number

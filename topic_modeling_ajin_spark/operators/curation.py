@@ -1,0 +1,347 @@
+"""Corpus-curation operators for a large-scale training-data pipeline.
+
+Beyond-reference surface (the reference preps a single 5k-row crawl,
+``preprocessing.py:344-356``; these are the ops the same prep needs at
+100 TB): token-budget sequence packing, overlapping chunking, stratified
+hash sampling, deterministic shuffle-sharding, mixture planning, and PII
+redaction. Everything is deterministic (md5-keyed randomness, no RNG
+state) so every op has an exact DuckDB oracle and re-runs are
+reproducible — the property an actual training-data pipeline cares about
+most.
+
+Scale notes per op in docstrings; none uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import register
+from ..sources import load_table, parallelized
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelized(load_table(spark, sf_dir, "documents"))
+
+
+# shared tokenizer fragment (same as text_analysis._SQL_WORD_TOKS)
+_SQL_TOKS = r"""
+SELECT doc_id, lang, source,
+       list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+FROM documents
+"""
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """DuckDB twin of ``F.conv(substring(md5(expr), 1, 8), 16, 10)``:
+    nibble-parse the first 8 hex chars of md5 into a bigint in [0, 2^32)."""
+    h = f"md5({expr})"
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _md5_u32(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------- sequence packing
+
+PACK_BUDGET = 256  # tokens per training sequence
+PACK_PARTS = 32  # prefix-sum parallelism (≈ executor count at scale)
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+c AS (
+    SELECT doc_id, length(toks) AS n,
+           sum(length(toks)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT CAST(floor((cum - n) * 1.0 / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+    tags=("curation", "scale"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents fill {PACK_BUDGET}-token
+    training sequences in doc_id order (contiguous fill — a doc may
+    straddle a boundary; its pack is where it STARTS). Output is the pack
+    manifest (one row per sequence).
+
+    The naive plan is a global ordered window — a single-partition sort
+    that dies at scale. This is the two-phase distributed prefix sum
+    instead: a static doc_id range → {PACK_PARTS} strides, per-stride
+    token totals (tiny aggregate) collected once to the driver, prefix
+    offsets rebroadcast, then a per-stride local cumsum window. No global
+    sort; the widest shuffle is hash(pid) with ~N/{PACK_PARTS} rows per
+    task, and the driver materializes exactly {PACK_PARTS} longs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(TX.word_tokens("text")).alias("n")
+    )
+    hi = d.agg(F.max("doc_id")).first()[0] or 0
+    stride = max(1, (int(hi) + PACK_PARTS) // PACK_PARTS)
+    d = d.withColumn("pid", (F.col("doc_id") / stride).cast("int"))
+    # phase 1: per-stride totals (PACK_PARTS rows) -> prefix offsets
+    totals = {r["pid"]: r["t"] for r in d.groupBy("pid").agg(F.sum("n").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    # phase 2: local cumsum within each stride + broadcast offset
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    c = d.withColumn("cum", F.sum("n").over(w) + off[F.col("pid")])
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n")) * 1.0 / PACK_BUDGET),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ------------------------------------------------------------- doc chunking
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE tokens
+
+
+@register(
+    "chunk_documents",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+nz AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
+st AS (
+    SELECT doc_id, toks, unnest(generate_series(0, length(toks) - 1, {CHUNK_STRIDE})) AS s
+    FROM nz
+),
+ch AS (
+    SELECT doc_id, CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           list_slice(toks, s + 1, s + {CHUNK_SIZE}) AS chunk
+    FROM st
+)
+SELECT doc_id, chunk_id,
+       CAST(length(chunk) AS BIGINT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM ch
+""",
+    tags=("curation", "scale"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking: windows of {CHUNK_SIZE} tokens every
+    {CHUNK_STRIDE} (context-window prep for training / embedding). Pure
+    array codegen — per-doc ``sequence`` of starts, ``slice`` per start,
+    one ``posexplode``; zero shuffles, so it scales linearly with the
+    scan and parallelizes by input split. The md5 digest stands in for
+    shipping chunk text to the comparator."""
+    d = _docs(spark, sf_dir).select("doc_id", TX.word_tokens("text").alias("toks"))
+    nz = d.filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    chunks = nz.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("toks", s + 1, CHUNK_SIZE))
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+# -------------------------------------------------- stratified hash sample
+
+# per-language keep rates (training-mix downsampling); md5-keyed uniform
+# makes the sample deterministic, re-runnable, and join-free
+SAMPLE_RATES: tuple[tuple[str, float], ...] = (
+    ("en", 1.0),
+    ("zh", 0.5),
+    ("de", 0.4),
+    ("fr", 0.3),
+    ("es", 0.2),
+)
+_U32 = 1 << 32
+
+_SQL_RATE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{l}' THEN {int(r * _U32)}" for l, r in SAMPLE_RATES)
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "stratified_sample",
+    sql=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_md5_u32_sql("'sample|' || CAST(doc_id AS VARCHAR)")} < {_SQL_RATE}
+""",
+    tags=("curation", "scale"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep a doc iff
+    md5-uniform(doc_id) < rate(lang). Unlike ``df.sample`` the decision is
+    a pure row-local predicate — no RNG state, identical output on retry /
+    recompute / speculative re-execution (exactly what a reproducible
+    training-data pipeline needs), and it pushes down past column pruning
+    like any filter."""
+    d = _docs(spark, sf_dir)
+    u = _md5_u32(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    rate = F.lit(0)
+    expr = None
+    for lang, r in SAMPLE_RATES:
+        cond = F.col("lang") == lang
+        thr = F.lit(int(r * _U32))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr = expr.otherwise(F.lit(0))
+    return d.filter(u < thr).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------- deterministic sharding
+
+N_SHARDS = 16
+
+
+@register(
+    "shuffle_shards",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+sh AS (
+    SELECT doc_id, length(toks) AS n,
+           ({_md5_u32_sql("'shard|' || CAST(doc_id AS VARCHAR)")}) % {N_SHARDS} AS shard
+    FROM t
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+FROM sh
+GROUP BY shard
+""",
+    tags=("curation", "scale"),
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-shuffle shard assignment: shard = md5-uniform(doc_id) mod
+    {N_SHARDS}. The hash decorrelates shard from every input ordering
+    (crawl order, source, time) — the distributed equivalent of a global
+    random shuffle, without a global sort: writing with
+    ``partitionBy(shard)`` after this projection IS the shuffled layout.
+    Output is the shard manifest proving balance."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(TX.word_tokens("text")).alias("n")
+    )
+    shard = _md5_u32(
+        F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))
+    ) % N_SHARDS
+    return (
+        d.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+
+
+# -------------------------------------------------------- mixture planning
+
+# target language shares for the training mix
+MIX_TARGETS: tuple[tuple[str, float], ...] = (
+    ("en", 0.4),
+    ("zh", 0.25),
+    ("de", 0.15),
+    ("fr", 0.1),
+    ("es", 0.1),
+)
+
+_SQL_MIX_VALUES = ", ".join(f"('{l}', {w})" for l, w in MIX_TARGETS)
+
+
+@register(
+    "mixture_plan",
+    sql=f"""
+WITH counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+tw(lang, w) AS (VALUES {_SQL_MIX_VALUES}),
+j AS (SELECT counts.lang, n, w FROM counts JOIN tw USING (lang)),
+m AS (SELECT min(n / w) AS total_max FROM j)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, w AS target_share,
+       round(w * total_max / n, 6) AS keep_rate,
+       CAST(floor(w * total_max) AS BIGINT) AS n_keep
+FROM j CROSS JOIN m
+""",
+    tags=("curation",),
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: given target language shares, find the largest
+    total corpus achievable without oversampling any language
+    (total = min over langs of available/share) and emit per-language
+    keep rates. The whole computation runs on the K-row per-language
+    count table — at 100 TB the only full-data work is the count
+    aggregate, which is map-side partial."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    tw = spark.createDataFrame(list(MIX_TARGETS), ["lang", "w"])
+    j = counts.join(F.broadcast(tw), "lang")
+    m = j.agg(F.min(F.col("n") / F.col("w")).alias("total_max"))
+    return (
+        j.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("w").alias("target_share"),
+            F.round(F.col("w") * F.col("total_max") / F.col("n"), 6).alias("keep_rate"),
+            F.floor(F.col("w") * F.col("total_max")).alias("n_keep"),
+        )
+    )
+
+
+# ----------------------------------------------------------- PII redaction
+
+_RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_RE_NUM = "[0-9]+"
+
+
+@register(
+    "pii_redact",
+    sql=f"""
+SELECT event_id,
+       regexp_replace(regexp_replace(props, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                      '{_RE_NUM}', '<NUM>', 'g') AS redacted,
+       CAST(length(regexp_extract_all(props, '{_RE_EMAIL}'))
+          + length(regexp_extract_all(regexp_replace(props, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                                      '{_RE_NUM}')) AS BIGINT) AS n_redactions
+FROM events
+""",
+    tags=("curation",),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails then digit runs replaced with typed
+    placeholders, plus a per-row redaction count for audit. Row-local
+    regex projection — codegen'd, shuffle-free, scales with the scan.
+    (The corpus is synthetic; the e-mail pattern exercises the chain even
+    when it matches nothing. Patterns are RE2-safe so Spark and DuckDB
+    agree byte-for-byte.)"""
+    e = load_table(spark, sf_dir, "events")
+    no_email = F.regexp_replace("props", _RE_EMAIL, "<EMAIL>")
+    return e.select(
+        "event_id",
+        F.regexp_replace(no_email, _RE_NUM, "<NUM>").alias("redacted"),
+        (
+            F.regexp_count("props", F.lit(_RE_EMAIL))
+            + F.regexp_count(no_email, F.lit(_RE_NUM))
+        ).cast("long").alias("n_redactions"),
+    )
