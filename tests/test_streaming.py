@@ -156,18 +156,15 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     shutil.copy(src, spool / "a.parquet")
     shutil.copy(src, spool / "b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from topic_modeling_ajin_spark.sources.tables import normalize_event_ts
+
     batch = spark.read.parquet(str(spool))
     schema = batch.schema
-    raw = (
+    raw = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(spool))
     )
-    from pyspark.sql.types import LongType
-
-    if isinstance(schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ST.run_to_memory(
         ST.streaming_event_dedup(raw),
         "s_dedup",

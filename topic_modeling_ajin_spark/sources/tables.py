@@ -36,19 +36,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` so Catalyst can push
     filters/projections into the scan.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for: read it as int64 nanos and integer-truncate to a
-    microsecond timestamp — exactly what DuckDB (µs-native) does on the
-    same file, so oracle comparisons agree.
+    ``events.ts`` has shipped both as parquet TIMESTAMP(NANOS) — which
+    Spark has no native type for — and as plain TIMESTAMP(MICROS).
+    Handle both: nanos files are read as int64 and integer-truncated to a
+    microsecond timestamp (exactly what DuckDB, µs-native, does on the
+    same file, so oracle comparisons agree); micros files pass through.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        df = _read_nanos_parquet(spark, f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        return normalize_event_ts(
+            _read_nanos_parquet(spark, f"{sf_dir}/{name}.parquet")
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Coerce an events scan's ``ts`` to a microsecond timestamp whether the
+    file stored TIMESTAMP(NANOS) (surfaces as int64 under ``nanosAsLong``)
+    or a native timestamp type."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # LTZ, not NTZ: streaming watermarks require TIMESTAMP, and the session
+    # timezone is pinned to UTC so wall-clock values match DuckDB's naive
+    # read of the same file.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _read_nanos_parquet(spark: SparkSession, path: str) -> DataFrame:

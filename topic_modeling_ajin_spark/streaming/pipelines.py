@@ -46,11 +46,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard pattern for reprocessing + live ingest. Schema comes from a
     metadata-only batch read (streaming sources require an explicit schema;
     inferring from the footer costs nothing and keeps one source of truth).
-    ``ts`` arrives as parquet TIMESTAMP(NANOS) (int64 under
-    ``nanosAsLong``), truncated to microseconds exactly like the batch
-    loader so batch/stream results compare equal.
+    ``ts`` is normalized to a microsecond timestamp exactly like the batch
+    loader (handles both TIMESTAMP(NANOS)-as-int64 and native timestamp
+    files) so batch/stream results compare equal.
     """
-    from ..sources.tables import _read_nanos_parquet
+    from ..sources.tables import _read_nanos_parquet, normalize_event_ts
 
     path = f"{sf_dir}/events.parquet"
     schema = _read_nanos_parquet(spark, path).schema
@@ -61,9 +61,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    return normalize_event_ts(raw)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
