@@ -545,19 +545,37 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of word trigram occurrences that are repeats of an earlier
     trigram in the same document. Crawl/boilerplate text scores high and
     gets flagged. Pure per-row array expressions — zero shuffles, so the
-    100 TB plan is a single scan + project."""
+    100 TB plan is a single scan + project.
+
+    Staged selects on purpose: the tokenize → n-gram → count steps each
+    reference their input several times, and higher-order functions are
+    CodegenFallback (interpreted), so inlining one projection would
+    re-evaluate the regex split per n-gram per reference (measured 15 s
+    for 500 rows vs ~0.3 s staged — CollapseProject keeps multiply-
+    referenced non-cheap aliases in their own project node)."""
     from ..functions import hashing as H
 
     df = _docs(spark, sf_dir)
-    toks = TX.word_tokens("text")
-    grams = H.token_ngrams(toks, REPETITION_NGRAM)
-    n = F.size(grams)
-    n_uniq = F.size(F.array_distinct(grams))
-    dup = F.when(n > 0, (n - n_uniq) * 1.0 / n).otherwise(0.0)
-    return df.select(
+    counts = (
+        df.select("doc_id", TX.word_tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            H.token_ngrams(F.col("toks"), REPETITION_NGRAM).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_trigrams"),
+            F.size(F.array_distinct("grams")).cast("bigint").alias("n_unique"),
+        )
+    )
+    dup = F.when(
+        F.col("n_trigrams") > 0,
+        (F.col("n_trigrams") - F.col("n_unique")) * 1.0 / F.col("n_trigrams"),
+    ).otherwise(0.0)
+    return counts.select(
         "doc_id",
-        n.cast("bigint").alias("n_trigrams"),
-        n_uniq.cast("bigint").alias("n_unique"),
+        "n_trigrams",
+        "n_unique",
         F.round(dup, 6).alias("dup_ratio"),
         (dup > REPETITION_THRESHOLD).alias("repetitive"),
     )
@@ -604,9 +622,12 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import hashing as H
 
     d = _docs(spark, sf_dir)
-    grams = d.select(
+    # tokenize in its own projection: inlined into the n-gram transform
+    # lambda, the regex split would re-evaluate per element_at reference
+    # per gram (5× n_grams times per row, interpreted)
+    grams = d.select("doc_id", TX.tokens("text").alias("toks")).select(
         "doc_id",
-        F.explode(H.shingles(TX.tokens("text"), DECON_NGRAM)).alias("gram"),
+        F.explode(H.shingles(F.col("toks"), DECON_NGRAM)).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < DECON_BENCH_MAX_DOC_ID).select(
         F.col("doc_id").alias("bench_doc"), "gram"
