@@ -184,3 +184,18 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir, registry):
     assert recall >= 0.5, recall  # nprobe=2/16 cells on random-ish vectors
     # every IVF hit must carry the exact cosine: spot-check subset relation
     assert len(ivf) <= len(brute)
+
+
+def test_lloyd_kmeans_partitions_corpus(spark, sf_dir, registry):
+    """Deterministic Lloyd's: every vector assigned to exactly one of the
+    K seeded clusters; profile counts cover the corpus."""
+    assign = registry["lloyd_kmeans"].fn(spark, sf_dir).collect()
+    from topic_modeling_ajin_spark.operators.clustering import LLOYD_K
+    from topic_modeling_ajin_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(assign) == n
+    clusters = {r["cluster"] for r in assign}
+    assert clusters <= set(range(LLOYD_K))
+    prof = registry["lloyd_cluster_profile"].fn(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in prof) == n

@@ -1,0 +1,217 @@
+"""Deterministic DataFrame-native clustering (Lloyd's k-means).
+
+``kmeans_assign`` (SURVEY M13) uses MLlib — the idiomatic production path —
+but its k-means|| init and aggregation order make results library-specific,
+so its driver check is rows-only. This module implements the same algorithm
+as explicit DataFrame algebra with every source of nondeterminism pinned:
+
+- init: the first K points by ``vec_id`` (ids 0..K-1) are the centroids;
+- assignment: argmin of squared L2 distance, ties broken by lowest cluster
+  id (numpy ``argmin`` scans ascending — same rule as the oracle's
+  ``ORDER BY dist, cluster``);
+- update: per-dimension mean, **rounded to 12 decimals** so the engines'
+  different summation orders (~1e-15 relative drift) cannot propagate into
+  later iterations — both sides compute identical centroid doubles;
+- fixed iteration count, driver-coordinated (the per-iteration driver
+  payload is the K×d centroid table — constant in corpus size).
+
+Scale shape per iteration: assignment is a map with broadcast centroids
+(zero shuffle, Arrow-batched kernel); the update is one partial-aggregated
+shuffle keyed by (cluster, dim) — K×d groups regardless of corpus size.
+This is exactly MLlib's own execution shape (``mllib.clustering.KMeans``),
+re-derived so DuckDB can replay it: the oracle unrolls the iterations as
+CTEs over the long-form (vec_id, dim, val) table. Reference parity:
+``BERTopic_Analysis.py:277,292-297`` (KMeans n_clusters=K, seed path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cache import memo
+from ..registry import register
+from ..sources import load_table
+
+LLOYD_K = 10
+LLOYD_ITERS = 3
+_ROUND = 12  # centroid rounding (decimals): > data precision, < fp drift
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb array<double>) — persisted: every iteration and the
+    final assignment rescan it."""
+    from ..functions import vectors as V
+
+    return memo(
+        spark,
+        ("lloyd_pts", sf_dir),
+        lambda: load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", V.as_double("embedding").alias("emb")
+        ),
+        persist=True,
+    )
+
+
+def _assign(pts: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, emb, cluster): nearest centroid by squared L2, ties to the
+    lowest cluster id. Broadcast-closure kernel — one Arrow-batched pass,
+    no shuffle, O(K·d) work per row; numpy argmin over a (K, d) matrix."""
+    import numpy as np
+
+    ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)  # (K, d)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)  # (n, d)
+            # (n, K) squared distances; argmin scans clusters ascending, so
+            # the first minimal index wins — ids[] is sorted, matching the
+            # oracle's ORDER BY dist, cluster tie-break
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["cluster"] = ids[np.argmin(d2, axis=1)]
+            yield pdf
+
+    return pts.select("vec_id", "emb").mapInPandas(
+        kernel, schema="vec_id long, emb array<double>, cluster long"
+    )
+
+
+def _update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New centroids: per-(cluster, dim) mean, rounded to {_ROUND} decimals,
+    collected to the driver (K×d rows — constant in corpus size). Empty
+    clusters simply vanish, identically on both engines."""
+    rows = (
+        assigned.select("cluster", F.posexplode("emb").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val"), _ROUND).alias("val"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["val"]
+    return [
+        (c, [dims[i] for i in range(len(dims))])
+        for c, dims in sorted(by_cluster.items())
+    ]
+
+
+def lloyd_fit(
+    spark: SparkSession, sf_dir: str, k: int = LLOYD_K, iters: int = LLOYD_ITERS
+):
+    """Run ``iters`` Lloyd rounds from the first-K-points init. Returns
+    ``(assigned, centroids)``: the final (vec_id, emb, cluster) DataFrame
+    and the centroid list the final assignment used (cluster, vector) —
+    the coarse-quantizer codebook for IVF. Memoized per (session, dataset,
+    k, iters)."""
+
+    def build():
+        pts = _points(spark, sf_dir)
+        seed = pts.filter(F.col("vec_id") < k).collect()
+        centroids = [
+            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
+            for r in sorted(seed, key=lambda r: r["vec_id"])
+        ]
+        for _ in range(iters - 1):
+            centroids = _update(_assign(pts, centroids))
+        return (_assign(pts, centroids), centroids)
+
+    return memo(spark, ("lloyd_fit", sf_dir, k, iters), build)
+
+
+def lloyd_assignments(
+    spark: SparkSession, sf_dir: str, k: int = LLOYD_K, iters: int = LLOYD_ITERS
+) -> DataFrame:
+    """Final (vec_id, emb, cluster) after ``iters`` Lloyd rounds."""
+    return lloyd_fit(spark, sf_dir, k, iters)[0]
+
+
+def _sql_lloyd(k: int, iters: int, src: str = "embeddings") -> str:
+    """Unrolled Lloyd CTEs over the long-form points table. Produces CTE
+    ``a{iters}`` = final (vec_id, cluster)."""
+    parts = [
+        f"""
+pts AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM {src}
+),
+c0 AS (
+    SELECT vec_id AS cluster, dim, round(val, {_ROUND}) AS val
+    FROM pts WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""
+d{i} AS (
+    SELECT p.vec_id, c.cluster,
+           sum((p.val - c.val) * (p.val - c.val)) AS dist
+    FROM pts p JOIN {prev} c ON c.dim = p.dim
+    GROUP BY p.vec_id, c.cluster
+),
+a{i} AS (
+    SELECT vec_id, cluster FROM d{i}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""
+c{i} AS (
+    SELECT a.cluster, p.dim, round(avg(p.val), {_ROUND}) AS val
+    FROM a{i} a JOIN pts p ON p.vec_id = a.vec_id
+    GROUP BY a.cluster, p.dim
+)"""
+            )
+    return ",".join(parts)
+
+
+@register(
+    "lloyd_kmeans",
+    sql=f"""
+WITH {_sql_lloyd(LLOYD_K, LLOYD_ITERS)}
+SELECT vec_id, cluster FROM a{LLOYD_ITERS}
+""",
+    tags=("topics", "ml", "cluster", "scale"),
+)
+def q_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means assignment (k={LLOYD_K}, {LLOYD_ITERS}
+    Lloyd rounds) — the exact-oracle twin of ``kmeans_assign``: DuckDB
+    replays the identical iteration and the per-vector assignments must
+    hash-match."""
+    return lloyd_assignments(spark, sf_dir).select("vec_id", "cluster")
+
+
+@register(
+    "lloyd_cluster_profile",
+    sql=f"""
+WITH {_sql_lloyd(LLOYD_K, LLOYD_ITERS)}
+SELECT a.cluster, count(*) AS n_members,
+       count(DISTINCT e.label) AS n_labels,
+       min(e.vec_id) AS first_vec
+FROM a{LLOYD_ITERS} a JOIN embeddings e ON e.vec_id = a.vec_id
+GROUP BY a.cluster
+""",
+    tags=("topics", "ml", "cluster"),
+)
+def q_lloyd_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cardinality/purity profile over the deterministic k-means —
+    the shape of the reference's docs-per-topic summary (SURVEY A8) on an
+    exact-oracle clustering."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = lloyd_assignments(spark, sf_dir).select("vec_id", "cluster")
+    return (
+        a.join(e, "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("first_vec"),
+        )
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 from ..registry import register
 from ..sources import load_table
+from .clustering import _sql_lloyd
 
 N_QUERIES = 10
 TOP_K = 5
@@ -295,48 +296,72 @@ IVF_NLIST = 16  # coarse-quantizer cells
 IVF_NPROBE = 4  # cells searched per query
 
 
-@register("ivf_cosine_topk", tags=("similarity", "ann", "scale"))
+IVF_ITERS = 2  # Lloyd rounds for the coarse quantizer
+
+
+@register(
+    "ivf_cosine_topk",
+    sql=f"""
+WITH {_sql_lloyd(IVF_NLIST, IVF_ITERS)},
+emb_d AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+),
+carr AS (
+    SELECT cluster AS cell, list(val ORDER BY dim) AS cvec
+    FROM c{IVF_ITERS - 1} GROUP BY cluster
+),
+probes AS (
+    SELECT q.vec_id AS query_id, c.cell,
+           list_cosine_similarity(q.emb, c.cvec) AS ccos
+    FROM emb_d q, carr c
+    WHERE q.vec_id < {N_QUERIES}
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY ccos DESC, c.cell) <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN a{IVF_ITERS} a ON a.cluster = p.cell
+    WHERE a.vec_id <> p.query_id
+)
+SELECT c.query_id, c.neighbor_id,
+       round(list_cosine_similarity(q.emb, n.emb), 6) AS cosine,
+       row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(q.emb, n.emb) DESC, c.neighbor_id
+       ) AS rank
+FROM cand c
+JOIN emb_d q ON q.vec_id = c.query_id
+JOIN emb_d n ON n.vec_id = c.neighbor_id
+QUALIFY rank <= {TOP_K}
+""",
+    tags=("similarity", "ann", "scale"),
+)
 def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor — the production ANN path:
 
-    1. train a KMeans coarse quantizer (k={IVF_NLIST}) on the corpus;
+    1. fit a deterministic Lloyd coarse quantizer (k={IVF_NLIST},
+       {IVF_ITERS} rounds — ``operators.clustering``);
     2. assign every vector to its cell (the inverted file);
     3. per query, probe the {IVF_NPROBE} nearest cells and rank only their
        members by exact cosine.
 
     At 100 TB the inverted file is a partitioned table clustered by cell —
     each probe is a partition-pruned scan, candidates shrink by
-    ~nlist/nprobe, and the final top-k is a per-query rank window. MLlib
-    KMeans centers make the cell assignment rows-only (library-specific);
-    the recall-vs-brute-force contract is pinned by a test instead of a SQL
-    oracle."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ~nlist/nprobe, and the final top-k is a per-query rank window. The
+    deterministic quantizer (pinned init/tie-breaks, 12-dp centroid
+    rounding on both engines) makes the WHOLE index + search replayable in
+    DuckDB — an exact value-hash oracle for an ANN pipeline; the
+    recall-vs-brute-force contract is additionally pinned by a test."""
+    from .clustering import lloyd_fit
 
-    from ..cache import memo
-
-    e = load_table(spark, sf_dir, "embeddings")
-    # fit + transform + probe all rescan this; memoized per (session,
-    # dataset) so repeated calls reuse one persisted copy
-    feat = memo(
-        spark,
-        ("ivf_feat", sf_dir),
-        lambda: e.select(
-            "vec_id",
-            V.as_double("embedding").alias("emb"),
-            array_to_vector(F.col("embedding")).alias("features"),
-        ),
-        persist=True,
+    assigned_raw, centroids = lloyd_fit(spark, sf_dir, IVF_NLIST, IVF_ITERS)
+    assigned = assigned_raw.select(
+        "vec_id", "emb", F.col("cluster").alias("cell")
     )
-    km = KMeans(k=IVF_NLIST, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select("vec_id", "emb", "cell")
-
-    # cell centroids as plain arrays (tiny: nlist × d)
-    centers = model.clusterCenters()
-    centers_df = e.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        ["cell", "cvec"],
+    # the codebook: nlist × d doubles, already 12-dp rounded by the fit
+    centers_df = spark.createDataFrame(
+        [(c, list(v)) for c, v in centroids], ["cell", "cvec"]
     )
 
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
@@ -352,7 +377,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "qemb",
             "cell",
-            V.cosine(F.col("qemb"), V.as_double(F.col("cvec"))).alias("ccos"),
+            V.cosine(F.col("qemb"), F.col("cvec")).alias("ccos"),
         )
         .withColumn("r", F.row_number().over(probe_rank))
         .filter(F.col("r") <= IVF_NPROBE)
