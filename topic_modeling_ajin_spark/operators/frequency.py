@@ -177,3 +177,53 @@ def q_approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct uses a different sketch, so values can't match."""
     toks = tokenized_words(load_table(spark, sf_dir, "documents"))
     return toks.agg(F.approx_count_distinct("word", 0.01).alias("approx_words"))
+
+
+K_KMV = 16  # sketch size; estimate error ~ 1/sqrt(K)
+_SQL_WORD_U = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(word), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "kmv_distinct_words",
+    sql=rf"""
+WITH toks AS ({SQL_TOKS}),
+w AS (SELECT DISTINCT word FROM toks WHERE length(word) >= 2),
+h AS (SELECT ({_SQL_WORD_U}) * 1.0 / 4294967296 AS u FROM w),
+k AS (SELECT u FROM h ORDER BY u LIMIT {K_KMV})
+SELECT {K_KMV} AS k,
+       CAST(count(*) AS INT) AS n_mins,
+       round(CASE WHEN count(*) < {K_KMV} THEN count(*) * 1.0
+                  ELSE ({K_KMV} - 1) * 1.0 / max(u) END, 6) AS est_distinct
+FROM k
+""",
+    tags=("text", "scale", "sketch"),
+)
+def q_kmv_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-word estimate — the oracle-checkable
+    counterpart of ``approx_distinct_words``: unlike HLL (engine-specific
+    sketch layout), KMV is pure order statistics over a portable hash, so
+    DuckDB reproduces the estimate bit-for-bit.
+
+    Estimator (Bar-Yossef et al. 2002): hash distinct values to U(0,1) via
+    md5; with h_(k) the k-th smallest hash, distinct ≈ (k-1)/h_(k); exact
+    count when fewer than k values exist. Scale shape: one map-side-deduped
+    distinct shuffle (carries each partition's vocabulary once, not the
+    token stream), then the k smallest hashes flow through
+    ``TakeOrderedAndProject`` (constant-size per-partition heaps)."""
+    from ..functions import hashing as H
+
+    toks = tokenized_words(load_table(spark, sf_dir, "documents"))
+    w = toks.select("word").distinct()
+    u = (H.md5_base32(F.col("word")) * 1.0 / F.lit(4294967296.0)).alias("u")
+    mins = w.select(u).orderBy("u").limit(K_KMV)
+    est = F.when(
+        F.count("*") < K_KMV, F.count("*").cast("double")
+    ).otherwise((F.lit(K_KMV - 1) * 1.0) / F.max("u"))
+    return mins.agg(
+        F.lit(K_KMV).alias("k"),
+        F.count("*").cast("int").alias("n_mins"),
+        F.round(est, 6).alias("est_distinct"),
+    )
