@@ -9,9 +9,11 @@ as explicit DataFrame algebra with every source of nondeterminism pinned:
 - assignment: argmin of squared L2 distance, ties broken by lowest cluster
   id (numpy ``argmin`` scans ascending — same rule as the oracle's
   ``ORDER BY dist, cluster``);
-- update: per-dimension mean, **rounded to 12 decimals** so the engines'
+- update: per-dimension mean, **rounded to 9 decimals** so the engines'
   different summation orders (~1e-15 relative drift) cannot propagate into
-  later iterations — both sides compute identical centroid doubles;
+  later iterations — both sides compute identical centroid doubles, and a
+  drift-vs-grid boundary coincidence needs a ~1e-7 fluke per value instead
+  of ~1e-4 at 12 dp;
 - fixed iteration count, driver-coordinated (the per-iteration driver
   payload is the K×d centroid table — constant in corpus size).
 
@@ -35,7 +37,7 @@ from ..sources import load_table
 
 LLOYD_K = 10
 LLOYD_ITERS = 3
-_ROUND = 12  # centroid rounding (decimals): > data precision, < fp drift
+_ROUND = 9  # centroid rounding (decimals): > data precision, ≫ fp drift
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -349,7 +349,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the inverted file is a partitioned table clustered by cell —
     each probe is a partition-pruned scan, candidates shrink by
     ~nlist/nprobe, and the final top-k is a per-query rank window. The
-    deterministic quantizer (pinned init/tie-breaks, 12-dp centroid
+    deterministic quantizer (pinned init/tie-breaks, 9-dp centroid
     rounding on both engines) makes the WHOLE index + search replayable in
     DuckDB — an exact value-hash oracle for an ANN pipeline; the
     recall-vs-brute-force contract is additionally pinned by a test."""
@@ -359,7 +359,7 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assigned_raw.select(
         "vec_id", "emb", F.col("cluster").alias("cell")
     )
-    # the codebook: nlist × d doubles, already 12-dp rounded by the fit
+    # the codebook: nlist × d doubles, already 9-dp rounded by the fit
     centers_df = spark.createDataFrame(
         [(c, list(v)) for c, v in centroids], ["cell", "cvec"]
     )
