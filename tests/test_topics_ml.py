@@ -199,3 +199,13 @@ def test_lloyd_kmeans_partitions_corpus(spark, sf_dir, registry):
     assert clusters <= set(range(LLOYD_K))
     prof = registry["lloyd_cluster_profile"].fn(spark, sf_dir).collect()
     assert sum(r["n_members"] for r in prof) == n
+
+
+def test_pca_power_axis_is_unit(spark, sf_dir, registry):
+    rows = registry["pca_power_axis"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r["loading"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-4
+    assert rows[0]["eigenvalue"] > 0
+    scores = registry["pca_power_scores"].fn(spark, sf_dir).collect()
+    assert len(scores) == 50

@@ -217,3 +217,179 @@ def q_lloyd_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("first_vec"),
         )
     )
+
+
+# ------------------------------------------------- power-iteration PCA (M11)
+
+PCA_ITERS = 5
+PCA_SCORE_IDS = 50  # vec_id bound for the projection output
+_VROUND = 6  # axis rounding: post-division digits are structure-free
+
+
+def _pca_axis(spark: SparkSession, sf_dir: str):
+    """First principal axis by deterministic power iteration. Returns
+    ``(mu, v, eigval)``: the 9-dp-rounded mean vector, unit axis, and its
+    Rayleigh norm.
+
+    Distribution shape: the covariance is a per-partition centered Gram
+    accumulation (one d×d partial per task — the ``_window_cooc`` pattern),
+    reduced by a d²-key aggregate; the iteration itself is driver-side on
+    the d×d matrix (constant in corpus size — exactly where MLlib's own
+    PCA does its eigendecomposition).
+
+    Cross-engine determinism: round ONLY where the value's decimal digits
+    are arbitrary. The matvec C·v multiplies 9-dp decimals, so its sums
+    land exactly ON rounding-grid boundaries by construction (measured:
+    3/64 flips with v0 = 0.125) — it stays unrounded (engines differ by
+    ~1e-19 there); the norm (post-sqrt) rounds at 9 dp and the axis (post-
+    division) at 6 dp, both structure-free, making a boundary coincidence
+    a ≤1e-10 fluke."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def build():
+        pts = _points(spark, sf_dir)
+        n = pts.count()
+        mu_rows = (
+            pts.select(F.posexplode("emb").alias("dim", "val"))
+            .groupBy("dim")
+            .agg(F.round(F.avg("val"), _ROUND).alias("m"))
+            .collect()
+        )
+        d = len(mu_rows)
+        mu = np.zeros(d)
+        for r in mu_rows:
+            mu[r["dim"]] = r["m"]
+
+        def kernel(batches):
+            acc = np.zeros((d, d))
+            touched = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(pdf["emb"].tolist(), dtype=np.float64) - mu
+                acc += X.T @ X
+                touched = True
+            if touched:
+                ii, jj = np.indices((d, d))
+                yield pd.DataFrame(
+                    {"i": ii.ravel(), "j": jj.ravel(), "s": acc.ravel()}
+                )
+
+        sums = (
+            pts.select("emb")
+            .mapInPandas(kernel, schema="i int, j int, s double")
+            .groupBy("i", "j")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        C = np.zeros((d, d))
+        for r in sums:
+            C[r["i"], r["j"]] = r["s"]
+        C = np.round(C / (n - 1), _ROUND)
+
+        v = np.full(d, round(1.0 / math.sqrt(d), _ROUND))
+        nv = 0.0
+        for _ in range(PCA_ITERS):
+            w = C @ v  # unrounded: decimal-structured, boundary-prone
+            nv = round(math.sqrt(float((w * w).sum())), _ROUND)
+            v = np.round(w / nv, _VROUND)
+        return (mu.tolist(), v.tolist(), nv)
+
+    return memo(spark, ("pca_axis", sf_dir), build)
+
+
+def _sql_power_pca(src: str = "embeddings") -> str:
+    """Unrolled power-iteration CTEs; produces ``vT`` (dim, v), ``nT``
+    (nv = eigenvalue), ``cpts`` (vec_id, dim, centered val)."""
+    parts = [
+        f"""
+pts AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM {src}
+),
+nrow AS (SELECT count(DISTINCT vec_id) AS n FROM pts),
+mu AS (SELECT dim, round(avg(val), {_ROUND}) AS m FROM pts GROUP BY dim),
+ndim AS (SELECT count(*) AS d FROM mu),
+cpts AS (
+    SELECT p.vec_id, p.dim, p.val - m.m AS val
+    FROM pts p JOIN mu m ON m.dim = p.dim
+),
+cov AS (
+    SELECT a.dim AS i, b.dim AS j,
+           round(sum(a.val * b.val) / ((SELECT n FROM nrow) - 1), {_ROUND}) AS c
+    FROM cpts a JOIN cpts b ON a.vec_id = b.vec_id
+    GROUP BY a.dim, b.dim
+),
+v0 AS (SELECT dim, round(1.0 / sqrt((SELECT d FROM ndim)), {_ROUND}) AS v FROM mu)"""
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"""
+w{t} AS (
+    SELECT c.i AS dim, sum(c.c * v.v) AS w
+    FROM cov c JOIN v{t - 1} v ON v.dim = c.j
+    GROUP BY c.i
+),
+n{t} AS (SELECT round(sqrt(sum(w * w)), {_ROUND}) AS nv FROM w{t}),
+v{t} AS (SELECT dim, round(w / (SELECT nv FROM n{t}), {_VROUND}) AS v FROM w{t})"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "pca_power_axis",
+    sql=f"""
+WITH {_sql_power_pca()}
+SELECT dim, round(v, 6) AS loading,
+       (SELECT round(nv, 6) FROM n{PCA_ITERS}) AS eigenvalue
+FROM v{PCA_ITERS}
+""",
+    tags=("topics", "ml", "reduce_dim", "scale"),
+)
+def q_pca_power_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M11 (dimensionality reduction), exact-oracle form: the first
+    principal axis by {PCA_ITERS} deterministic power-iteration rounds
+    (fixed uniform init pins the sign). The rows-only ``pca_project``
+    (MLlib PCA, k=5) remains the production variant; this one proves the
+    covariance + iteration pipeline against DuckDB value-for-value."""
+    _, v, ev = _pca_axis(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, round(float(x), 6), round(float(ev), 6)) for i, x in enumerate(v)],
+        ["dim", "loading", "eigenvalue"],
+    )
+
+
+@register(
+    "pca_power_scores",
+    sql=f"""
+WITH {_sql_power_pca()},
+xl AS (
+    SELECT vec_id, list(val ORDER BY dim) AS l
+    FROM cpts WHERE vec_id < {PCA_SCORE_IDS}
+    GROUP BY vec_id
+),
+vl AS (SELECT list(v ORDER BY dim) AS l FROM v{PCA_ITERS})
+SELECT x.vec_id, round(list_dot_product(x.l, vl.l), 6) AS pc1
+FROM xl x, vl
+""",
+    tags=("topics", "ml", "reduce_dim", "scale"),
+)
+def q_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection onto the power-iteration axis: pc1 = (x − μ)·v for the
+    first {PCA_SCORE_IDS} vectors — sequential-sum dot on both engines, so
+    scores match bit-for-bit before the 6-dp output rounding."""
+    mu, v, _ = _pca_axis(spark, sf_dir)
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    from ..functions import vectors as V
+
+    pts = _points(spark, sf_dir).filter(F.col("vec_id") < PCA_SCORE_IDS)
+    centered = F.zip_with("emb", mu_arr, lambda x, m: x - m)
+    return pts.select(
+        "vec_id", F.round(V.dot(centered, v_arr), 6).alias("pc1")
+    )
