@@ -1,0 +1,102 @@
+"""Capture physical plans (`explain formatted`) for representative queries
+into PLANS.md, with the scale property each plan is meant to exhibit.
+
+Usage: python tools/capture_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, the scale property the plan must show)
+SELECTED = (
+    (
+        "q6_forecast_revenue",
+        "Predicate pushdown: every filter reaches the parquet scan as "
+        "`PushedFilters`, and `ReadSchema` holds only the 4 referenced "
+        "columns of 16 — the scan does the pruning, not the executor.",
+    ),
+    (
+        "word_count",
+        "The flagship text pipeline compiles to scan → single hash "
+        "aggregate (partial+final, map-side combine) → "
+        "`TakeOrderedAndProject` — per-partition top-k heaps, no global "
+        "sort of the vocabulary.",
+    ),
+    (
+        "q5_region_revenue",
+        "Snowflake join ordering: the dimension chain "
+        "(region→nation→customer/supplier) broadcasts "
+        "(`BroadcastHashJoin` / `BroadcastExchange`), so the only "
+        "shuffles are the fact-side aggregations.",
+    ),
+    (
+        "top_orders_per_customer",
+        "Rank window: one exchange on the partition key, then "
+        "`WindowGroupLimit` prunes to the per-group top-k before the "
+        "full window evaluates — no per-customer global sort.",
+    ),
+    (
+        "minhash_lsh_pairs",
+        "LSH dedup: signatures are an Arrow-batched map (no shuffle); "
+        "the band equi-join shuffles fixed-width keys only; exact "
+        "verification joins the BROADCAST candidate set back to the "
+        "per-doc shingle arrays.",
+    ),
+    (
+        "decontamination_overlap",
+        "The held-out benchmark side is broadcast "
+        "(`BroadcastExchange`), so the corpus side streams through a "
+        "hash probe without shuffling document data.",
+    ),
+    (
+        "events_hourly",
+        "Tumbling-window aggregation: `window()` lowers to a projection "
+        "+ hash aggregate — event-time bucketing costs one shuffle of "
+        "(window, type) partials.",
+    ),
+    (
+        "ctfidf_keywords",
+        "c-TF-IDF: the only corpus-sized shuffle is the (label, word) "
+        "count; class mass / term df / avg-mass are broadcast back "
+        "(tiny aggregates of the cached count table).",
+    ),
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("plans")
+
+    out = [
+        "# PLANS — physical-plan evidence for the scale claims\n",
+        f"`explain formatted` captured at `{sf_dir}` "
+        "(regenerate: `python tools/capture_plans.py`). Each section "
+        "states the property the plan is designed around; the operator "
+        "docstrings carry the full rationale.\n",
+    ]
+    for name, why in SELECTED:
+        df = registry[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue().rstrip()
+        out.append(f"\n## {name}\n\n{why}\n\n```\n{plan}\n```\n")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written:", len(SELECTED), "plans")
+
+
+if __name__ == "__main__":
+    main()
