@@ -209,3 +209,20 @@ def test_pca_power_axis_is_unit(spark, sf_dir, registry):
     assert rows[0]["eigenvalue"] > 0
     scores = registry["pca_power_scores"].fn(spark, sf_dir).collect()
     assert len(scores) == 50
+
+
+def test_gmm_em_assign_posteriors(spark, sf_dir, registry):
+    rows = registry["gmm_em_assign"].fn(spark, sf_dir).collect()
+    from topic_modeling_ajin_spark.operators.clustering import (
+        GMM_K,
+        GMM_NOISE_TH,
+    )
+
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r["posterior"] <= 1.0 + 1e-9
+        if r["component"] == -1:
+            assert r["posterior"] < GMM_NOISE_TH
+        else:
+            assert 0 <= r["component"] < GMM_K
+            assert r["posterior"] >= GMM_NOISE_TH

@@ -393,3 +393,229 @@ def q_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(
         "vec_id", F.round(V.dot(centered, v_arr), 6).alias("pc1")
     )
+
+
+# ---------------------------------------------- deterministic EM GMM (M12)
+
+GMM_K = 5
+GMM_ITERS = 3
+GMM_VAR_FLOOR = 1e-6
+GMM_NOISE_TH = 0.6  # max posterior below this => noise label -1 (HDBSCAN-ish)
+
+
+def _gmm_params(spark: SparkSession, sf_dir: str):
+    """Diagonal-covariance GMM fitted by ``GMM_ITERS`` deterministic EM
+    rounds. Returns (mu (K,d), var (K,d), logw (K,)) as numpy arrays.
+
+    Determinism: init is the first-K points (unit variance, uniform
+    weights); each M-step rounds parameters at 9 dp AFTER the divisions
+    (structure-free digits — the lesson from the PCA matvec), with a fixed
+    variance floor. Log-densities, responsibilities, and partial sums stay
+    raw: engines differ there by ~1e-15, absorbed by the parameter
+    rounding. Scale shape per round: one Arrow-batched pass emits
+    per-partition (k, dim) moment partials — K·(d+1) rows per task — and
+    one tiny-key aggregate reduces them; driver holds only K×d params."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def build():
+        pts = _points(spark, sf_dir)
+        n = pts.count()
+        seed = sorted(
+            pts.filter(F.col("vec_id") < GMM_K).collect(),
+            key=lambda r: r["vec_id"],
+        )
+        d = len(seed[0]["emb"])
+        mu = np.array(
+            [[round(float(x), _ROUND) for x in r["emb"]] for r in seed]
+        )
+        var = np.ones((GMM_K, d))
+        logw = np.full(GMM_K, math.log(round(1.0 / GMM_K, _ROUND)))
+
+        for _ in range(GMM_ITERS):
+            mu_b, var_b, logw_b = mu, var, logw
+
+            def kernel(batches):
+                s0 = np.zeros(GMM_K)
+                s1 = np.zeros((GMM_K, d))
+                s2 = np.zeros((GMM_K, d))
+                touched = False
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+                    r = _responsibilities(X, mu_b, var_b, logw_b)
+                    s0 += r.sum(axis=0)
+                    s1 += r.T @ X
+                    s2 += r.T @ (X * X)
+                    touched = True
+                if touched:
+                    # per component: one dim=-1 row carrying s0, then the
+                    # d moment rows — a single (K·(d+1))-row partial frame
+                    ks = np.repeat(np.arange(GMM_K), d + 1)
+                    dims = np.tile(np.arange(-1, d), GMM_K)
+                    rows1 = np.column_stack(
+                        [np.concatenate([[s0[k]], s1[k]]) for k in range(GMM_K)]
+                    ).T.ravel()
+                    rows2 = np.column_stack(
+                        [np.concatenate([[0.0], s2[k]]) for k in range(GMM_K)]
+                    ).T.ravel()
+                    yield pd.DataFrame(
+                        {"k": ks, "dim": dims, "a": rows1, "b": rows2}
+                    )
+
+            sums = (
+                pts.select("emb")
+                .mapInPandas(kernel, schema="k int, dim int, a double, b double")
+                .groupBy("k", "dim")
+                .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+                .collect()
+            )
+            s0 = np.zeros(GMM_K)
+            s1 = np.zeros((GMM_K, d))
+            s2 = np.zeros((GMM_K, d))
+            for r in sums:
+                if r["dim"] < 0:
+                    s0[r["k"]] = r["a"]
+                else:
+                    s1[r["k"], r["dim"]] = r["a"]
+                    s2[r["k"], r["dim"]] = r["b"]
+            mu = np.round(s1 / s0[:, None], _ROUND)
+            var = np.maximum(
+                np.round(s2 / s0[:, None] - mu * mu, _ROUND), GMM_VAR_FLOOR
+            )
+            logw = np.log(np.round(s0 / n, _ROUND))
+        return (mu, var, logw)
+
+    return memo(spark, ("gmm_params", sf_dir), build)
+
+
+def _responsibilities(X, mu, var, logw):
+    """Softmax responsibilities from diagonal-Gaussian log densities —
+    plain numpy, shared by the fit kernel and the assignment kernel."""
+    import numpy as np
+
+    # (n, K) log densities: logw_k - 0.5 * sum_d ((x-mu)^2/var + ln(2*pi*var))
+    quad = ((X[:, None, :] - mu[None, :, :]) ** 2 / var[None, :, :]).sum(axis=2)
+    logdet = np.log(2 * np.pi * var).sum(axis=1)
+    ll = logw[None, :] - 0.5 * (quad + logdet[None, :])
+    e = np.exp(ll - ll.max(axis=1, keepdims=True))
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def _sql_gmm(k: int, iters: int, src: str = "embeddings") -> str:
+    """Unrolled EM CTEs. Produces ``r{iters + 1}`` — the responsibilities
+    of one final E-step over the fitted parameters (matching the Spark
+    side, which fits ``iters`` M-steps then assigns)."""
+    parts = [
+        f"""
+pts AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM {src}
+),
+nrow AS (SELECT count(DISTINCT vec_id) AS n FROM pts),
+m0 AS (
+    SELECT vec_id AS k, dim, round(val, {_ROUND}) AS mu, 1.0 AS s2
+    FROM pts WHERE vec_id < {k}
+),
+w0 AS (
+    SELECT DISTINCT vec_id AS k, ln(round(1.0 / {k}, {_ROUND})) AS lw
+    FROM pts WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(1, iters + 2):
+        parts.append(
+            f"""
+l{t} AS (
+    SELECT p.vec_id, m.k,
+           w.lw - 0.5 * sum((p.val - m.mu) * (p.val - m.mu) / m.s2
+                            + ln(2 * pi() * m.s2)) AS ll
+    FROM pts p
+    JOIN m{t - 1} m ON m.dim = p.dim
+    JOIN w{t - 1} w ON w.k = m.k
+    GROUP BY p.vec_id, m.k, w.lw
+),
+e{t} AS (
+    SELECT vec_id, k, exp(ll - max(ll) OVER (PARTITION BY vec_id)) AS e
+    FROM l{t}
+),
+r{t} AS (
+    SELECT vec_id, k, e / sum(e) OVER (PARTITION BY vec_id) AS r FROM e{t}
+)"""
+        )
+        if t <= iters:
+            parts.append(
+                f"""
+s0_{t} AS (SELECT k, sum(r) AS s0 FROM r{t} GROUP BY k),
+sm{t} AS (
+    SELECT r.k, p.dim, sum(r.r * p.val) AS s1, sum(r.r * p.val * p.val) AS sq
+    FROM r{t} r JOIN pts p ON p.vec_id = r.vec_id
+    GROUP BY r.k, p.dim
+),
+m{t} AS (
+    SELECT sm.k, sm.dim,
+           round(sm.s1 / s0.s0, {_ROUND}) AS mu,
+           greatest(round(sm.sq / s0.s0
+                          - round(sm.s1 / s0.s0, {_ROUND})
+                            * round(sm.s1 / s0.s0, {_ROUND}), {_ROUND}),
+                    {GMM_VAR_FLOOR}) AS s2
+    FROM sm{t} sm JOIN s0_{t} s0 ON s0.k = sm.k
+),
+w{t} AS (
+    SELECT k, ln(round(s0 / (SELECT n FROM nrow), {_ROUND})) AS lw
+    FROM s0_{t}
+)"""
+            )
+    return ",".join(parts)
+
+
+@register(
+    "gmm_em_assign",
+    sql=f"""
+WITH {_sql_gmm(GMM_K, GMM_ITERS)},
+best AS (
+    SELECT vec_id, k, r FROM r{GMM_ITERS + 1}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY r DESC, k) = 1
+)
+SELECT vec_id,
+       CASE WHEN r < {GMM_NOISE_TH} THEN -1 ELSE k END AS component,
+       round(r, 6) AS posterior
+FROM best
+""",
+    tags=("topics", "ml", "cluster", "scale"),
+)
+def q_gmm_em_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M12 (HDBSCAN substitute), exact-oracle form: diagonal GMM by
+    {GMM_ITERS} deterministic EM rounds; each vector gets its max-posterior
+    component, or the noise label −1 when the posterior is spread
+    (< {GMM_NOISE_TH}) — HDBSCAN's unassigned-points surface. DuckDB
+    replays the EM loop from unrolled CTEs (window-function softmax)."""
+    import numpy as np
+    import pandas as pd
+
+    mu, var, logw = _gmm_params(spark, sf_dir)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            r = _responsibilities(X, mu, var, logw)
+            best = np.argmax(r, axis=1)
+            p = r[np.arange(len(r)), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "component": np.where(p < GMM_NOISE_TH, -1, best),
+                    "posterior": np.round(p, 6),
+                }
+            )
+
+    return (
+        _points(spark, sf_dir)
+        .mapInPandas(kernel, schema="vec_id long, component long, posterior double")
+    )
