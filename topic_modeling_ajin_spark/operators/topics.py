@@ -417,9 +417,71 @@ def q_topic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_TOPICS_AFTER_REDUCE = 6
+# the synthetic generator emits exactly 10 labels at every SF, so the
+# reduction performs 10 - 6 = 4 merges; the oracle unrolls that many steps
+_REDUCE_STEPS = 4
 
 
-@register("topic_reduction", tags=("topics", "reduce"))
+def _sql_merge_steps(steps: int) -> str:
+    """Unrolled single-linkage merges over the static ``sims`` pair table:
+    each step merges the highest-cosine pair whose endpoints live in
+    different components (greater root into lesser) — Kruskal order, the
+    exact semantics of the driver-side union-find. An exhausted candidate
+    list (already ≤ target components) degrades to a no-op step: the CASE
+    compares against NULL and keeps every root."""
+    parts = [
+        """
+labs AS (SELECT i AS label FROM sims UNION SELECT j FROM sims),
+map0 AS MATERIALIZED (SELECT DISTINCT label, label AS root FROM labs)"""
+    ]
+    # MATERIALIZED throughout: inlined CTEs would re-derive the full
+    # c-TF-IDF pipeline behind ``sims`` once per reference, exponentially
+    # across the unrolled steps (observed as a too-many-open-files blowup)
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""
+cand{t} AS MATERIALIZED (
+    SELECT mi.root AS ri, mj.root AS rj
+    FROM sims s
+    JOIN map{t - 1} mi ON mi.label = s.i
+    JOIN map{t - 1} mj ON mj.label = s.j
+    WHERE mi.root <> mj.root
+    ORDER BY s.cos DESC, s.i, s.j
+    LIMIT 1
+),
+map{t} AS MATERIALIZED (
+    SELECT m.label,
+           CASE WHEN m.root = greatest((SELECT ri FROM cand{t}),
+                                       (SELECT rj FROM cand{t}))
+                THEN least((SELECT ri FROM cand{t}), (SELECT rj FROM cand{t}))
+                ELSE m.root END AS root
+    FROM map{t - 1} m
+)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "topic_reduction",
+    sql=f"""
+WITH {SQL_CTFIDF},
+norms AS (SELECT label, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY label),
+dots AS (
+    SELECT x.label AS i, y.label AS j, sum(x.wt * y.wt) AS dot
+    FROM w x JOIN w y ON x.word = y.word AND x.label < y.label
+    GROUP BY x.label, y.label
+),
+sims AS MATERIALIZED (
+    SELECT dots.i, dots.j, dots.dot / (a.nrm * b.nrm) AS cos
+    FROM dots
+    JOIN norms a ON a.label = dots.i
+    JOIN norms b ON b.label = dots.j
+),
+{_sql_merge_steps(_REDUCE_STEPS)}
+SELECT label, root AS merged_topic FROM map{_REDUCE_STEPS}
+""",
+    tags=("topics", "reduce"),
+)
 def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY M15: BERTopic-style topic reduction — iteratively merge the
     most-cosine-similar topic pair until K ≤ {MAX_TOPICS_AFTER_REDUCE}
@@ -429,7 +491,9 @@ def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy loop runs driver-side on collected rows — the one sanctioned
     driver materialization — while the expensive part (the topic-term
     cosine matrix over the full corpus) stays distributed. Ties break on
-    (i, j) so the merge order is total."""
+    (i, j) so the merge order is total — which also makes the whole
+    reduction oracle-checkable: DuckDB replays the merges as unrolled
+    pick-max-eligible-pair steps over the same static cosine table."""
     w = class_term_weights(spark, sf_dir)
     norms = w.groupBy("label").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
