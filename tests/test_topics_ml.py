@@ -226,3 +226,21 @@ def test_gmm_em_assign_posteriors(spark, sf_dir, registry):
         else:
             assert 0 <= r["component"] < GMM_K
             assert r["posterior"] >= GMM_NOISE_TH
+
+
+def test_plsa_distributions_are_simplex(spark, sf_dir, registry):
+    """phi rows are a proper distribution per topic; every doc gets one
+    dominant topic with theta >= 1/K."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.plsa import PLSA_K, _fit
+
+    phi, theta = _fit(spark, sf_dir)
+    sums = {r["z"]: r["s"] for r in phi.groupBy("z").agg(F.sum("phi").alias("s")).collect()}
+    assert len(sums) == PLSA_K
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-6
+    docs = registry["plsa_doc_topics"].fn(spark, sf_dir).collect()
+    assert len(docs) == 500
+    for r in docs:
+        assert r["theta"] >= 1.0 / PLSA_K - 1e-6

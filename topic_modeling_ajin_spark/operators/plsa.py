@@ -1,0 +1,246 @@
+"""Deterministic distributed PLSA — an exact-oracle topic model.
+
+The reference's topic models are library calls (gensim LDA,
+``LDA_Analysis.py:264-276``; BERTopic, ``BERTopic_Analysis.py:329-373``),
+whose sampling/BLAS internals make cross-library results incomparable —
+the MLlib LDA queries are therefore rows-only by design (SURVEY §4).
+This module adds the missing piece: a topic model whose every number the
+DuckDB oracle reproduces. PLSA (Hofmann 1999) is the EM precursor of LDA
+— same (topic | doc) / (word | topic) factorization, no Dirichlet priors —
+and its EM updates are pure multiply/normalize arithmetic: no sampling, no
+digamma, no library.
+
+Determinism recipe (as ``operators.clustering``):
+- init: φ₀(w|z) ∝ 1 + ((md5₃₂(word) + z) mod 13) — portable integer hash,
+  bit-identical on both engines; θ₀(z|d) = 1/K exactly;
+- E-step responsibilities stay raw (engines differ ~1e-15 in the K-sum
+  denominators); M-step posteriors round at 9 dp after their
+  normalizing divisions (structure-free digits);
+- fixed iteration count.
+
+Scale shape per iteration: the E-step joins the (doc, word, n) count table
+with φ (K×V — broadcast) and θ (co-partitioned on doc_id); the M-step is
+two aggregations — (z, word) for φ and (doc, z) for θ. θ never leaves the
+cluster; φ is vocabulary-bounded. This is the textbook distributed-EM
+layout, all expressed as DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..cache import memo
+from ..registry import register
+from ..sources import load_table
+
+PLSA_K = 5
+PLSA_ITERS = 3
+PLSA_TOP_WORDS = 5
+_ROUND = 9
+
+# DuckDB twin of functions.hashing.md5_base32 for the 'word' column
+_SQL_H32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(word), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+def _counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word, n) bag-of-words counts — SURVEY M1's corpus."""
+    from .frequency import tokenized_words
+
+    return memo(
+        spark,
+        ("plsa_counts", sf_dir),
+        lambda: tokenized_words(load_table(spark, sf_dir, "documents"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("n")),
+        persist=True,
+    )
+
+
+def _fit(spark: SparkSession, sf_dir: str):
+    """Returns (phi, theta) DataFrames after {PLSA_ITERS} EM rounds:
+    phi(z, word, phi), theta(doc_id, z, theta)."""
+    from ..functions.hashing import md5_base32
+
+    def build():
+        c = _counts(spark, sf_dir)
+        zs = spark.range(PLSA_K).select(F.col("id").cast("int").alias("z"))
+
+        vocab = c.select("word").distinct()
+        g = vocab.crossJoin(F.broadcast(zs)).select(
+            "z",
+            "word",
+            (1.0 + (md5_base32(F.col("word")) + F.col("z")) % 13).alias("g"),
+        )
+        # integer-valued g summed over an integer-exact range: the
+        # normalization is bit-identical on both engines without rounding
+        phi = g.select(
+            "z",
+            "word",
+            (F.col("g") / F.sum("g").over(Window.partitionBy("z"))).alias("phi"),
+        )
+        theta = (
+            c.select("doc_id")
+            .distinct()
+            .crossJoin(F.broadcast(zs))
+            .select("doc_id", "z", F.lit(1.0 / PLSA_K).alias("theta"))
+        )
+
+        for _ in range(PLSA_ITERS):
+            num = (
+                c.join(F.broadcast(phi), "word")
+                .join(theta, ["doc_id", "z"])
+                .select(
+                    "doc_id",
+                    "word",
+                    "z",
+                    "n",
+                    (F.col("phi") * F.col("theta")).alias("num"),
+                )
+            )
+            r = num.select(
+                "doc_id",
+                "word",
+                "z",
+                (
+                    F.col("n")
+                    * F.col("num")
+                    / F.sum("num").over(Window.partitionBy("doc_id", "word"))
+                ).alias("nr"),
+            )
+            sz = Window.partitionBy("z")
+            phi = (
+                r.groupBy("z", "word")
+                .agg(F.sum("nr").alias("s"))
+                .select(
+                    "z",
+                    "word",
+                    F.round(F.col("s") / F.sum("s").over(sz), _ROUND).alias("phi"),
+                )
+            )
+            sd = Window.partitionBy("doc_id")
+            theta = (
+                r.groupBy("doc_id", "z")
+                .agg(F.sum("nr").alias("s"))
+                .select(
+                    "doc_id",
+                    "z",
+                    F.round(F.col("s") / F.sum("s").over(sd), _ROUND).alias(
+                        "theta"
+                    ),
+                )
+            )
+            # cut the EM lineage per round: phi is K×V, θ is doc-count-sized
+            # but slim (doc, z, value) — persisting both keeps each round's
+            # plan one join deep instead of stacking all previous rounds
+            phi = phi.persist()
+            theta = theta.persist()
+        return (phi, theta)
+
+    return memo(spark, ("plsa_fit", sf_dir), build)
+
+
+def _sql_plsa(iters: int) -> str:
+    """Unrolled EM CTEs; produces phi{iters} (z, word, phi) and
+    theta{iters} (doc_id, z, theta)."""
+    parts = [
+        rf"""
+toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+),
+counts AS MATERIALIZED (
+    SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS n
+    FROM toks WHERE length(word) >= 2
+    GROUP BY doc_id, word
+),
+zs AS (SELECT unnest(range({PLSA_K})) AS z),
+phi0 AS MATERIALIZED (
+    SELECT z, word,
+           g / sum(g) OVER (PARTITION BY z) AS phi
+    FROM (
+        SELECT z.z, v.word, 1.0 + (({_SQL_H32}) + z.z) % 13 AS g
+        FROM (SELECT DISTINCT word FROM counts) v CROSS JOIN zs z
+    )
+),
+theta0 AS MATERIALIZED (
+    SELECT doc_id, z, 1.0 / {PLSA_K} AS theta
+    FROM (SELECT DISTINCT doc_id FROM counts) CROSS JOIN zs
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+r{t} AS MATERIALIZED (
+    SELECT c.doc_id, c.word, p.z,
+           c.n * p.phi * th.theta /
+           sum(p.phi * th.theta) OVER (PARTITION BY c.doc_id, c.word) AS nr
+    FROM counts c
+    JOIN phi{t - 1} p ON p.word = c.word
+    JOIN theta{t - 1} th ON th.doc_id = c.doc_id AND th.z = p.z
+),
+phi{t} AS MATERIALIZED (
+    SELECT z, word, round(s / sum(s) OVER (PARTITION BY z), {_ROUND}) AS phi
+    FROM (SELECT z, word, sum(nr) AS s FROM r{t} GROUP BY z, word)
+),
+theta{t} AS MATERIALIZED (
+    SELECT doc_id, z,
+           round(s / sum(s) OVER (PARTITION BY doc_id), {_ROUND}) AS theta
+    FROM (SELECT doc_id, z, sum(nr) AS s FROM r{t} GROUP BY doc_id, z)
+)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "plsa_topic_terms",
+    sql=f"""
+WITH {_sql_plsa(PLSA_ITERS)}
+SELECT z, word, round(phi, 6) AS phi,
+       row_number() OVER (PARTITION BY z ORDER BY phi DESC, word) AS rank
+FROM phi{PLSA_ITERS}
+QUALIFY rank <= {PLSA_TOP_WORDS}
+""",
+    tags=("topics", "ml", "plsa", "scale"),
+)
+def q_plsa_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M2/M9 in exact-oracle form: per-topic top-{PLSA_TOP_WORDS}
+    words of a {PLSA_K}-topic PLSA fitted by {PLSA_ITERS} deterministic EM
+    rounds — the topic-word table (``LDA_Analysis.py:427-429``'s shape)
+    with every weight hash-checked against DuckDB's replay of the same
+    EM."""
+    phi, _ = _fit(spark, sf_dir)
+    w = Window.partitionBy("z").orderBy(F.desc("phi"), F.asc("word"))
+    return (
+        phi.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PLSA_TOP_WORDS)
+        .select("z", "word", F.round("phi", 6).alias("phi"), "rank")
+    )
+
+
+@register(
+    "plsa_doc_topics",
+    sql=f"""
+WITH {_sql_plsa(PLSA_ITERS)}
+SELECT doc_id, z AS topic, round(theta, 6) AS theta
+FROM theta{PLSA_ITERS}
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY theta DESC, z) = 1
+""",
+    tags=("topics", "ml", "plsa", "scale"),
+)
+def q_plsa_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant PLSA topic per document (SURVEY M8/T4's argmax shape,
+    ``LDA_Analysis.py:653-657``), exact-oracle: the doc-topic posterior is
+    replayed by DuckDB and the per-doc argmax (ties to the lowest topic id)
+    must hash-match."""
+    _, theta = _fit(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("theta"), F.asc("z"))
+    return (
+        theta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("z").alias("topic"), F.round("theta", 6).alias("theta"))
+    )

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "topic_modeling_ajin_spark.operators.text_analysis",
     "topic_modeling_ajin_spark.operators.topics",
     "topic_modeling_ajin_spark.operators.clustering",
+    "topic_modeling_ajin_spark.operators.plsa",
     "topic_modeling_ajin_spark.operators.metrics",
     "topic_modeling_ajin_spark.operators.multimodal",
     "topic_modeling_ajin_spark.operators.curation",
