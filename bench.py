@@ -36,6 +36,8 @@ HEADLINE = (
     "mm_image_meta",         # binary-column mapInPandas plumbing
     "q6_forecast_revenue",   # pure-pushdown scan
     "q10_returned_items",    # multi-join top-k
+    "kmv_distinct_words",    # order-statistics distinct sketch
+    "gmm_em_assign",         # deterministic EM soft clustering
 )
 
 

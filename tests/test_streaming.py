@@ -223,3 +223,33 @@ def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got  # non-trivial: the synthetic data must produce attributions
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static dimension join must emit exactly the batch left-join
+    rows (stateless, append mode, no watermark needed)."""
+    from topic_modeling_ajin_spark.sources import load_table
+
+    customers = load_table(spark, sf_dir, "customer")
+    raw = ST.read_events_stream(spark, sf_dir)
+    ST.run_to_memory(
+        ST.streaming_enrich_events(raw, customers),
+        "s_enrich",
+        str(tmp_path / "ck_enrich"),
+        output_mode="append",
+    )
+    got = spark.table("s_enrich")
+    events = load_table(spark, sf_dir, "events")
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    want = events.join(dim, "user_id", "left")
+    assert got.count() == events.count()
+    assert (
+        got.select("event_id", "user_name", "segment")
+        .exceptAll(want.select("event_id", "user_name", "segment"))
+        .count()
+        == 0
+    )

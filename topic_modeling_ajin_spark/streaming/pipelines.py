@@ -368,3 +368,23 @@ def click_purchase_attribution(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("lag_seconds"),
     )
+
+
+def streaming_enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern every
+    event pipeline needs: each micro-batch joins against the (slowly
+    changing) customer dimension snapshot.
+
+    The static side is broadcast per micro-batch, so the stream never
+    shuffles and needs no watermark or state store — stream-static joins
+    are stateless by construction. At 100 TB the dimension either stays
+    broadcast-sized or the join degrades to a per-batch shuffle join;
+    either way re-planning is per-trigger, picking up dimension updates."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value", "user_name", "segment"
+    )
