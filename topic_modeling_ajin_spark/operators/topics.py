@@ -11,7 +11,9 @@ ln(1 + A / f_t) exactly as BERTopic defines it
 (``BERTopic_Analysis.py:218-240`` configures the vectorizer; the weighting
 lives in the bertopic lib). Every non-ML stage has an exact DuckDB oracle;
 the MLlib stages are rows-only (cross-library weights differ by design —
-SURVEY §4 non-determinism note).
+SURVEY §4 non-determinism note) with deterministic exact-oracle twins in
+``operators.clustering`` (Lloyd/GMM/PCA) and ``operators.plsa`` (the topic
+model itself).
 """
 
 from __future__ import annotations
