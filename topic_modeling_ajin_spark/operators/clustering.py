@@ -346,7 +346,7 @@ v{t} AS (SELECT dim, round(w / (SELECT nv FROM n{t}), {_VROUND}) AS v FROM w{t})
     sql=f"""
 WITH {_sql_power_pca()}
 SELECT dim, round(v, 6) AS loading,
-       (SELECT round(nv, 6) FROM n{PCA_ITERS}) AS eigenvalue
+       (SELECT nv FROM n{PCA_ITERS}) AS eigenvalue
 FROM v{PCA_ITERS}
 """,
     tags=("topics", "ml", "reduce_dim", "scale"),
@@ -357,9 +357,13 @@ def q_pca_power_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed uniform init pins the sign). The rows-only ``pca_project``
     (MLlib PCA, k=5) remains the production variant; this one proves the
     covariance + iteration pipeline against DuckDB value-for-value."""
+    # loading: v is already 6-dp rounded, so the output round is the
+    # identity; eigenvalue ships at its native 9 dp — re-rounding an
+    # already-rounded decimal at a coarser grid is the one rounding class
+    # the engines resolve differently (exact decimal ties)
     _, v, ev = _pca_axis(spark, sf_dir)
     return spark.createDataFrame(
-        [(i, round(float(x), 6), round(float(ev), 6)) for i, x in enumerate(v)],
+        [(i, round(float(x), 6), float(ev)) for i, x in enumerate(v)],
         ["dim", "loading", "eigenvalue"],
     )
 

@@ -14,8 +14,12 @@ Determinism recipe (as ``operators.clustering``):
 - init: φ₀(w|z) ∝ 1 + ((md5₃₂(word) + z) mod 13) — portable integer hash,
   bit-identical on both engines; θ₀(z|d) = 1/K exactly;
 - E-step responsibilities stay raw (engines differ ~1e-15 in the K-sum
-  denominators); M-step posteriors round at 9 dp after their
-  normalizing divisions (structure-free digits);
+  denominators); M-step posteriors round at 6 dp after their normalizing
+  divisions (structure-free digits). 6, not 9: the outputs re-round at
+  6 dp, and re-rounding a 9 dp decimal at 6 dp hits an exact decimal tie
+  with ~1e-3 probability per value — which Spark (shortest-string
+  BigDecimal, HALF_UP) and DuckDB (scaled float) resolve differently.
+  At 6 dp the output rounding is the identity and the tie class vanishes;
 - fixed iteration count.
 
 Scale shape per iteration: the E-step joins the (doc, word, n) count table
@@ -37,7 +41,7 @@ from ..sources import load_table
 PLSA_K = 5
 PLSA_ITERS = 3
 PLSA_TOP_WORDS = 5
-_ROUND = 9
+_ROUND = 6
 
 # DuckDB twin of functions.hashing.md5_base32 for the 'word' column
 _SQL_H32 = " + ".join(
