@@ -64,14 +64,14 @@ def _counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fit(spark: SparkSession, sf_dir: str):
+def _fit(spark: SparkSession, sf_dir: str, k: int = PLSA_K):
     """Returns (phi, theta) DataFrames after {PLSA_ITERS} EM rounds:
     phi(z, word, phi), theta(doc_id, z, theta)."""
     from ..functions.hashing import md5_base32
 
     def build():
         c = _counts(spark, sf_dir)
-        zs = spark.range(PLSA_K).select(F.col("id").cast("int").alias("z"))
+        zs = spark.range(k).select(F.col("id").cast("int").alias("z"))
 
         vocab = c.select("word").distinct()
         g = vocab.crossJoin(F.broadcast(zs)).select(
@@ -90,7 +90,7 @@ def _fit(spark: SparkSession, sf_dir: str):
             c.select("doc_id")
             .distinct()
             .crossJoin(F.broadcast(zs))
-            .select("doc_id", "z", F.lit(1.0 / PLSA_K).alias("theta"))
+            .select("doc_id", "z", F.lit(1.0 / k).alias("theta"))
         )
 
         for _ in range(PLSA_ITERS):
@@ -144,14 +144,10 @@ def _fit(spark: SparkSession, sf_dir: str):
             theta = theta.persist()
         return (phi, theta)
 
-    return memo(spark, ("plsa_fit", sf_dir), build)
+    return memo(spark, ("plsa_fit", sf_dir, k), build)
 
 
-def _sql_plsa(iters: int) -> str:
-    """Unrolled EM CTEs; produces phi{iters} (z, word, phi) and
-    theta{iters} (doc_id, z, theta)."""
-    parts = [
-        rf"""
+_SQL_COUNTS = r"""
 toks AS (
     SELECT doc_id,
            unnest(string_split_regex(lower(text), '\s+')) AS word
@@ -161,40 +157,53 @@ counts AS MATERIALIZED (
     SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS n
     FROM toks WHERE length(word) >= 2
     GROUP BY doc_id, word
-),
-zs AS (SELECT unnest(range({PLSA_K})) AS z),
-phi0 AS MATERIALIZED (
+)"""
+
+
+def _sql_plsa(iters: int, k: int = PLSA_K, sfx: str = "") -> str:
+    """Unrolled EM CTEs; produces phi{iters}{sfx} (z, word, phi) and
+    theta{iters}{sfx} (doc_id, z, theta). ``sfx`` namespaces the CTEs so a
+    K-sweep can unroll several fits in one statement; the shared ``toks``/
+    ``counts`` CTEs are emitted only for the unsuffixed fit (callers of a
+    suffixed fit emit them once, first)."""
+    parts = []
+    if not sfx:
+        parts.append(_SQL_COUNTS)
+    parts.append(
+        rf"""
+zs{sfx} AS (SELECT unnest(range({k})) AS z),
+phi0{sfx} AS MATERIALIZED (
     SELECT z, word,
            g / sum(g) OVER (PARTITION BY z) AS phi
     FROM (
         SELECT z.z, v.word, 1.0 + (({_SQL_H32}) + z.z) % 13 AS g
-        FROM (SELECT DISTINCT word FROM counts) v CROSS JOIN zs z
+        FROM (SELECT DISTINCT word FROM counts) v CROSS JOIN zs{sfx} z
     )
 ),
-theta0 AS MATERIALIZED (
-    SELECT doc_id, z, 1.0 / {PLSA_K} AS theta
-    FROM (SELECT DISTINCT doc_id FROM counts) CROSS JOIN zs
+theta0{sfx} AS MATERIALIZED (
+    SELECT doc_id, z, 1.0 / {k} AS theta
+    FROM (SELECT DISTINCT doc_id FROM counts) CROSS JOIN zs{sfx}
 )"""
-    ]
+    )
     for t in range(1, iters + 1):
         parts.append(
             f"""
-r{t} AS MATERIALIZED (
+r{t}{sfx} AS MATERIALIZED (
     SELECT c.doc_id, c.word, p.z,
            c.n * p.phi * th.theta /
            sum(p.phi * th.theta) OVER (PARTITION BY c.doc_id, c.word) AS nr
     FROM counts c
-    JOIN phi{t - 1} p ON p.word = c.word
-    JOIN theta{t - 1} th ON th.doc_id = c.doc_id AND th.z = p.z
+    JOIN phi{t - 1}{sfx} p ON p.word = c.word
+    JOIN theta{t - 1}{sfx} th ON th.doc_id = c.doc_id AND th.z = p.z
 ),
-phi{t} AS MATERIALIZED (
+phi{t}{sfx} AS MATERIALIZED (
     SELECT z, word, round(s / sum(s) OVER (PARTITION BY z), {_ROUND}) AS phi
-    FROM (SELECT z, word, sum(nr) AS s FROM r{t} GROUP BY z, word)
+    FROM (SELECT z, word, sum(nr) AS s FROM r{t}{sfx} GROUP BY z, word)
 ),
-theta{t} AS MATERIALIZED (
+theta{t}{sfx} AS MATERIALIZED (
     SELECT doc_id, z,
            round(s / sum(s) OVER (PARTITION BY doc_id), {_ROUND}) AS theta
-    FROM (SELECT doc_id, z, sum(nr) AS s FROM r{t} GROUP BY doc_id, z)
+    FROM (SELECT doc_id, z, sum(nr) AS s FROM r{t}{sfx} GROUP BY doc_id, z)
 )"""
         )
     return ",".join(parts)
@@ -248,3 +257,65 @@ def q_plsa_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("z").alias("topic"), F.round("theta", 6).alias("theta"))
     )
+
+
+SWEEP_KS = (2, 3, 4, 5)
+
+
+def _sweep_sql() -> str:
+    """One statement unrolling a full EM fit per candidate K (shared
+    corpus CTEs), scoring each fit."""
+    fits = [_SQL_COUNTS]
+    scores = []
+    for k in SWEEP_KS:
+        sfx = f"_k{k}"
+        fits.append(_sql_plsa(PLSA_ITERS, k, sfx))
+        scores.append(
+            f"""
+SELECT {k} AS k,
+       (SELECT round(count(DISTINCT word) * 1.0 / count(*), 6) FROM (
+            SELECT z, word,
+                   row_number() OVER (PARTITION BY z ORDER BY phi DESC, word) AS rn
+            FROM phi{PLSA_ITERS}{sfx} QUALIFY rn <= {PLSA_TOP_WORDS}
+       )) AS diversity,
+       -- 4 dp, not 6: the mean of 6-dp decimals lives on a ~2e-9
+       -- decimal grid, so a 6-dp round can hit an exact tie (~2e-3/value);
+       -- the coarser grid makes that a ~2e-5 fluke
+       (SELECT round(avg(theta), 4) FROM (
+            SELECT doc_id, max(theta) AS theta
+            FROM theta{PLSA_ITERS}{sfx} GROUP BY doc_id
+       )) AS avg_confidence"""
+        )
+    return "WITH " + ",".join(fits) + "\nUNION ALL".join(scores)
+
+
+@register(
+    "plsa_k_sweep",
+    sql=_sweep_sql(),
+    tags=("topics", "ml", "plsa", "sweep"),
+)
+def q_plsa_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY M3 in exact-oracle form: the optimal-K sweep over one cached
+    corpus (the reference trains K=2..15 on one gensim corpus,
+    ``LDA_Analysis.py:179-248``). Per candidate K: topic diversity
+    (distinct top-{PLSA_TOP_WORDS} words / total — SURVEY M5) and mean
+    dominant-topic confidence. Every fit reuses the memoized (doc, word, n)
+    counts; DuckDB replays all {len(SWEEP_KS)} fits in one statement."""
+    rows = []
+    for k in SWEEP_KS:
+        phi, theta = _fit(spark, sf_dir, k)
+        w = Window.partitionBy("z").orderBy(F.desc("phi"), F.asc("word"))
+        topw = phi.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= PLSA_TOP_WORDS
+        )
+        div = topw.agg(
+            F.round(F.countDistinct("word") / F.count("*"), 6)
+        ).collect()[0][0]
+        conf = (
+            theta.groupBy("doc_id")
+            .agg(F.max("theta").alias("t"))
+            .agg(F.round(F.avg("t"), 4))
+            .collect()[0][0]
+        )
+        rows.append((k, float(div), float(conf)))
+    return spark.createDataFrame(rows, ["k", "diversity", "avg_confidence"])
