@@ -318,3 +318,64 @@ def q_near_dup_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.select(F.col("doc_b").alias("discard_doc_id")).distinct()
+
+
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "newly crawled batch"
+
+
+@register(
+    "incremental_dedup",
+    sql=rf"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^가-힣a-zA-Z0-9 ]', '', 'g'),
+                                   '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+),
+idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % {NEW_BATCH_MOD} <> 0),
+batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % {NEW_BATCH_MOD} = 0),
+flags AS (
+    SELECT b.doc_id, b.fingerprint,
+           EXISTS (SELECT 1 FROM idx i WHERE i.fingerprint = b.fingerprint) AS dup_of_corpus,
+           min(b.doc_id) OVER (PARTITION BY b.fingerprint) AS first_in_batch
+    FROM batch b
+)
+SELECT doc_id,
+       dup_of_corpus,
+       (doc_id <> first_in_batch) AS dup_within_batch,
+       (NOT dup_of_corpus AND doc_id = first_in_batch) AS keep
+FROM flags
+""",
+    tags=("dedup", "scale"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) dedup — the shape every continuously-crawled
+    corpus needs: dedup a NEW batch (here doc_id % {NEW_BATCH_MOD} == 0)
+    against the existing corpus index AND within itself, keeping the audit
+    flags separate. The index side carries only 16-byte fingerprints — at
+    100 TB it is the persisted bloom/fingerprint table of prior runs, and
+    the batch-vs-index probe is a semi-join on a fixed-width key (no
+    document bodies move); within-batch survivorship is the deterministic
+    min-id window."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+    )
+    idx = fp.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).select(
+        "fingerprint"
+    ).distinct().withColumn("in_corpus", F.lit(True))
+    batch = fp.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    from pyspark.sql import Window
+
+    first = Window.partitionBy("fingerprint")
+    flags = (
+        batch.join(idx, "fingerprint", "left")
+        .withColumn("dup_of_corpus", F.coalesce(F.col("in_corpus"), F.lit(False)))
+        .withColumn("first_in_batch", F.min("doc_id").over(first))
+    )
+    return flags.select(
+        "doc_id",
+        "dup_of_corpus",
+        (F.col("doc_id") != F.col("first_in_batch")).alias("dup_within_batch"),
+        (~F.col("dup_of_corpus") & (F.col("doc_id") == F.col("first_in_batch"))).alias("keep"),
+    )

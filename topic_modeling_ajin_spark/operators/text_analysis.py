@@ -641,3 +641,134 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_doc").alias("n_bench_docs"),
         )
     )
+
+
+MIN_KEEP_TOKENS = 10
+MAX_KEEP_DUP = 0.3
+MIN_KEEP_QUALITY = 0.35
+
+
+@register(
+    "curation_filter_report",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+m AS (
+    SELECT doc_id,
+           length(toks) AS n_tokens,
+           CASE WHEN length(toks) >= {REPETITION_NGRAM}
+                THEN length(list_transform(range(1, length(toks) - {REPETITION_NGRAM - 2}),
+                                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                ELSE 0 END AS n_grams,
+           CASE WHEN length(toks) >= {REPETITION_NGRAM}
+                THEN length(list_distinct(list_transform(range(1, length(toks) - {REPETITION_NGRAM - 2}),
+                                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])))
+                ELSE 0 END AS n_uniq,
+           CASE WHEN length(toks) > 0
+                THEN length(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) * 1.0 / length(toks)
+                ELSE 0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9가-힣 ]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0 END AS punct_ratio,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^가-힣]', '', 'g')) * 1.0 / length(text)
+                ELSE 0 END AS hangul_ratio
+    FROM t
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_grams > 0 THEN (n_grams - n_uniq) * 1.0 / n_grams ELSE 0 END AS dup_ratio,
+           0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.25 * least(stop_ratio * 5, 1.0)
+             + 0.25 * (1.0 - punct_ratio) AS quality,
+           CASE WHEN hangul_ratio > 0.3 THEN 'ko'
+                WHEN stop_ratio >= 0.05 THEN 'en'
+                ELSE 'unk' END AS predicted
+    FROM m
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(dup_ratio, 6) AS dup_ratio,
+       round(quality, 6) AS quality,
+       predicted AS lang,
+       CASE WHEN n_tokens < {MIN_KEEP_TOKENS} THEN 'too_short'
+            WHEN dup_ratio > {MAX_KEEP_DUP} THEN 'repetitive'
+            WHEN quality < {MIN_KEEP_QUALITY} THEN 'low_quality'
+            WHEN predicted = 'unk' THEN 'unknown_lang'
+            ELSE 'keep' END AS decision,
+       CASE WHEN n_tokens >= {MIN_KEEP_TOKENS} AND dup_ratio <= {MAX_KEEP_DUP}
+             AND quality >= {MIN_KEEP_QUALITY} AND predicted <> 'unk'
+            THEN true ELSE false END AS keep
+FROM s
+""",
+    tags=("text_analysis", "quality", "curation", "scale"),
+)
+def q_curation_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite keep/drop gate a training pipeline runs per document
+    (Gopher/C4-style rule stack): length floor → repetition cap → quality
+    floor → language gate, with the FIRST failing rule recorded as the
+    decision (the audit-trail shape quality dashboards need). One pass,
+    one projection, zero shuffles — every signal reuses the staged token
+    array, so 100 TB costs exactly one scan."""
+    from ..functions import hashing as H
+
+    df = _docs(spark, sf_dir)
+    staged = df.select(
+        "doc_id", "text", TX.word_tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        "text",
+        "toks",
+        H.token_ngrams(F.col("toks"), REPETITION_NGRAM).alias("grams"),
+    )
+    n_tokens = F.size("toks")
+    n_grams = F.size("grams")
+    n_uniq = F.size(F.array_distinct("grams"))
+    dup = F.when(n_grams > 0, (n_grams - n_uniq) * 1.0 / n_grams).otherwise(0.0)
+    stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(F.col("toks"), lambda w: F.array_contains(stop_lit, w)))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    kept_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9가-힣 ]", "")
+    )
+    punct_ratio = F.when(
+        F.length("text") > 0, (F.length("text") - kept_chars) / F.length("text")
+    ).otherwise(0.0)
+    hangul = F.length(F.regexp_replace(F.col("text"), r"[^가-힣]", ""))
+    hangul_ratio = F.when(
+        F.length("text") > 0, hangul / F.length("text")
+    ).otherwise(0.0)
+    quality = (
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.25 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.25 * (1.0 - punct_ratio)
+    )
+    predicted = (
+        F.when(hangul_ratio > 0.3, "ko")
+        .when(stop_ratio >= 0.05, "en")
+        .otherwise("unk")
+    )
+    scored = staged.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(dup, 6).alias("dup_ratio"),
+        F.round(quality, 6).alias("quality"),
+        predicted.alias("lang"),
+        dup.alias("_dup"),
+        quality.alias("_q"),
+    )
+    decision = (
+        F.when(F.col("n_tokens") < MIN_KEEP_TOKENS, "too_short")
+        .when(F.col("_dup") > MAX_KEEP_DUP, "repetitive")
+        .when(F.col("_q") < MIN_KEEP_QUALITY, "low_quality")
+        .when(F.col("lang") == "unk", "unknown_lang")
+        .otherwise("keep")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dup_ratio",
+        "quality",
+        "lang",
+        decision.alias("decision"),
+        (decision == "keep").alias("keep"),
+    )
