@@ -244,3 +244,21 @@ def test_plsa_distributions_are_simplex(spark, sf_dir, registry):
     assert len(docs) == 500
     for r in docs:
         assert r["theta"] >= 1.0 / PLSA_K - 1e-6
+
+
+def test_dedup_components_consistent_with_edges(spark, sf_dir, registry):
+    """Every near-dup edge's endpoints must land in the same component,
+    and each component's label is its minimum member id."""
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in registry["dedup_components"].fn(spark, sf_dir).collect()
+    }
+    edges = registry["simhash_near_dup"].fn(spark, sf_dir).collect()
+    assert edges
+    for e in edges:
+        assert comp[e["doc_a"]] == comp[e["doc_b"]]
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)

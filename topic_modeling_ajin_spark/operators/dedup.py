@@ -379,3 +379,138 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.col("first_in_batch")).alias("dup_within_batch"),
         (~F.col("dup_of_corpus") & (F.col("doc_id") == F.col("first_in_batch"))).alias("keep"),
     )
+
+
+CC_STEPS = 12  # propagate+jump rounds: known-min distance ~doubles per
+               # round, so 12 rounds closes components of diameter ≲ 4096
+               # (propagation alone needs diameter rounds — measured
+               # non-convergent on the sf0.001 near-dup graph at 6)
+
+
+def _sql_cc(steps: int) -> str:
+    """Unrolled min-label propagate + pointer-jump rounds over the
+    ``edges`` CTE (doc_a, doc_b). Produces ``l{steps}`` (doc_id, comp).
+    Each round: (1) take the min label over the closed neighborhood,
+    (2) jump — replace the label by the label OF the labeled vertex
+    (labels are always vertex ids in the same component, so jumping stays
+    inside it and doubles the distance the min has travelled).
+    MATERIALIZED: inlined CTEs would re-derive the edge table once per
+    reference, exponentially."""
+    parts = [
+        """
+verts AS (SELECT doc_a AS doc_id FROM edges UNION SELECT doc_b FROM edges),
+l0 AS MATERIALIZED (SELECT doc_id, doc_id AS comp FROM verts)"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""
+p{t} AS MATERIALIZED (
+    SELECT doc_id, min(comp) AS comp FROM (
+        SELECT doc_id, comp FROM l{t - 1}
+        UNION ALL
+        SELECT e.doc_b AS doc_id, l.comp
+        FROM edges e JOIN l{t - 1} l ON l.doc_id = e.doc_a
+        UNION ALL
+        SELECT e.doc_a AS doc_id, l.comp
+        FROM edges e JOIN l{t - 1} l ON l.doc_id = e.doc_b
+    ) GROUP BY doc_id
+),
+l{t} AS MATERIALIZED (
+    SELECT a.doc_id, least(a.comp, b.comp) AS comp
+    FROM p{t} a JOIN p{t} b ON b.doc_id = a.comp
+)"""
+        )
+    return ",".join(parts)
+
+
+def _simhash_edges_sql() -> str:
+    from .text_analysis import _SIMHASH_BODY, _SIMHASH_HAM_MAX
+
+    return f"""
+{_SIMHASH_BODY},
+banded AS (
+    SELECT doc_id, simhash,
+           simhash % 256 AS band_lo, simhash // 256 AS band_hi
+    FROM sh
+),
+edges AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b
+      ON a.doc_id < b.doc_id
+     AND (a.band_lo = b.band_lo OR a.band_hi = b.band_hi)
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_MAX}
+)"""
+
+
+@register(
+    "dedup_components",
+    sql=f"""
+WITH {_simhash_edges_sql()},
+{_sql_cc(CC_STEPS)},
+sizes AS (SELECT comp, count(*) AS n FROM l{CC_STEPS} GROUP BY comp)
+SELECT l.doc_id, l.comp AS component, s.n AS component_size
+FROM l{CC_STEPS} l JOIN sizes s ON s.comp = l.comp
+""",
+    tags=("dedup", "graph", "scale"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph — dedup CLUSTERS, not
+    just pairs: transitive closure turns pairwise matches into groups (keep
+    one doc per component). Min-label propagation WITH pointer jumping —
+    each round takes the neighborhood min, then follows the label one hop
+    (comp ← comp-of-comp), so the distance the min label travels doubles
+    per round and {CC_STEPS} fixed rounds close components of diameter
+    ≲ 2^{CC_STEPS}. Pure integer algebra — per round one edge⋈label join,
+    a min-aggregate, and a label self-join, all shuffle-partitioned on
+    doc_id, lineage cut by eager localCheckpoint; DuckDB replays the
+    identical rounds. This is the Hash-to-Min / GraphX regime: rounds
+    logarithmic in component diameter, each round co-partitioned joins."""
+    from ..cache import memo
+    from .text_analysis import q_simhash_near_dup
+
+    edges = memo(
+        spark,
+        ("cc_edges", sf_dir),
+        lambda: q_simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b"),
+        persist=True,
+    )
+    label = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select("doc_b"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("comp"))
+    )
+    for _ in range(CC_STEPS):
+        msgs = (
+            edges.join(label, edges.doc_a == label.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "comp")
+            .union(
+                edges.join(label, edges.doc_b == label.doc_id).select(
+                    F.col("doc_a").alias("doc_id"), "comp"
+                )
+            )
+        )
+        prop = (
+            label.union(msgs).groupBy("doc_id").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- min(comp, comp-of-comp); labels are vertex
+        # ids inside the same component, so the jump stays in-component and
+        # doubles the distance the min label has travelled per round
+        target = prop.select(
+            F.col("doc_id").alias("t_id"), F.col("comp").alias("t_comp")
+        )
+        jumped = prop.join(target, prop.comp == target.t_id).select(
+            "doc_id", F.least("comp", "t_comp").alias("comp")
+        )
+        # localCheckpoint, not persist: iterative self-reference makes the
+        # LOGICAL plan grow several-fold per round, and Catalyst re-analysis
+        # of the stacked unions/joins goes combinatorial (observed: minutes
+        # of driver spin by round 6). Eager checkpointing truncates lineage
+        # to a leaf each round — the GraphX/GraphFrames pattern for
+        # iterative graph algorithms.
+        label = jumped.localCheckpoint(eager=True)
+    sizes = label.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return label.join(sizes, "comp").select(
+        "doc_id", F.col("comp").alias("component"), "component_size"
+    )
