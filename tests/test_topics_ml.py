@@ -239,7 +239,9 @@ def test_plsa_distributions_are_simplex(spark, sf_dir, registry):
     sums = {r["z"]: r["s"] for r in phi.groupBy("z").agg(F.sum("phi").alias("s")).collect()}
     assert len(sums) == PLSA_K
     for s in sums.values():
-        assert abs(s - 1.0) < 1e-6
+        # phi entries are 6-dp rounded, so the simplex sum drifts by up to
+        # V * 0.5e-6
+        assert abs(s - 1.0) < 1e-4
     docs = registry["plsa_doc_topics"].fn(spark, sf_dir).collect()
     assert len(docs) == 500
     for r in docs:
