@@ -66,6 +66,18 @@ SELECTED = (
         "count; class mass / term df / avg-mass are broadcast back "
         "(tiny aggregates of the cached count table).",
     ),
+    (
+        "curation_filter_report",
+        "Composite Gopher/C4 keep-drop gate: every signal (length, "
+        "repetition, quality, language) reuses the staged token array in "
+        "one scan — a pure projection pipeline whose only Exchange is the deliberate round-robin spread of the single-split local test file (`parallelized()` — a no-op on a real multi-split table).",
+    ),
+    (
+        "kmv_distinct_words",
+        "KMV sketch: the k smallest hashes flow through "
+        "`TakeOrderedAndProject` (constant-size per-partition heaps) "
+        "after a map-side-deduped distinct.",
+    ),
 )
 
 
