@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from topic_modeling_ajin_spark.sources import (
@@ -106,3 +109,63 @@ def test_full_analysis_pipeline(spark, sf_dir, tmp_path):
             continue
         df = spark.read.parquet(path)
         assert df.count() > 0, name
+
+
+REFERENCE_RAW = (
+    "/root/reference/RAW_DATA/"
+    "2025_6_28_22_56_49_4600_channel_download_ai광고.xlsx"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_RAW), reason="reference snapshot not present"
+)
+def test_reference_golden_prep_parity(spark):
+    """Replication test against the reference's OWN artifacts (SURVEY §5,
+    BASELINE.md): run the canonical prep (P1-P5, F1-F2 — projection,
+    rename, date coercion, keep-first dedup, null-drop, concat) on the
+    reference's raw crawling xlsx and hit its recorded golden numbers:
+    5,058 raw rows → 4,793 documents, mean title_contents length 146.46
+    (``Results/comprehensive_analysis_results.xlsx``, logic
+    ``preprocessing.py:325-359``)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.sources.io import read_xlsx
+
+    raw = read_xlsx(spark, REFERENCE_RAW)
+    assert raw.count() == 5058
+
+    # crawling-source projection/rename (preprocessing.py:334-335) with an
+    # ingest-order id so keep-first dedup semantics match pandas
+    df = raw.select(
+        F.monotonically_increasing_id().alias("idx"),
+        F.to_date(F.col("시작 날짜")).alias("date"),
+        F.col("제목").alias("title"),
+        F.col("정제데이터").alias("contents"),
+    )
+    first = Window.partitionBy("contents")
+    deduped = (
+        df.withColumn("keep_idx", F.min("idx").over(first))
+        .filter(F.col("idx") == F.col("keep_idx"))
+    )
+    # pandas reads empty xlsx cells as NaN (dropped by dropna); the stdlib
+    # reader surfaces them as '' — nullify to match
+    final = deduped.filter(
+        F.col("contents").isNotNull()
+        & (F.col("contents") != "")
+        & F.col("date").isNotNull()
+    )
+    assert final.count() == 4793
+
+    title_contents = F.trim(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("title"), F.lit("")),
+            F.coalesce(F.col("contents"), F.lit("")),
+        )
+    )
+    mean_len = final.agg(
+        F.round(F.avg(F.length(title_contents)), 2).alias("m")
+    ).collect()[0]["m"]
+    assert mean_len == 146.46

@@ -104,3 +104,51 @@ def save_model(model, path: str) -> None:
 
 def load_model(model_cls, path: str):
     return model_cls.load(path)
+
+
+def read_xlsx(spark: SparkSession, path: str, sheet: int = 1) -> DataFrame:
+    """Excel scan (SURVEY S1) without any optional dependency: xlsx is a
+    zip of XML, and the two storage modes pandas would read (sharedStrings
+    and inline strings) parse with the stdlib. First row = header; every
+    value surfaces as a string column (the engine's explicit-cast stance —
+    the reference relies on pandas inference, ``preprocessing.py:303``).
+
+    Driver-side parse by design: Excel is an ingest/export edge format for
+    human-sized workbooks, not a 100 TB columnar source — the first thing a
+    real pipeline does is land it in Parquet (``write_parquet``)."""
+    import re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    m = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    z = zipfile.ZipFile(path)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(m + "si"):
+            shared.append("".join(t.text or "" for t in si.iter(m + "t")))
+    root = ET.fromstring(z.read(f"xl/worksheets/sheet{sheet}.xml"))
+    rows: list[dict[str, str | None]] = []
+    for row in root.iter(m + "row"):
+        cells: dict[str, str | None] = {}
+        for c in row.findall(m + "c"):
+            col = re.match(r"[A-Z]+", c.get("r", "A")).group(0)
+            t = c.get("t")
+            if t == "inlineStr":
+                val: str | None = "".join(
+                    tt.text or "" for tt in c.iter(m + "t")
+                )
+            else:
+                v = c.find(m + "v")
+                val = None if v is None else (
+                    shared[int(v.text)] if t == "s" else v.text
+                )
+            cells[col] = val
+        rows.append(cells)
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header_cells, data = rows[0], rows[1:]
+    cols = sorted(header_cells, key=lambda c: (len(c), c))
+    names = [header_cells[c] or c for c in cols]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in data], names
+    )
