@@ -169,3 +169,59 @@ def test_reference_golden_prep_parity(spark):
         F.round(F.avg(F.length(title_contents)), 2).alias("m")
     ).collect()[0]["m"]
     assert mean_len == 146.46
+
+
+REFERENCE_PRE = "/root/reference/Results/pre_dataframe.xlsx"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_PRE), reason="reference snapshot not present"
+)
+def test_reference_derived_columns_cell_exact(spark):
+    """Cell-exact replication of the reference's canonical preprocessed
+    table: recompute every derived column of ``Results/pre_dataframe.xlsx``
+    (4,793 rows) from its own raw columns with this engine's expressions
+    and require ZERO mismatches — title_contents (P4,
+    ``preprocessing.py:353``), year/month from the Excel date serial (P5,
+    ``:356-357``), and cleaned_text (P6+P7 ``clean_text``:
+    strip specials → collapse whitespace → word-boundary (?i)\\bai\\b →
+    bare AI/ai replaces → trim, ``:206-217,279-284``)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.sources.io import read_xlsx
+
+    df = read_xlsx(spark, REFERENCE_PRE)
+    assert df.count() == 4793
+
+    tc = F.trim(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("title"), F.lit("")),
+            F.coalesce(F.col("contents"), F.lit("")),
+        )
+    )
+    c = F.coalesce(F.col("title_contents"), F.lit(""))
+    c = F.regexp_replace(c, r"[^가-힣a-zA-Z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(?i)\bai\b", "인공지능")
+    c = F.regexp_replace(c, r"AI", "인공지능")
+    cleaned = F.trim(F.regexp_replace(c, r"ai", "인공지능"))
+    serial_date = F.date_add(
+        F.lit("1899-12-30").cast("date"), F.col("date").cast("int")
+    )
+
+    bad = df.agg(
+        F.sum(
+            (tc != F.coalesce(F.col("title_contents"), F.lit(""))).cast("int")
+        ).alias("tc"),
+        F.sum(
+            (cleaned != F.coalesce(F.col("cleaned_text"), F.lit(""))).cast("int")
+        ).alias("cl"),
+        F.sum(
+            (F.year(serial_date).cast("string") != F.col("year")).cast("int")
+        ).alias("y"),
+        F.sum(
+            (F.month(serial_date).cast("string") != F.col("month")).cast("int")
+        ).alias("m"),
+    ).collect()[0]
+    assert (bad["tc"], bad["cl"], bad["y"], bad["m"]) == (0, 0, 0, 0)
