@@ -253,3 +253,34 @@ def test_stream_static_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_streaming_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path):
+    """File-sink exactly-once: run the hourly aggregation stream to a
+    parquet sink with a checkpoint, then start it AGAIN with the same
+    checkpoint — the restart must recognize completed work and emit
+    nothing new (no duplicate rows), the core replay guarantee a
+    production ingest pipeline relies on."""
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck_sink")
+
+    def run_once():
+        events = ST.read_events_stream(spark, sf_dir)
+        q = (
+            ST.hourly_event_counts(events)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+    run_once()  # same checkpoint: no new input => no new output
+    back = spark.read.parquet(out)
+    assert back.count() == n_first
+    assert back.select("hour", "event_type").distinct().count() == n_first
