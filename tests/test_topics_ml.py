@@ -264,3 +264,32 @@ def test_dedup_components_consistent_with_edges(spark, sf_dir, registry):
         members.setdefault(c, []).append(d)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_iterative_ml_partition_invariance(spark, sf_dir, registry):
+    """The deterministic ML twins must produce identical results under a
+    different shuffle layout — rerun with caches cleared and a different
+    shuffle-partition count, compare row sets exactly."""
+    from topic_modeling_ajin_spark.cache import clear_caches
+
+    def snap():
+        lloyd = {
+            (r["vec_id"], r["cluster"])
+            for r in registry["lloyd_kmeans"].fn(spark, sf_dir).collect()
+        }
+        plsa = {
+            (r["doc_id"], r["topic"], r["theta"])
+            for r in registry["plsa_doc_topics"].fn(spark, sf_dir).collect()
+        }
+        return lloyd, plsa
+
+    before = snap()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    clear_caches(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        after = snap()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        clear_caches(spark)
+    assert before == after
