@@ -772,3 +772,100 @@ def q_curation_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         decision.alias("decision"),
         (decision == "keep").alias("keep"),
     )
+
+
+@register(
+    "token_entropy",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY doc_id, word),
+n AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS n FROM c GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(n.n AS BIGINT) AS n_tokens,
+       round(-sum((c.cnt / n.n) * ln(c.cnt / n.n)), 6) AS entropy,
+       round(CASE WHEN n.n > 1
+                  THEN -sum((c.cnt / n.n) * ln(c.cnt / n.n)) / ln(n.n)
+                  ELSE 0 END, 6) AS norm_entropy
+FROM c JOIN n ON n.doc_id = c.doc_id
+GROUP BY c.doc_id, n.n
+""",
+    tags=("text_analysis", "quality", "scale"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (and its ln(n)-normalized form) — the
+    information-theoretic repetitiveness signal: boilerplate and
+    keyword-stuffed text score low, natural prose high. One (doc, word)
+    aggregation then a per-doc reduce — shuffle keys are document-local, so
+    at 100 TB this is a map-side-combined two-level aggregate."""
+    df = _docs(spark, sf_dir)
+    tok = df.select("doc_id", F.explode(TX.word_tokens("text")).alias("word"))
+    c = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    n = c.groupBy("doc_id").agg(F.sum("cnt").cast("double").alias("n"))
+    j = c.join(n, "doc_id")
+    p = F.col("cnt") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return j.groupBy("doc_id", "n").agg(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n") > 1, ent / F.log(F.col("n"))).otherwise(0.0), 6
+        ).alias("norm_entropy"),
+    ).select("doc_id", "n_tokens", "entropy", "norm_entropy")
+
+
+ZIPF_TOP = 100
+
+
+@register(
+    "zipf_fit",
+    sql=rf"""
+WITH t AS ({_SQL_WORD_TOKS}),
+tok AS (SELECT unnest(toks) AS word FROM t),
+freq AS (
+    SELECT word, count(*) AS cnt,
+           row_number() OVER (ORDER BY count(*) DESC, word) AS rank
+    FROM tok GROUP BY word
+    QUALIFY rank <= {ZIPF_TOP}
+),
+xy AS (SELECT ln(rank) AS x, ln(cnt) AS y FROM freq)
+SELECT CAST(count(*) AS INT) AS n_points,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope,
+       round((sum(y) - (count(*) * sum(x * y) - sum(x) * sum(y))
+                        / (count(*) * sum(x * x) - sum(x) * sum(x)) * sum(x))
+             / count(*), 6) AS intercept
+FROM xy
+""",
+    tags=("text_analysis", "stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-{ZIPF_TOP} word frequencies: closed-form
+    least squares of ln(freq) on ln(rank). Natural corpora slope ≈ −1;
+    synthetic or templated text deviates — a one-number corpus health
+    check. The regression runs on a {ZIPF_TOP}-row table; everything before
+    it is the standard word-count aggregate."""
+    df = _docs(spark, sf_dir)
+    tok = df.select(F.explode(TX.word_tokens("text")).alias("word"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    freq = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP)
+    )
+    xy = freq.select(
+        F.log("rank").alias("x"), F.log("cnt").alias("y")
+    )
+    cnt = F.count("*")
+    slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    intercept = (F.sum("y") - slope * F.sum("x")) / cnt
+    return xy.agg(
+        cnt.cast("int").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
