@@ -349,3 +349,100 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("cts"))) / 1_000_000
         ).cast("long").alias("lag_seconds"),
     )
+
+
+MOVING_DAYS = 7
+
+
+@register(
+    "moving_window_revenue",
+    sql=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS v
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d AS (SELECT event_type, day, v, datediff('day', DATE '1970-01-01', day) AS dn FROM daily)
+SELECT event_type, day,
+       round(sum(v) OVER (PARTITION BY event_type ORDER BY dn
+                          RANGE BETWEEN {MOVING_DAYS - 1} PRECEDING AND CURRENT ROW), 2)
+           AS moving_{MOVING_DAYS}d,
+       CAST(count(*) OVER (PARTITION BY event_type ORDER BY dn
+                           RANGE BETWEEN {MOVING_DAYS - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS days_in_window
+FROM d
+""",
+    tags=("events", "window"),
+)
+def q_moving_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event type, the trailing
+    {MOVING_DAYS}-day value sum over the DAILY series — a RANGE frame over
+    event time, not a ROWS frame (gaps in the calendar shrink the window,
+    which ROWS would silently paper over). The frame key is an integer day
+    number, so the range arithmetic is exact on both engines. Scale shape:
+    daily pre-aggregation first (the shuffle carries one row per
+    (type, day)), then the window runs over the tiny series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("v"))
+        .withColumn("dn", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dn")
+        .rangeBetween(-(MOVING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.sum("v").over(w), 2).alias(f"moving_{MOVING_DAYS}d"),
+        F.count("*").over(w).alias("days_in_window"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    sql="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
+""",
+    tags=("events", "funnel"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user advances a stage
+    only with a strictly LATER event — the sequence-matching shape product
+    analytics runs constantly, expressed as two stage-joins on per-user
+    stage times (each stage table is one row per user, so the joins are
+    cheap and co-partitioned on user_id at any scale)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, after: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type)
+        if after is not None:
+            prev = after.select("user_id", F.col("t").alias("prev_t"))
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("prev_t"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
