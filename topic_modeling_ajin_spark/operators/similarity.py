@@ -399,3 +399,63 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    sql="""
+WITH base AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, emb, scale,
+           list_transform(emb, x -> round(x / scale) * scale) AS deq
+    FROM base
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       round(list_cosine_similarity(emb, deq), 6) AS fidelity,
+       round(sqrt(list_dot_product(
+                 list_transform(range(1, length(emb) + 1),
+                                i -> emb[i] - deq[i]),
+                 list_transform(range(1, length(emb) + 1),
+                                i -> emb[i] - deq[i]))), 6) AS l2_err
+FROM q
+""",
+    tags=("similarity", "quantization", "scale"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4×
+    memory/storage reduction every 100 TB vector store applies before ANN:
+    per-vector scale = max|x|/127, codes = round(x/scale). Reported per
+    vector: the scale, cosine fidelity of the dequantized vector (≈1), and
+    the L2 reconstruction error — all pure array expressions, zero
+    shuffles, and the integer codes are engine-portable so the whole
+    round-trip has an exact DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        V.as_double("embedding").alias("emb"),
+        (
+            F.array_max(F.transform(V.as_double("embedding"), F.abs)) / 127.0
+        ).alias("scale"),
+    )
+    q = base.select(
+        "vec_id",
+        "emb",
+        "scale",
+        F.transform(
+            "emb", lambda x: F.round(x / F.col("scale"), 0) * F.col("scale")
+        ).alias("deq"),
+    )
+    diff = F.zip_with("emb", "deq", lambda a, b: a - b)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(V.cosine(F.col("emb"), F.col("deq")), 6).alias("fidelity"),
+        F.round(F.sqrt(V.dot(diff, diff)), 6).alias("l2_err"),
+    )
