@@ -345,3 +345,58 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.regexp_count(no_email, F.lit(_RE_NUM))
         ).cast("long").alias("n_redactions"),
     )
+
+
+WEIGHTED_SAMPLE_N = 100
+_SQL_DOC_U = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('0|' || doc_id), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "weighted_sample",
+    sql=f"""
+WITH pr AS (
+    SELECT doc_id, n_chars,
+           pow((({_SQL_DOC_U}) + 1.0) / 4294967297,
+               1.0 / n_chars) AS priority
+    FROM documents
+)
+SELECT doc_id, n_chars, round(priority, 6) AS priority,
+       row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+FROM pr
+QUALIFY rank <= {WEIGHTED_SAMPLE_N}
+""",
+    tags=("curation", "sampling", "scale"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each document draws priority u^(1/w) from a portable
+    md5 uniform u and its weight w (here ``n_chars`` — in production a
+    quality score), and the global top-{WEIGHTED_SAMPLE_N} priorities win.
+    Re-run-identical (seeded hash, not RNG state), and the top-k compiles
+    to ``TakeOrderedAndProject`` — per-partition heaps, no global sort, the
+    exact plan shape weighted selection needs over 100 TB of candidates."""
+    from ..functions.hashing import seeded_md5
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(seeded_md5(F.col("doc_id").cast("string"), 0), 1, 8), 16, 10)
+        .cast("double")
+        .alias("u")
+    )
+    pr = d.select(
+        "doc_id",
+        "n_chars",
+        F.pow((u + 1.0) / F.lit(4294967297.0), 1.0 / F.col("n_chars")).alias(
+            "priority"
+        ),
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_N)
+        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"), "rank")
+    )
