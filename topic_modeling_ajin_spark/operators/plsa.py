@@ -93,6 +93,7 @@ def _fit(spark: SparkSession, sf_dir: str, k: int = PLSA_K):
             .select("doc_id", "z", F.lit(1.0 / k).alias("theta"))
         )
 
+        prev_cached: list[DataFrame] = []
         for _ in range(PLSA_ITERS):
             num = (
                 c.join(F.broadcast(phi), "word")
@@ -139,9 +140,18 @@ def _fit(spark: SparkSession, sf_dir: str, k: int = PLSA_K):
             )
             # cut the EM lineage per round: phi is K×V, θ is doc-count-sized
             # but slim (doc, z, value) — persisting both keeps each round's
-            # plan one join deep instead of stacking all previous rounds
+            # plan one join deep instead of stacking all previous rounds.
+            # Materialize eagerly, then release the PREVIOUS round's cache:
+            # unlike RDD checkpoint blocks, DataFrame caches are never
+            # GC-cleaned, and only the final pair is memoized — without this
+            # every round of every sweep K would stay in executor storage.
             phi = phi.persist()
             theta = theta.persist()
+            phi.count()
+            theta.count()
+            for old in prev_cached:
+                old.unpersist()
+            prev_cached = [phi, theta]
         return (phi, theta)
 
     return memo(spark, ("plsa_fit", sf_dir, k), build)
