@@ -404,6 +404,7 @@ def q_pca_power_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 GMM_K = 5
 GMM_ITERS = 3
 GMM_VAR_FLOOR = 1e-6
+GMM_WEIGHT_FLOOR = 1e-9  # keeps ln(weight) finite on both engines
 GMM_NOISE_TH = 0.6  # max posterior below this => noise label -1 (HDBSCAN-ish)
 
 
@@ -490,7 +491,11 @@ def _gmm_params(spark: SparkSession, sf_dir: str):
             var = np.maximum(
                 np.round(s2 / s0[:, None] - mu * mu, _ROUND), GMM_VAR_FLOOR
             )
-            logw = np.log(np.round(s0 / n, _ROUND))
+            # Floor the rounded weight (mirrors GMM_VAR_FLOOR): a component
+            # whose weight underflows the rounding would yield -inf here but
+            # an 'Out of Range' error in DuckDB's ln() — floor both engines
+            # identically so a collapsed component degrades the same way.
+            logw = np.log(np.maximum(np.round(s0 / n, _ROUND), GMM_WEIGHT_FLOOR))
         return (mu, var, logw)
 
     return memo(spark, ("gmm_params", sf_dir), build)
@@ -570,7 +575,8 @@ m{t} AS (
     FROM sm{t} sm JOIN s0_{t} s0 ON s0.k = sm.k
 ),
 w{t} AS (
-    SELECT k, ln(round(s0 / (SELECT n FROM nrow), {_ROUND})) AS lw
+    SELECT k, ln(greatest(round(s0 / (SELECT n FROM nrow), {_ROUND}),
+                          {GMM_WEIGHT_FLOOR})) AS lw
     FROM s0_{t}
 )"""
             )

@@ -363,6 +363,7 @@ WITH pr AS (
            pow((({_SQL_DOC_U}) + 1.0) / 4294967297,
                1.0 / n_chars) AS priority
     FROM documents
+    WHERE n_chars > 0
 )
 SELECT doc_id, n_chars, round(priority, 6) AS priority,
        row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
@@ -376,12 +377,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spirakis A-Res): each document draws priority u^(1/w) from a portable
     md5 uniform u and its weight w (here ``n_chars`` — in production a
     quality score), and the global top-{WEIGHTED_SAMPLE_N} priorities win.
-    Re-run-identical (seeded hash, not RNG state), and the top-k compiles
-    to ``TakeOrderedAndProject`` — per-partition heaps, no global sort, the
-    exact plan shape weighted selection needs over 100 TB of candidates."""
+    Re-run-identical (seeded hash, not RNG state). Zero-weight docs are
+    excluded EXPLICITLY (w<=0 has no defined priority; u^(1/0) is null on
+    both engines — the filter makes that contract visible instead of
+    silent). The top-k runs as ``orderBy().limit()`` — which compiles to
+    ``TakeOrderedAndProject``: per-partition heaps, no global sort, the
+    exact plan shape weighted selection needs over 100 TB of candidates —
+    and rank attaches afterwards with a window over only the
+    {WEIGHTED_SAMPLE_N} surviving rows (a single tiny partition)."""
     from ..functions.hashing import seeded_md5
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(seeded_md5(F.col("doc_id").cast("string"), 0), 1, 8), 16, 10)
         .cast("double")
@@ -394,9 +400,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priority"
         ),
     )
+    topk = pr.orderBy(F.desc("priority"), F.asc("doc_id")).limit(
+        WEIGHTED_SAMPLE_N
+    )
     w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
-    return (
-        pr.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= WEIGHTED_SAMPLE_N)
-        .select("doc_id", "n_chars", F.round("priority", 6).alias("priority"), "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_chars", F.round("priority", 6).alias("priority"), "rank"
     )

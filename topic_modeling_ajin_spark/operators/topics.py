@@ -515,6 +515,15 @@ def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     labels = sorted({r["i"] for r in sims} | {r["j"] for r in sims})
+    # The DuckDB oracle unrolls exactly _REDUCE_STEPS merges, which is only
+    # equivalent when the pair graph covers exactly this many labels; fail
+    # loudly on a generator change instead of silently diverging.
+    expected = MAX_TOPICS_AFTER_REDUCE + _REDUCE_STEPS
+    if len(labels) != expected:
+        raise AssertionError(
+            f"topic_reduction oracle assumes {expected} labels in the c-TF-IDF "
+            f"pair graph (unrolled {_REDUCE_STEPS} merges); got {len(labels)}"
+        )
     parent = {l: l for l in labels}
 
     def find(a: int) -> int:

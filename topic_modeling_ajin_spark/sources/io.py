@@ -126,7 +126,7 @@ def read_xlsx(spark: SparkSession, path: str, sheet: int = 1) -> DataFrame:
     if "xl/sharedStrings.xml" in z.namelist():
         for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(m + "si"):
             shared.append("".join(t.text or "" for t in si.iter(m + "t")))
-    root = ET.fromstring(z.read(f"xl/worksheets/sheet{sheet}.xml"))
+    root = ET.fromstring(z.read(_resolve_sheet_part(z, sheet)))
     rows: list[dict[str, str | None]] = []
     for row in root.iter(m + "row"):
         cells: dict[str, str | None] = {}
@@ -147,8 +147,42 @@ def read_xlsx(spark: SparkSession, path: str, sheet: int = 1) -> DataFrame:
     if not rows:
         raise ValueError(f"empty worksheet in {path}")
     header_cells, data = rows[0], rows[1:]
-    cols = sorted(header_cells, key=lambda c: (len(c), c))
-    names = [header_cells[c] or c for c in cols]
+    # Column set = union over ALL rows, not just the header: a data cell in
+    # a column with a blank header must surface (named by its letter), not
+    # silently drop.
+    all_cols: set[str] = set(header_cells)
+    for r in data:
+        all_cols.update(r)
+    cols = sorted(all_cols, key=lambda c: (len(c), c))
+    names = [header_cells.get(c) or c for c in cols]
     return spark.createDataFrame(
         [tuple(r.get(c) for c in cols) for r in data], names
     )
+
+
+def _resolve_sheet_part(z, sheet: int) -> str:
+    """Resolve the n-th worksheet (1-based, workbook order) through
+    ``xl/workbook.xml``'s sheet list and its relationship targets, instead
+    of assuming the physical part is named ``sheet{n}.xml`` — writers are
+    free to number parts arbitrarily. Falls back to the physical name for
+    minimal zips without rels."""
+    from xml.etree import ElementTree as ET
+
+    m = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    rns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    pr = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = list(wb.iter(m + "sheet"))
+        rid = sheets[sheet - 1].get(rns + "id")
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target")
+            for r in rels.iter(pr + "Relationship")
+            if r.get("Id") == rid
+        )
+        if target.startswith("/"):  # package-absolute target
+            return target.lstrip("/")
+        return target if target.startswith("xl/") else "xl/" + target
+    except (KeyError, IndexError, StopIteration, ET.ParseError):
+        return f"xl/worksheets/sheet{sheet}.xml"
