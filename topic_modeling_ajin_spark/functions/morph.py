@@ -85,9 +85,24 @@ def morph_tokens_udf(texts: pd.Series) -> pd.Series:
 
 
 def morph_tokens(col: Column | str) -> Column:
-    """Morphological token array for a text column. Arrow-batched; the
-    analyzer state lives per executor, never on the driver."""
+    """Morphological token array for a text column, dispatched at PLAN
+    time: when kiwi is absent the fallback is a pure regexp column
+    expression — same output as the UDF's regex branch, but JVM-side and
+    inside whole-stage codegen, with zero Arrow transfer. Only the kiwi
+    path (a real native analyzer) pays for a pandas UDF, and there the
+    analyzer state lives per executor, never on the driver.
+
+    The dispatch probe runs on the driver; engine contract is a
+    homogeneous environment (executors with kiwi imply a driver with
+    kiwi), the same assumption the reference's dispatcher makes
+    (``preprocessing.py:40-69``)."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
+    if analyzer_kind() == "regex":
+        toks = F.regexp_extract_all(
+            F.lower(c), F.lit(_FALLBACK_PATTERN.pattern), 0
+        )
+        # the UDF maps null/empty text to [], not null — match it
+        return F.coalesce(toks, F.array().cast("array<string>"))
     return morph_tokens_udf(c)
