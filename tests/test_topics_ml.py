@@ -107,6 +107,45 @@ def test_minhash_finds_planted_near_dups(spark, registry):
     assert len(lsh) >= 0.9 * len(brute)  # s-curve recall at j>=0.8
 
 
+def test_lsh_hot_bucket_guard_linear_on_identical_docs(spark):
+    """VERDICT r2 item 3: a degenerate corpus (thousands of identical
+    docs → one band key) must route through the exact-dup star path —
+    N-1 keeper pairs, not a quadratic bucket — while distinct docs keep
+    the normal all-pairs path."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+    from topic_modeling_ajin_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        lsh_pairs_from_shingled,
+    )
+
+    n = 3000
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, clone) for i in range(n)]
+        + [(n, "completely different text with unique tokens here"),
+           (n + 1, "completely different text with unique tokens here")],
+        "doc_id long, text string",
+    )
+    sh = (
+        docs.select("doc_id", TX.tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", H.shingles(F.col("toks"), 3).alias("shingles"))
+    )
+    assert n > HOT_BUCKET_CAP
+    pairs = lsh_pairs_from_shingled(sh).collect()
+    clone_pairs = [p for p in pairs if p["doc_a"] < n and p["doc_b"] < n]
+    # star topology: every clone pairs with keeper 0 exactly once — linear
+    assert len(clone_pairs) == n - 1
+    assert all(p["doc_a"] == 0 for p in clone_pairs)
+    assert all(abs(p["jaccard"] - 1.0) < 1e-9 for p in clone_pairs)
+    # the two distinct near-dup docs still pair through the cold path
+    other = [p for p in pairs if p["doc_a"] >= n]
+    assert {(p["doc_a"], p["doc_b"]) for p in other} == {(n, n + 1)}
+
+
 def test_npmi_bounds(spark, sf_dir, registry):
     rows = registry["npmi_coherence"].fn(spark, sf_dir).collect()
     assert rows

@@ -33,6 +33,12 @@ from ..sources import load_table, parallelized
 NUM_HASHES = 12
 BAND_SIZE = 3  # 4 bands of 3 → s-curve threshold ≈ 0.55
 JACCARD_THRESHOLD = 0.8
+# Hot-bucket guard: a band bucket larger than this routes to the exact-dup
+# (identical-signature star) path instead of all-pairs candidate
+# generation. Real near-dup buckets stay tiny (measured max 9 at sf0.1);
+# only a degenerate corpus — millions of identical documents landing one
+# band key — crosses it, and those are exact dups by construction.
+HOT_BUCKET_CAP = 32
 
 # ---------------------------------------------------------------- SQL parts
 
@@ -220,11 +226,34 @@ bands AS (
            string_agg(mh::VARCHAR, '-' ORDER BY seed) AS band_key
     FROM mh GROUP BY doc_id, seed // {BAND_SIZE}
 ),
-cand AS (
+bcnt AS (
+    SELECT doc_id, band, band_key,
+           count(*) OVER (PARTITION BY band, band_key) AS bn
+    FROM bands
+),
+cold AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                AND a.doc_id < b.doc_id
+    FROM bcnt a
+    JOIN bcnt b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    WHERE a.bn <= {HOT_BUCKET_CAP}
+),
+hot AS (SELECT DISTINCT doc_id FROM bcnt WHERE bn > {HOT_BUCKET_CAP}),
+sk AS (
+    SELECT m.doc_id, md5(string_agg(m.mh::VARCHAR, '-' ORDER BY m.seed)) AS sig_key
+    FROM mh m JOIN hot h ON h.doc_id = m.doc_id
+    GROUP BY m.doc_id
+),
+keep AS (SELECT sig_key, min(doc_id) AS keeper FROM sk GROUP BY sig_key),
+hotstar AS (
+    SELECT k.keeper AS doc_a, s.doc_id AS doc_b
+    FROM sk s JOIN keep k ON k.sig_key = s.sig_key
+    WHERE s.doc_id > k.keeper
+),
+cand AS (
+    SELECT doc_a, doc_b FROM cold
+    UNION
+    SELECT doc_a, doc_b FROM hotstar
 ),
 inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS inter
@@ -250,12 +279,35 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({NUM_HASHES}//{BAND_SIZE}) rows/doc and equi-join on (band, key);
     verification: exact Jaccard only on candidates. Portable md5 hashing
     makes even the banding stage oracle-checkable in DuckDB.
+
+    Hot-bucket guard (VERDICT r2): buckets over {HOT_BUCKET_CAP} docs are
+    excluded from the all-pairs self-join — their members route to the
+    exact-dup path: group by FULL signature, emit only (keeper → member)
+    star pairs per identical-signature group. A degenerate corpus (say a
+    million copies of one page) thus yields N-1 pairs instead of a
+    quadratic bucket; cross-signature near-dups inside a hot bucket are a
+    documented recall trade, the standard LSH production posture.
     """
     sh = _shingled(spark, sf_dir).filter(F.size("shingles") > 0)
+    return lsh_pairs_from_shingled(sh)
+
+
+def lsh_pairs_from_shingled(sh: DataFrame) -> DataFrame:
+    """Verified LSH near-dup pairs for a (doc_id, shingles) DataFrame —
+    the full banding + hot-bucket-guard + exact-verification pipeline,
+    exposed separately so degenerate-corpus tests can feed synthetic
+    inputs."""
+    from pyspark.sql import Window
+
     sig = H.minhash_signatures(sh, NUM_HASHES)
     n_bands = NUM_HASHES // BAND_SIZE
     bands = sig.select(
         "doc_id",
+        # full-signature key rides along: the hot path groups on it without
+        # a second pass over the signature table
+        F.md5(F.concat_ws("-", F.col("sig").cast("array<string>"))).alias(
+            "sig_key"
+        ),
         F.explode(
             F.array(
                 *[
@@ -266,15 +318,31 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
+    ).select("doc_id", "sig_key", "bk.band", "bk.key")
+    # bucket size via a window over the same (band, key) partitioning the
+    # self-join shuffles on — no extra shuffle beyond the count itself
+    bn = F.count("*").over(Window.partitionBy("band", "key"))
+    banded = bands.withColumn("bn", bn)
+    cold = banded.filter(F.col("bn") <= HOT_BUCKET_CAP)
+    a = cold.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cold_pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+    )
+    hot = (
+        banded.filter(F.col("bn") > HOT_BUCKET_CAP)
+        .select("doc_id", "sig_key")
         .distinct()
     )
+    keepers = hot.groupBy("sig_key").agg(F.min("doc_id").alias("keeper"))
+    hot_star = (
+        hot.join(keepers, "sig_key")
+        .filter(F.col("doc_id") > F.col("keeper"))
+        .select(F.col("keeper").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    cand = cold_pairs.union(hot_star).distinct()
     return _jaccard_on_pairs(cand, sh)
 
 
