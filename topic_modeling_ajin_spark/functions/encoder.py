@@ -1,0 +1,156 @@
+"""Sentence-encoder UDF seam (SURVEY M10) with a deterministic fallback.
+
+The reference encodes raw text with ``SentenceTransformer.encode``
+(``BERTopic_Analysis.py:105,197-199``: ko-sroberta-multitask / MiniLM).
+The engine's tested path consumes the driver's precomputed ``embeddings``
+table (SURVEY §2.7 M10), but a user who arrives with ONLY raw text needs
+an encoder stage. This module is that seam, mirroring the
+``functions/morph.py`` gating pattern:
+
+- ``sentence-transformers`` is OPTIONAL: the import is tried lazily, once
+  per executor Python worker, inside the Arrow-batched ``mapInPandas``
+  kernel (model load paid once per worker, never on the driver);
+- absent (as in this container), the kernel runs a deterministic
+  **signed-feature-hashing embedding**: each whitespace token hashes via
+  md5 to a (dimension, sign) pair, signed counts accumulate per
+  dimension, and the vector is L2-normalized. Pure integer accumulation +
+  one normalization — byte-reproducible in ANSI SQL, so the fallback
+  (unlike a neural encoder) carries an exact DuckDB oracle;
+- the fallback is a real (if classical) text representation — the
+  hashing trick of Weinberger et al. — not a stub: cosine over it is
+  token-overlap similarity, which is exactly what the downstream ANN /
+  centroid plumbing needs to be exercised end-to-end.
+
+Scale shape: embarrassingly parallel map over partitions, no shuffle;
+bytes in, ``ENCODER_DIM`` doubles out per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ENCODER_DIM = 16  # fallback hash-embedding dimensionality
+ENCODER_MODEL = "paraphrase-multilingual-MiniLM-L12-v2"  # sbert default
+
+_ENCODER = None
+_ENCODER_KIND: str | None = None
+
+
+def _get_encoder():
+    """Per-executor lazy init (the ``morph.py`` pattern): first call in
+    each Python worker pays the model load; later batches reuse it."""
+    global _ENCODER, _ENCODER_KIND
+    if _ENCODER_KIND is None:
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            _ENCODER = SentenceTransformer(ENCODER_MODEL)
+            _ENCODER_KIND = "sbert"
+        except ImportError:
+            _ENCODER = None
+            _ENCODER_KIND = "hash"
+    return _ENCODER, _ENCODER_KIND
+
+
+def encoder_kind() -> str:
+    """Which encoder this environment will run ('sbert' or 'hash')."""
+    return _get_encoder()[1]
+
+
+def hash_embed_texts(texts, dim: int = ENCODER_DIM):
+    """Deterministic signed-feature-hashing embeddings for a sequence of
+    strings → list of length-``dim`` float lists (L2-normalized, zero
+    vector for token-less text). Exact twin of ``sql_hash_embedding``."""
+    import hashlib
+
+    import numpy as np
+
+    out = []
+    for t in texts:
+        v = np.zeros(dim, dtype=np.int64)
+        for tok in (t or "").lower().split():
+            base = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+            sign = 1 if (base // dim) % 2 == 0 else -1
+            v[base % dim] += sign
+        vf = v.astype(np.float64)
+        n = float(np.sqrt((vf * vf).sum()))
+        out.append((vf / n if n > 0 else vf).tolist())
+    return out
+
+
+def encode_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str | None = None,
+    dim: int = ENCODER_DIM,
+) -> DataFrame:
+    """(id, text) → (id, embedding array<double>) via Arrow-batched
+    ``mapInPandas``. ``method`` None auto-detects (sbert when installed,
+    hash otherwise); pass ``"hash"`` to force the deterministic fallback —
+    what every registered/oracle-checked query does, so correctness runs
+    are environment-independent."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kind = method
+        encoder = None
+        if kind is None:
+            encoder, kind = _get_encoder()
+        for pdf in batches:
+            if kind == "sbert":
+                if encoder is None:
+                    encoder, _ = _get_encoder()
+                vecs = encoder.encode(
+                    pdf[text_col].fillna("").tolist(), show_progress_bar=False
+                )
+                embs = [v.astype(float).tolist() for v in vecs]
+            else:
+                embs = hash_embed_texts(pdf[text_col], dim)
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, embedding array<double>"
+    )
+
+
+def sql_hash_embedding(dim: int = ENCODER_DIM, src: str = "documents") -> str:
+    """DuckDB CTE chain ending in ``hemb`` (doc_id, dim, v) — the dense
+    per-dimension values of the hash embedding, exactly matching
+    ``hash_embed_texts`` (integer signed counts, then L2 normalization;
+    token-less docs yield the zero vector)."""
+    from .hashing import sql_md5_base32
+
+    return rf"""
+htoks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              w -> w <> '')) AS tok
+    FROM {src}
+),
+hbase AS (
+    SELECT doc_id, {sql_md5_base32("tok")} AS base FROM htoks
+),
+hsum AS (
+    SELECT doc_id, base % {dim} AS dim,
+           CAST(sum(CASE WHEN (base // {dim}) % 2 = 0 THEN 1 ELSE -1 END)
+                AS DOUBLE) AS v
+    FROM hbase GROUP BY doc_id, base % {dim}
+),
+hgrid AS (
+    SELECT d.doc_id, r.dim
+    FROM (SELECT DISTINCT doc_id FROM {src}) d,
+         (SELECT unnest(range(0, {dim})) AS dim) r
+),
+hdense AS (
+    SELECT g.doc_id, g.dim, coalesce(s.v, 0.0) AS v
+    FROM hgrid g LEFT JOIN hsum s ON s.doc_id = g.doc_id AND s.dim = g.dim
+),
+hnorm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM hdense GROUP BY doc_id),
+hemb AS (
+    SELECT d.doc_id, d.dim,
+           CASE WHEN n.n > 0 THEN d.v / n.n ELSE 0.0 END AS v
+    FROM hdense d JOIN hnorm n ON n.doc_id = d.doc_id
+)"""

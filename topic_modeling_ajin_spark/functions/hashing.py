@@ -57,13 +57,18 @@ def md5_base32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-# DuckDB twin of md5_base32 (no conv(); nibble-parse 8 hex chars of
-# md5('shingle' column)). Kept next to the Spark expression so the two
-# stay in lockstep.
-SQL_MD5_BASE32 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-)
+# DuckDB twin of md5_base32 (no conv(); nibble-parse 8 hex chars of md5
+# of an arbitrary SQL expression). Kept next to the Spark expression so
+# the two stay in lockstep.
+def sql_md5_base32(expr: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+SQL_MD5_BASE32 = sql_md5_base32("shingle")
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
