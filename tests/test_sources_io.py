@@ -62,15 +62,43 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     assert pruned.count() == docs.filter(F.col("lang") == one_lang).count()
 
 
-def test_excel_export_shim_gated(tmp_path):
+def test_excel_multisheet_roundtrip_stdlib_only(spark, tmp_path):
+    """VERDICT r2 item 8: the multi-sheet workbook writes AND reads with
+    only the stdlib — no openpyxl anywhere in the loop."""
     import pandas as pd
 
-    ok = export_excel({"sheet": pd.DataFrame({"a": [1]})}, str(tmp_path / "r.xlsx"))
-    # openpyxl may or may not exist in this container; both outcomes are
-    # valid — the contract is "no crash, False when unavailable"
-    assert ok in (True, False)
-    if ok:
-        assert (tmp_path / "r.xlsx").exists()
+    from topic_modeling_ajin_spark.sources.io import read_xlsx
+
+    path = str(tmp_path / "report.xlsx")
+    ok = export_excel(
+        {
+            "분석요약": pd.DataFrame(
+                {"단어": ["모델", "콘텐츠"], "빈도수": [845, 736]}
+            ),
+            "stats": pd.DataFrame({"metric": ["mean_len"], "value": [146.46]}),
+        },
+        path,
+    )
+    assert ok is True
+    s1 = read_xlsx(spark, path, sheet=1)
+    rows = {r["단어"]: r["빈도수"] for r in s1.collect()}
+    assert rows == {"모델": "845", "콘텐츠": "736"}  # reader is string-typed
+    s2 = read_xlsx(spark, path, sheet=2)
+    (r2,) = s2.collect()
+    assert r2["metric"] == "mean_len" and float(r2["value"]) == 146.46
+
+
+def test_write_xlsx_wide_sheet_and_special_chars(spark, tmp_path):
+    from topic_modeling_ajin_spark.sources.io import read_xlsx, write_xlsx
+
+    header = [f"c{i}" for i in range(30)]  # crosses the Z→AA boundary
+    row = [f"v&<{i}>" for i in range(30)]
+    path = str(tmp_path / "wide.xlsx")
+    write_xlsx({"wide": [header, row]}, path)
+    df = read_xlsx(spark, path)
+    assert df.columns == header
+    (got,) = df.collect()
+    assert list(got) == row  # XML escaping round-trips
 
 
 def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):

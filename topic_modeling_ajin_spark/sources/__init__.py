@@ -3,9 +3,11 @@ from .io import (
     load_model,
     read_csv,
     read_stopwords,
+    read_xlsx,
     save_model,
     write_csv,
     write_parquet,
+    write_xlsx,
 )
 from .tables import TABLE_NAMES, load_table, load_tables, parallelized, register_views
 
@@ -18,8 +20,10 @@ __all__ = [
     "parallelized",
     "read_csv",
     "read_stopwords",
+    "read_xlsx",
     "register_views",
     "save_model",
     "write_csv",
     "write_parquet",
+    "write_xlsx",
 ]
