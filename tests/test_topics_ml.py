@@ -287,6 +287,20 @@ def test_plsa_distributions_are_simplex(spark, sf_dir, registry):
         assert r["theta"] >= 1.0 / PLSA_K - 1e-6
 
 
+def test_plsa_fold_in_scores_only_held_out_docs(spark, sf_dir, registry):
+    """Fold-in infers theta for exactly the held-out (doc_id % 4 != 0)
+    docs that share vocabulary with the training sample, against a frozen
+    phi, and every posterior is a valid dominant-topic weight."""
+    from topic_modeling_ajin_spark.operators.plsa import PLSA_K, SWEEP_SAMPLE_MOD
+
+    rows = registry["plsa_fold_in"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % SWEEP_SAMPLE_MOD != 0
+        assert 0 <= r["topic"] < PLSA_K
+        assert 1.0 / PLSA_K - 1e-6 <= r["theta"] <= 1.0 + 1e-6
+
+
 def test_dedup_components_consistent_with_edges(spark, sf_dir, registry):
     """Every near-dup edge's endpoints must land in the same component,
     and each component's label is its minimum member id."""

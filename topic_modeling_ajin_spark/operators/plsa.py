@@ -349,3 +349,139 @@ def q_plsa_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((k, float(div), float(conf)))
     return spark.createDataFrame(rows, ["k", "diversity", "avg_confidence"])
+
+
+# ------------------------------------------------------------ fold-in (M8)
+
+FOLD_ITERS = 2
+
+
+def _sql_fold_in() -> str:
+    """Sampled-corpus training fit (suffix ``_f``) + unrolled theta-only
+    fold-in iterations over the held-out counts."""
+    k = PLSA_K
+    parts = [
+        _sql_counts(SWEEP_SAMPLE_MOD),
+        _sql_plsa(PLSA_ITERS, k, "_f"),
+        rf"""
+counts_new AS MATERIALIZED (
+    SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS n
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents WHERE doc_id % {SWEEP_SAMPLE_MOD} <> 0
+    )
+    WHERE length(word) >= 2
+    GROUP BY doc_id, word
+),
+thf0 AS (
+    SELECT doc_id, z, 1.0 / {k} AS theta
+    FROM (SELECT DISTINCT doc_id FROM counts_new) CROSS JOIN zs_f
+)""",
+    ]
+    for t in range(1, FOLD_ITERS + 1):
+        parts.append(
+            f"""
+rf{t} AS MATERIALIZED (
+    SELECT c.doc_id, p.z,
+           c.n * p.phi * th.theta /
+           sum(p.phi * th.theta) OVER (PARTITION BY c.doc_id, c.word) AS nr
+    FROM counts_new c
+    JOIN phi{PLSA_ITERS}_f p ON p.word = c.word
+    JOIN thf{t - 1} th ON th.doc_id = c.doc_id AND th.z = p.z
+),
+thf{t} AS MATERIALIZED (
+    SELECT doc_id, z,
+           round(s / sum(s) OVER (PARTITION BY doc_id), {_ROUND}) AS theta
+    FROM (SELECT doc_id, z, sum(nr) AS s FROM rf{t} GROUP BY doc_id, z)
+)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "plsa_fold_in",
+    sql=f"""
+WITH {_sql_fold_in()}
+SELECT doc_id, z AS topic, round(theta, 6) AS theta
+FROM thf{FOLD_ITERS}
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY theta DESC, z) = 1
+""",
+    tags=("topics", "ml", "plsa", "serving", "scale"),
+)
+def q_plsa_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLSA fold-in (Hofmann 1999 §4): infer doc-topic posteriors for
+    UNSEEN documents against a FROZEN topic-word model — the serving path
+    of SURVEY M8 (the reference scores new docs with a trained model via
+    ``get_document_topics``, ``LDA_Analysis.py:653-657``; here the model
+    is the deterministic PLSA twin). Train on the doc_id % 4 == 0 sample
+    (the K-sweep's fit, memo-shared), fold in the other three quarters
+    with {FOLD_ITERS} theta-only EM rounds.
+
+    Scale shape: phi is K x V and BROADCAST, so fold-in is embarrassingly
+    parallel over documents — no shuffle grows with the corpus except the
+    per-doc normalize (co-partitioned on doc_id). This is how a 100 TB
+    corpus is scored by a model fitted on a sample. Held-out docs sharing
+    no vocabulary with the training sample carry no evidence and are
+    dropped by the inner join on both engines identically."""
+    from .frequency import tokenized_words
+
+    phi, _ = _fit(spark, sf_dir, PLSA_K, mod=SWEEP_SAMPLE_MOD)
+    cnew = memo(
+        spark,
+        ("plsa_counts_holdout", sf_dir),
+        lambda: tokenized_words(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % SWEEP_SAMPLE_MOD != 0
+            )
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("double").alias("n")),
+        persist=True,
+    )
+    zs = spark.range(PLSA_K).select(F.col("id").cast("int").alias("z"))
+    theta = (
+        cnew.select("doc_id")
+        .distinct()
+        .crossJoin(F.broadcast(zs))
+        .select("doc_id", "z", F.lit(1.0 / PLSA_K).alias("theta"))
+    )
+    for _ in range(FOLD_ITERS):
+        num = (
+            cnew.join(F.broadcast(phi), "word")
+            .join(theta, ["doc_id", "z"])
+            .select(
+                "doc_id",
+                "word",
+                "z",
+                "n",
+                (F.col("phi") * F.col("theta")).alias("num"),
+            )
+        )
+        r = num.select(
+            "doc_id",
+            "z",
+            (
+                F.col("n")
+                * F.col("num")
+                / F.sum("num").over(Window.partitionBy("doc_id", "word"))
+            ).alias("nr"),
+        )
+        sd = Window.partitionBy("doc_id")
+        theta = (
+            r.groupBy("doc_id", "z")
+            .agg(F.sum("nr").alias("s"))
+            .select(
+                "doc_id",
+                "z",
+                F.round(F.col("s") / F.sum("s").over(sd), _ROUND).alias("theta"),
+            )
+        )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("theta"), F.asc("z"))
+    return (
+        theta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("z").alias("topic"), F.round("theta", 6).alias("theta")
+        )
+    )
