@@ -113,3 +113,15 @@ def test_minhash_verify_broadcasts_candidates(spark, sf_dir):
     plan = _plan(load_all()["minhash_lsh_pairs"].fn(spark, sf_dir))
     assert "array_intersect" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_plsa_fold_in_broadcasts_model(spark, sf_dir):
+    """Fold-in must broadcast the K x V phi model into the evidence join
+    (inference is embarrassingly parallel over docs); the held-out counts
+    must never be shuffled on anything but doc-keyed aggregations."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    plan = _plan(load_all()["plsa_fold_in"].fn(spark, sf_dir))
+    # one broadcast of phi per fold-in round
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

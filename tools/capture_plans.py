@@ -78,6 +78,13 @@ SELECTED = (
         "`TakeOrderedAndProject` (constant-size per-partition heaps) "
         "after a map-side-deduped distinct.",
     ),
+    (
+        "plsa_fold_in",
+        "Model serving: the frozen K x V phi table is BROADCAST into "
+        "every theta-only EM round, so scoring held-out documents is "
+        "embarrassingly parallel — the only doc-scaled shuffles are the "
+        "per-doc normalizations, co-partitioned on doc_id.",
+    ),
 )
 
 
