@@ -115,3 +115,22 @@ def test_html_report_bundles_sections(spark, sf_dir, registry, tmp_path):
     html = plots.export_html_report(out, [("Word frequencies", svg)])
     assert out.read_text() == html
     assert "<h2>Word frequencies</h2>" in html and "<svg" in html
+
+
+def test_hierarchy_dendrogram_from_merge_log(spark, sf_dir, registry):
+    steps = registry["topic_merge_steps"].fn(spark, sf_dir)
+    mapping = registry["topic_reduction"].fn(spark, sf_dir)
+    svg = plots.plot_topic_hierarchy(steps, mapping)
+    root = _root(svg)
+    n_leaves = mapping.count()
+    leaf_labels = [
+        t for t in root.iter(f"{SVG}text")
+        if (t.text or "").startswith("T") and (t.text or "")[1:].isdigit()
+    ]
+    assert len(leaf_labels) == n_leaves
+    # one horizontal bridge (carrying the merge tooltip) per merge step
+    bridges = [
+        e for e in root.iter(f"{SVG}line")
+        if e.find(f"{SVG}title") is not None
+    ]
+    assert len(bridges) == steps.count()

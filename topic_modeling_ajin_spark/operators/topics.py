@@ -443,7 +443,7 @@ map0 AS MATERIALIZED (SELECT DISTINCT label, label AS root FROM labs)"""
         parts.append(
             f"""
 cand{t} AS MATERIALIZED (
-    SELECT mi.root AS ri, mj.root AS rj
+    SELECT mi.root AS ri, mj.root AS rj, s.cos
     FROM sims s
     JOIN map{t - 1} mi ON mi.label = s.i
     JOIN map{t - 1} mj ON mj.label = s.j
@@ -463,10 +463,7 @@ map{t} AS MATERIALIZED (
     return ",".join(parts)
 
 
-@register(
-    "topic_reduction",
-    sql=f"""
-WITH {SQL_CTFIDF},
+_SQL_SIMS = f"""{SQL_CTFIDF},
 norms AS (SELECT label, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY label),
 dots AS (
     SELECT x.label AS i, y.label AS j, sum(x.wt * y.wt) AS dot
@@ -478,7 +475,13 @@ sims AS MATERIALIZED (
     FROM dots
     JOIN norms a ON a.label = dots.i
     JOIN norms b ON b.label = dots.j
-),
+)"""
+
+
+@register(
+    "topic_reduction",
+    sql=f"""
+WITH {_SQL_SIMS},
 {_sql_merge_steps(_REDUCE_STEPS)}
 SELECT label, root AS merged_topic FROM map{_REDUCE_STEPS}
 """,
@@ -496,6 +499,16 @@ def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i, j) so the merge order is total — which also makes the whole
     reduction oracle-checkable: DuckDB replays the merges as unrolled
     pick-max-eligible-pair steps over the same static cosine table."""
+    mapping, _ = _reduction_merges(spark, sf_dir)
+    return spark.createDataFrame(mapping, ["label", "merged_topic"])
+
+
+def _reduction_merges(spark: SparkSession, sf_dir: str):
+    """Shared driver-side Kruskal union-find over the distributed topic
+    cosine matrix. Returns (mapping, merges): the final label→root pairs
+    and the ordered merge log [(step, into_root, from_root, cos)] — the
+    data behind both ``topic_reduction`` and ``topic_merge_steps`` (and
+    the dendrogram sink)."""
     w = class_term_weights(spark, sf_dir)
     norms = w.groupBy("label").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
@@ -534,6 +547,7 @@ def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = sorted(sims, key=lambda r: (-r["cos"], r["i"], r["j"]))
     n = len(labels)
+    merges = []
     for r in pairs:
         if n <= MAX_TOPICS_AFTER_REDUCE:
             break
@@ -541,8 +555,36 @@ def q_topic_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         if a != b:
             parent[max(a, b)] = min(a, b)
             n -= 1
+            merges.append((len(merges) + 1, min(a, b), max(a, b), r["cos"]))
     mapping = [(l, find(l)) for l in labels]
-    return spark.createDataFrame(mapping, ["label", "merged_topic"])
+    return mapping, merges
+
+
+@register(
+    "topic_merge_steps",
+    sql=f"""
+WITH {_SQL_SIMS},
+{_sql_merge_steps(_REDUCE_STEPS)}
+SELECT * FROM (
+    {" UNION ALL ".join(
+        f"SELECT {t} AS step, least(ri, rj) AS into_root, "
+        f"greatest(ri, rj) AS from_root, round(cos, 6) AS cosine FROM cand{t}"
+        for t in range(1, _REDUCE_STEPS + 1)
+    )}
+)
+""",
+    tags=("topics", "reduce", "viz"),
+)
+def q_topic_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered merge log behind M15's topic reduction — one row per
+    Kruskal merge (which pair of topic roots fused, at what cosine).
+    This is the data BERTopic's ``visualize_hierarchy`` dendrogram plots
+    (``BERTopic_Analysis.py:795-800``); ``plots.plot_topic_hierarchy``
+    renders it. DuckDB replays each unrolled merge step's winning
+    candidate, so the whole linkage is value-checked."""
+    _, merges = _reduction_merges(spark, sf_dir)
+    rows = [(s, a, b, round(c, 6)) for s, a, b, c in merges]
+    return spark.createDataFrame(rows, ["step", "into_root", "from_root", "cosine"])
 
 
 # ------------------------------------------------- sweep & soft clustering

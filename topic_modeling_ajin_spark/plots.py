@@ -426,3 +426,80 @@ def export_html_report(path, sections) -> str:
         with open(path, "w", encoding="utf-8") as f:
             f.write(html)
     return html
+
+
+def plot_topic_hierarchy(
+    steps_df: DataFrame,
+    mapping_df: DataFrame = None,
+    path=None,
+    title: str = "Topic hierarchy",
+) -> str:
+    """Dendrogram of the topic-reduction merge log (BERTopic
+    ``visualize_hierarchy``, ``BERTopic_Analysis.py:795-800``), fed by
+    the ``topic_merge_steps`` query (step, into_root, from_root, cosine)
+    — merge height is cosine distance (1 - cos). ``mapping_df``
+    (``topic_reduction``'s label->merged_topic) supplies leaves that
+    never merged so singleton topics still appear."""
+    steps = sorted(_collect(steps_df), key=lambda r: r["step"])
+    leaves = set()
+    if mapping_df is not None:
+        leaves |= {r["label"] for r in _collect(mapping_df)}
+    for s in steps:
+        leaves |= {s["into_root"], s["from_root"]}
+    trees = {l: ("leaf", l, 0.0) for l in sorted(leaves)}
+    for s in steps:
+        a, b = s["into_root"], s["from_root"]
+        h = 1.0 - s["cosine"]
+        trees[a] = ("join", trees[a], trees[b], h)
+        del trees[b]
+
+    n = len(leaves)
+    ml, mt, mb = 48.0, 48.0, 36.0
+    lw = 44.0
+    ph = 240.0
+    width = ml + n * lw + 24.0
+    height = mt + ph + mb
+    hmax = max((1.0 - s["cosine"] for s in steps), default=0.0) or 1.0
+
+    xpos: dict = {}
+    cursor = [0]
+    body: list = []
+
+    def _y(h: float) -> float:
+        return mt + ph - (h / hmax) * (ph - 20.0)
+
+    def layout(node):
+        """Returns (x, height) drawing the subtree; leaves get sequential
+        x slots in traversal order."""
+        if node[0] == "leaf":
+            x = ml + (cursor[0] + 0.5) * lw
+            cursor[0] += 1
+            xpos[node[1]] = x
+            body.append(
+                f'<text x="{x:.1f}" y="{mt + ph + 18:.1f}" font-size="11" '
+                f'text-anchor="middle" fill="{INK}">T{escape(str(node[1]))}</text>'
+            )
+            return x, 0.0
+        _, left, right, h = node
+        xl, hl = layout(left)
+        xr, hr = layout(right)
+        y = _y(h)
+        for xc, hc in ((xl, hl), (xr, hr)):
+            body.append(
+                f'<line x1="{xc:.1f}" y1="{_y(hc):.1f}" x2="{xc:.1f}" '
+                f'y2="{y:.1f}" stroke="{SERIES}" stroke-width="2"/>'
+            )
+        body.append(
+            f'<line x1="{xl:.1f}" y1="{y:.1f}" x2="{xr:.1f}" y2="{y:.1f}" '
+            f'stroke="{SERIES}" stroke-width="2">'
+            f"<title>{escape(f'merge at cos {1.0 - h:.3f}')}</title></line>"
+        )
+        return (xl + xr) / 2.0, h
+
+    for root in sorted(trees):
+        layout(trees[root])
+    body.append(
+        f'<line x1="{ml:.1f}" y1="{mt + ph:.1f}" x2="{width - 24:.1f}" '
+        f'y2="{mt + ph:.1f}" stroke="{AXIS}" stroke-width="1"/>'
+    )
+    return _write(_svg(width, height, title, body), path)
