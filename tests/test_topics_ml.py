@@ -346,3 +346,27 @@ def test_iterative_ml_partition_invariance(spark, sf_dir, registry):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         clear_caches(spark)
     assert before == after
+
+
+def test_cms_never_underestimates(spark, sf_dir, registry):
+    """Count-min sketch estimates are >= exact counts by construction
+    (hash collisions only add), and close for heavy hitters."""
+    rows = registry["cms_word_counts"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"]
+
+
+def test_ewma_smooths_toward_series(spark, sf_dir, registry):
+    """Adjusted EWMA stays inside the [min, max] envelope of the daily
+    series and starts exactly at the first observation."""
+    rows = sorted(
+        registry["ewma_daily_events"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    lo = min(r["n_events"] for r in rows)
+    hi = max(r["n_events"] for r in rows)
+    assert abs(rows[0]["ewma"] - rows[0]["n_events"]) < 1e-6
+    for r in rows:
+        assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6

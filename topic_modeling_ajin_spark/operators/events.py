@@ -446,3 +446,61 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
     )
+
+
+EWMA_ALPHA_W = 0.5  # decay weight (1 - alpha); 0.5 is exact in binary
+
+
+@register(
+    "ewma_daily_events",
+    sql=f"""
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT day, n_events,
+           row_number() OVER (ORDER BY day) AS i
+    FROM daily
+)
+SELECT a.day, a.n_events,
+       round(sum(b.n_events * power({EWMA_ALPHA_W}, a.i - b.i))
+             / sum(power({EWMA_ALPHA_W}, a.i - b.i)), 6) AS ewma
+FROM idx a JOIN idx b ON b.i <= a.i
+GROUP BY a.day, a.n_events
+""",
+    tags=("events", "timeseries"),
+)
+def q_ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily event count —
+    the smoothing step of the reference's per-date trend analysis
+    (``preprocessing.py:630-636``'s daily series), in the adjusted form
+    e_t = sum_i w^(t-i) x_i / sum_i w^(t-i) with w = {EWMA_ALPHA_W}
+    (pandas ``ewm(adjust=True)`` semantics — no special-cased first
+    term). w = 0.5 is a power of two, so every weight is exact in binary
+    and DuckDB replays the series bit-for-bit after the 6-dp round.
+
+    Scale shape: the corpus-sized work is the daily pre-aggregation (one
+    map-side-combined shuffle); the smoothing then runs on the DATE GRAIN
+    — a series bounded by the calendar (365 rows/year), not the corpus —
+    so the O(n^2) prefix join and the single-partition row_number are
+    over a constant-sized frame at any data volume."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    idx = daily.select(
+        "day", "n_events", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    a = idx.select(
+        F.col("day"), F.col("n_events"), F.col("i").alias("ia")
+    )
+    b = idx.select(F.col("n_events").alias("xb"), F.col("i").alias("ib"))
+    wgt = F.pow(F.lit(EWMA_ALPHA_W), F.col("ia") - F.col("ib"))
+    return (
+        a.join(b, F.col("ib") <= F.col("ia"))
+        .groupBy("day", "n_events")
+        .agg(
+            F.round(F.sum(F.col("xb") * wgt) / F.sum(wgt), 6).alias("ewma")
+        )
+    )

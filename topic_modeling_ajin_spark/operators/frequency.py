@@ -227,3 +227,87 @@ def q_kmv_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_mins"),
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_K = 20
+
+
+def _sql_cms_bucket(expr: str) -> str:
+    from ..functions.hashing import sql_md5_base32
+
+    return f"(({sql_md5_base32(expr)}) % {CMS_WIDTH})"
+
+
+@register(
+    "cms_word_counts",
+    sql=rf"""
+WITH toks AS ({SQL_TOKS}),
+w AS (
+    SELECT word, count(*) AS cnt FROM toks
+    WHERE length(word) >= 2 GROUP BY word
+),
+rs AS (SELECT unnest(range({CMS_DEPTH})) AS r),
+cells AS (
+    SELECT rs.r,
+           {_sql_cms_bucket("rs.r || '|' || t.word")} AS bucket,
+           count(*) AS cnt
+    FROM toks t CROSS JOIN rs
+    WHERE length(t.word) >= 2
+    GROUP BY 1, 2
+),
+probes AS (SELECT word, cnt FROM w ORDER BY cnt DESC, word LIMIT {CMS_PROBE_K})
+SELECT p.word, p.cnt AS exact_cnt, min(c.cnt) AS est_cnt
+FROM probes p
+CROSS JOIN rs
+JOIN cells c ON c.r = rs.r
+            AND c.bucket = {_sql_cms_bucket("rs.r || '|' || p.word")}
+GROUP BY p.word, p.cnt
+""",
+    tags=("text", "scale", "sketch"),
+)
+def q_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with a portable md5 hash family — completing the engine's
+    sketch ladder (HLL/KMV distinct, MinHash/SimHash similarity, CMS
+    frequency). A2's heavy-hitter counts in O({CMS_DEPTH}x{CMS_WIDTH})
+    memory: each of {CMS_DEPTH} hash rows buckets every token occurrence
+    into {CMS_WIDTH} cells; a word's estimate is the MIN of its cells
+    (overestimates only, by sketch construction).
+
+    Scale shape: the sketch build is one aggregation whose map-side
+    partial combine compresses every task to <= {CMS_DEPTH}*{CMS_WIDTH}
+    cells regardless of corpus size — the shuffle is CONSTANT-width, the
+    textbook mergeable-sketch layout — and the bounded sketch broadcasts
+    into the probe join. Probes are the exact top-{CMS_PROBE_K} words, so
+    the output pairs each exact count with its sketch estimate; the
+    deterministic hash family makes DuckDB reproduce every cell, hence
+    the whole estimate, bit-for-bit."""
+    from ..functions import hashing as H
+
+    toks = tokenized_words(load_table(spark, sf_dir, "documents"))
+    rows = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("r"))
+    seeded = F.concat(
+        F.col("r").cast("string"), F.lit("|"), F.col("word")
+    )
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select("r", (H.md5_base32(seeded) % CMS_WIDTH).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+        .limit(CMS_PROBE_K)
+    )
+    probe_cells = probes.crossJoin(F.broadcast(rows)).select(
+        "word", "exact_cnt", "r", (H.md5_base32(seeded) % CMS_WIDTH).alias("bucket")
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
