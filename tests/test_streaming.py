@@ -353,3 +353,43 @@ def test_streaming_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path)
     back = spark.read.parquet(out)
     assert back.count() == n_first
     assert back.select("hour", "event_type").distinct().count() == n_first
+
+
+def test_streaming_ingest_dedup_across_batches(spark, tmp_path):
+    """Cross-batch ingest dedup: batch B's re-crawl of a batch A document
+    must be dropped via the persistent fingerprint store, within-batch
+    dups keep the min-doc_id survivor, and the store ends with exactly
+    one fingerprint per distinct cleaned text."""
+    import time
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    batch_a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+         (3, "alpha beta gamma")],  # within-batch dup of doc 1
+        schema,
+    )
+    batch_b = spark.createDataFrame(
+        [(10, "ALPHA beta GAMMA!"),  # cross-batch dup after cleaning
+         (11, "entirely new document text")],
+        schema,
+    )
+    batch_a.coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)  # distinct mtimes: maxFilesPerTrigger orders by file age
+    batch_b.coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(batch_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark, stream, store, out, str(tmp_path / "ck_ingest")
+    )
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 11}
+    fps = [r["fingerprint"] for r in spark.read.parquet(store).collect()]
+    assert len(fps) == len(set(fps)) == 3  # one stored key per distinct text

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..functions import hashing as H
 from ..functions import text as TX
 from ..operators.events import SESSION_GAP_SECONDS
 
@@ -440,4 +441,71 @@ def streaming_enrich_events(events: DataFrame, customers: DataFrame) -> DataFram
     )
     return events.join(F.broadcast(dim), "user_id", "left").select(
         "event_id", "ts", "user_id", "event_type", "value", "user_name", "segment"
+    )
+
+
+# ------------------------------------- cross-batch ingest dedup (store)
+
+
+def run_streaming_ingest_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Cross-batch document ingest dedup against a PERSISTENT fingerprint
+    store — the streaming twin of the batch ``incremental_dedup`` query
+    (the continuously-crawled-corpus shape a 100 TB training pipeline
+    runs forever).
+
+    Per micro-batch, inside ``foreachBatch``:
+    1. fingerprint the batch (16-byte md5 of the cleaned text — the same
+       portable key as the batch operator, so the two paths agree);
+    2. within-batch survivorship: deterministic min-``doc_id`` keeper;
+    3. cross-batch: left-anti join against the store — only fixed-width
+       keys probe, never document bodies;
+    4. append survivors to the corpus sink and their fingerprints to the
+       store, which is what makes batch N+1 see batch N's documents.
+
+    State is the store itself — O(distinct fingerprints), 16 bytes each,
+    partition-prunable parquet — not executor memory; restarts resume
+    from it for free. The store append is idempotent BY SEMANTICS: a
+    replayed batch re-appends fingerprints that already exist, and
+    duplicate store rows cannot change an anti-join verdict, so dedup
+    stays correct under at-least-once retries (pair the corpus sink with
+    the checkpointed exactly-once parquet sink pattern for end-to-end
+    exactly-once)."""
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        fp = batch_df.withColumn(
+            "fingerprint", H.fingerprint(TX.cleaned("text"))
+        )
+        keeper = Window.partitionBy("fingerprint")
+        batch_kept = (
+            fp.withColumn("first_id", F.min("doc_id").over(keeper))
+            .filter(F.col("doc_id") == F.col("first_id"))
+            .drop("first_id")
+        )
+        if os.path.isdir(store_dir) and any(
+            n.endswith(".parquet") for n in os.listdir(store_dir)
+        ):
+            store = spark.read.parquet(store_dir)
+            batch_kept = batch_kept.join(
+                store, "fingerprint", "left_anti"
+            )
+        batch_kept = batch_kept.persist()
+        batch_kept.drop("fingerprint").write.mode("append").parquet(out_dir)
+        batch_kept.select("fingerprint").write.mode("append").parquet(store_dir)
+        batch_kept.unpersist()
+
+    (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
     )
