@@ -334,7 +334,19 @@ def test_iterative_ml_partition_invariance(spark, sf_dir, registry):
             (r["doc_id"], r["topic"], r["theta"])
             for r in registry["plsa_doc_topics"].fn(spark, sf_dir).collect()
         }
-        return lloyd, plsa
+        fold = {
+            (r["doc_id"], r["topic"], r["theta"])
+            for r in registry["plsa_fold_in"].fn(spark, sf_dir).collect()
+        }
+        cms = {
+            (r["word"], r["exact_cnt"], r["est_cnt"])
+            for r in registry["cms_word_counts"].fn(spark, sf_dir).collect()
+        }
+        ewma = {
+            (r["day"], r["ewma"])
+            for r in registry["ewma_daily_events"].fn(spark, sf_dir).collect()
+        }
+        return lloyd, plsa, fold, cms, ewma
 
     before = snap()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
