@@ -85,8 +85,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets rebroadcast, then a per-stride local cumsum window. No global
     sort; the widest shuffle is hash(pid) with ~N/{PACK_PARTS} rows per
     task, and the driver materializes exactly {PACK_PARTS} longs."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.size(TX.word_tokens("text")).alias("n")
+    from ..cache import memo
+
+    # slim (doc_id, n) token-length table, memoized+persisted: phase 1's
+    # per-stride totals and phase 2's local cumsum both consume it, and
+    # without the cache each pass re-pays the tokenize scan
+    d = memo(
+        spark,
+        ("pack_lengths", sf_dir),
+        lambda: _docs(spark, sf_dir).select(
+            "doc_id", F.size(TX.word_tokens("text")).alias("n")
+        ),
+        persist=True,
     )
     hi = d.agg(F.max("doc_id")).first()[0] or 0
     stride = max(1, (int(hi) + PACK_PARTS) // PACK_PARTS)
