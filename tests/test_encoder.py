@@ -83,3 +83,18 @@ def registry():
     from topic_modeling_ajin_spark.registry import load_all
 
     return load_all()
+
+
+def test_hash_embedding_splits_ascii_whitespace_only():
+    """Parity guard (r3 review): the oracle's RE2 '\\s+' is ASCII-only, so
+    the Python kernel must NOT split on U+3000/U+00A0 — a doc glued by
+    ideographic space is ONE token on both engines."""
+    from topic_modeling_ajin_spark.functions.encoder import hash_embed_texts
+
+    glued = hash_embed_texts(["인공지능　모델"])[0]
+    one_tok = hash_embed_texts(["인공지능　모델".replace("　", "")])[0]
+    two_tok = hash_embed_texts(["인공지능 모델"])[0]
+    assert glued != two_tok  # U+3000 did not act as a separator
+    # exactly the single-token embedding of the glued string
+    assert glued == hash_embed_texts(["인공지능　모델".lower()])[0]
+    assert sum(abs(x) for x in one_tok) > 0

@@ -56,8 +56,24 @@ def _get_encoder():
 
 
 def encoder_kind() -> str:
-    """Which encoder this environment will run ('sbert' or 'hash')."""
-    return _get_encoder()[1]
+    """Which encoder this environment will run ('sbert' or 'hash').
+    Answered from the import machinery — never loads the model."""
+    import importlib.util
+
+    return (
+        "sbert"
+        if importlib.util.find_spec("sentence_transformers") is not None
+        else "hash"
+    )
+
+
+# ASCII-only whitespace split: DuckDB's RE2 '\s' (the oracle twin) and the
+# repo's Java-regex tokenizers are ASCII '\s'; Python's bare str.split()
+# would ALSO break on U+3000/U+00A0 etc. and silently diverge on
+# real-world Korean/web text
+import re
+
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 
 def hash_embed_texts(texts, dim: int = ENCODER_DIM):
@@ -71,7 +87,7 @@ def hash_embed_texts(texts, dim: int = ENCODER_DIM):
     out = []
     for t in texts:
         v = np.zeros(dim, dtype=np.int64)
-        for tok in (t or "").lower().split():
+        for tok in filter(None, _WS_ASCII.split((t or "").lower())):
             base = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
             sign = 1 if (base // dim) % 2 == 0 else -1
             v[base % dim] += sign
@@ -102,7 +118,13 @@ def encode_documents(
         for pdf in batches:
             if kind == "sbert":
                 if encoder is None:
-                    encoder, _ = _get_encoder()
+                    encoder, got = _get_encoder()
+                    if got != "sbert":
+                        raise ModuleNotFoundError(
+                            "method='sbert' requested but sentence-transformers "
+                            "is not installed on this executor; install it or "
+                            "use method='hash' / method=None (auto-detect)"
+                        )
                 vecs = encoder.encode(
                     pdf[text_col].fillna("").tolist(), show_progress_bar=False
                 )

@@ -64,6 +64,8 @@ def _collect(df: DataFrame, limit: int = MAX_ROWS):
 
 def _fmt(v) -> str:
     if isinstance(v, float):
+        if not math.isfinite(v):  # one bad cell must not kill the render
+            return str(v)
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.3f}".rstrip("0").rstrip(".")
@@ -149,7 +151,9 @@ def plot_word_frequency(
     ph = 260.0
     width = ml + n * (bw + gap) + mr
     height = mt + ph + mb
-    vmax = max((r[count_col] for r in rows), default=0) or 1
+    vmax = max((r[count_col] for r in rows), default=0)
+    if not (vmax > 0):  # all-zero/negative/NaN data: keep the axis sane
+        vmax = 1
     ticks = _ticks(vmax)
     scale = ph / ticks[-1]
     body = []
@@ -262,7 +266,9 @@ def plot_topic_distribution(
     ph = 220.0
     width = ml + n * (bw + gap) + mr
     height = mt + ph + mb
-    vmax = max((r[count_col] for r in rows), default=0) or 1
+    vmax = max((r[count_col] for r in rows), default=0)
+    if not (vmax > 0):  # all-zero/negative/NaN data: keep the axis sane
+        vmax = 1
     ticks = _ticks(vmax)
     scale = ph / ticks[-1]
     body = []

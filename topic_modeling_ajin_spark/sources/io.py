@@ -89,7 +89,13 @@ def export_excel(tables: dict[str, "object"], path: str) -> bool:
     sheets = {}
     for sheet, pdf in tables.items():
         assert isinstance(pdf, pd.DataFrame)
-        sheets[sheet[:31]] = [list(pdf.columns)] + pdf.values.tolist()
+        name = sheet[:31]  # Excel's hard sheet-name limit
+        if name in sheets:
+            raise ValueError(
+                f"sheet name collision after Excel's 31-char truncation: "
+                f"{sheet!r} -> {name!r} already used; rename the sheets"
+            )
+        sheets[name] = [list(pdf.columns)] + pdf.values.tolist()
     write_xlsx(sheets, path)
     return True
 
@@ -133,6 +139,11 @@ def write_xlsx(sheets: dict[str, list[list]], path: str) -> None:
         )
 
     names = [n[:31] or f"Sheet{i + 1}" for i, n in enumerate(sheets)]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "duplicate sheet names after Excel's 31-char truncation: "
+            f"{names!r} — Excel rejects workbooks with repeated names"
+        )
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         overrides = "".join(
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" '

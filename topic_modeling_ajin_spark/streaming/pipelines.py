@@ -250,8 +250,13 @@ def run_streaming_topic_assign_refreshing(
     into ``foreachBatch``: every micro-batch re-reads the centroid table
     and builds that batch's projection against the CURRENT model — the
     standard periodically-retrained-model serving pattern. Still stateless
-    (no streaming aggregation, no watermark); the sink append inherits
-    foreachBatch's per-batch-id idempotency for exactly-once.
+    (no streaming aggregation, no watermark).
+
+    Exactly-once: foreachBatch only REPLAYS a failed batch with the same
+    ``batch_id`` — idempotency is the sink's job — so each batch
+    OVERWRITES its own ``batch=<id>`` partition directory. A replay
+    rewrites that partition instead of appending duplicates; readers see
+    ``batch`` as an ordinary partition column.
 
     ``on_batch_done(batch_id)`` is a test seam invoked after each batch's
     write — e.g. to swap the centroid table mid-query and observe the next
@@ -261,7 +266,7 @@ def run_streaming_topic_assign_refreshing(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         cent_rows = spark.read.parquet(centroid_dir).collect()
         assigned = assign_to_centroids(batch_df, cent_rows)
-        assigned.write.mode("append").parquet(out_dir)
+        assigned.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         if on_batch_done is not None:
             on_batch_done(batch_id)
 
@@ -476,9 +481,9 @@ def run_streaming_ingest_dedup(
     stays correct under at-least-once retries (pair the corpus sink with
     the checkpointed exactly-once parquet sink pattern for end-to-end
     exactly-once)."""
-    import os
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
         from pyspark.sql import Window
 
         fp = batch_df.withColumn(
@@ -490,10 +495,13 @@ def run_streaming_ingest_dedup(
             .filter(F.col("doc_id") == F.col("first_id"))
             .drop("first_id")
         )
-        if os.path.isdir(store_dir) and any(
-            n.endswith(".parquet") for n in os.listdir(store_dir)
-        ):
+        # probe the store through Spark's own FS layer (works for s3/hdfs/
+        # local alike); a store that doesn't exist yet = first batch
+        try:
             store = spark.read.parquet(store_dir)
+        except AnalysisException:
+            store = None
+        if store is not None:
             batch_kept = batch_kept.join(
                 store, "fingerprint", "left_anti"
             )
