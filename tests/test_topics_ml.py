@@ -382,3 +382,23 @@ def test_ewma_smooths_toward_series(spark, sf_dir, registry):
     assert abs(rows[0]["ewma"] - rows[0]["n_events"]) < 1e-6
     for r in rows:
         assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+
+
+def test_canonical_docs_keep_best_member(spark, sf_dir, registry):
+    """The keeper of every near-dup component must be a member of that
+    component with the component's maximum quality score."""
+    comp = {}
+    for r in registry["dedup_components"].fn(spark, sf_dir).collect():
+        comp.setdefault(r["component"], set()).add(r["doc_id"])
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in registry["quality_score"].fn(spark, sf_dir).collect()
+    }
+    rows = registry["canonical_docs"].fn(spark, sf_dir).collect()
+    assert {r["component"] for r in rows} == set(comp)
+    for r in rows:
+        members = comp[r["component"]]
+        assert r["keeper"] in members
+        assert r["n_members"] == len(members)
+        best = max(quality[d] for d in members)
+        assert abs(quality[r["keeper"]] - best) < 1e-9

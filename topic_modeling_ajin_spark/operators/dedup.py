@@ -589,3 +589,84 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label.join(sizes, "comp").select(
         "doc_id", F.col("comp").alias("component"), "component_size"
     )
+
+
+def _sql_quality_block() -> str:
+    """Quality-score CTEs (qm, q) over the ``t`` tokens CTE that
+    ``_SIMHASH_BODY`` already emits — kept in lockstep with the
+    ``quality_score`` query's formula."""
+    from .text_analysis import _STOP_SQL
+
+    return rf"""
+qm AS (
+    SELECT doc_id,
+           length(toks) AS n_tokens,
+           CASE WHEN length(toks) > 0
+                THEN length(list_filter(toks, w -> list_contains({_STOP_SQL}, w))) * 1.0 / length(toks)
+                ELSE 0 END AS stop_ratio,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9가-힣 ]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0 END AS punct_ratio
+    FROM t
+),
+q AS (
+    SELECT doc_id,
+           0.5 * least(n_tokens / 100.0, 1.0)
+         + 0.25 * least(stop_ratio * 5, 1.0)
+         + 0.25 * (1.0 - punct_ratio) AS quality
+    FROM qm
+)"""
+
+
+@register(
+    "canonical_docs",
+    sql=f"""
+WITH {_simhash_edges_sql()},
+{_sql_cc(CC_STEPS)},
+{_sql_quality_block()},
+ranked AS (
+    SELECT l.comp AS component, l.doc_id, q.quality,
+           count(*) OVER (PARTITION BY l.comp) AS n_members,
+           row_number() OVER (PARTITION BY l.comp
+                              ORDER BY q.quality DESC, l.doc_id) AS rn
+    FROM l{CC_STEPS} l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT component, doc_id AS keeper, n_members,
+       round(quality, 6) AS keeper_quality
+FROM ranked WHERE rn = 1
+""",
+    tags=("dedup", "curation", "scale"),
+)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the decision a dedup pipeline
+    actually ships: for every near-dup CLUSTER (connected component of
+    the simhash graph), keep the HIGHEST-QUALITY member, not an arbitrary
+    id. Composes two oracle-checked stages — ``dedup_components``
+    (transitive closure) and ``quality_score`` (C4/Gopher signal mix) —
+    into (component, keeper, n_members, keeper_quality); ties break to
+    the lowest doc_id, so survivorship is total-ordered and replayable.
+
+    Scale shape: the join is doc_id-keyed (components and scores are both
+    per-doc slim tables); the per-component argmax is one rank window on
+    hash(component) — no new corpus-sized shuffle beyond the two reused
+    stages."""
+    from pyspark.sql import Window
+
+    from .text_analysis import q_quality_score
+
+    comp = q_dedup_components(spark, sf_dir)
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper"),
+            F.col("component_size").alias("n_members"),
+            F.round("quality", 6).alias("keeper_quality"),
+        )
+    )
