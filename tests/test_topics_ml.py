@@ -402,3 +402,16 @@ def test_canonical_docs_keep_best_member(spark, sf_dir, registry):
         assert r["n_members"] == len(members)
         best = max(quality[d] for d in members)
         assert abs(quality[r["keeper"]] - best) < 1e-9
+
+
+def test_textrank_scores_bounded_and_ranked(spark, sf_dir, registry):
+    """Damped PageRank floor: every score >= 1-d; ranks strictly follow
+    (pr desc, word) with no gaps."""
+    rows = sorted(
+        registry["textrank_keywords"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    prs = [r["pr"] for r in rows]
+    assert all(p >= 0.15 - 1e-9 for p in prs)
+    assert prs == sorted(prs, reverse=True)

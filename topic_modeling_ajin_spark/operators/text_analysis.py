@@ -869,3 +869,173 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+# -------------------------------------------------- TextRank keywords
+
+TEXTRANK_DAMP = 0.85
+TEXTRANK_ITERS = 4
+TEXTRANK_VOCAB = 200  # graph nodes: top-V words by frequency (bounded)
+TEXTRANK_TOP_K = 20
+_TR_ROUND = 6
+
+
+def _sql_textrank() -> str:
+    """Unrolled weighted-PageRank CTEs over the adjacency graph of the
+    top-{TEXTRANK_VOCAB} words: pr{t}(word, pr)."""
+    parts = [
+        rf"""
+t AS ({_SQL_WORD_TOKS}),
+bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+),
+pairs AS (
+    SELECT split_part(bigram, ' ', 1) AS a, split_part(bigram, ' ', 2) AS b
+    FROM bg
+    WHERE length(split_part(bigram, ' ', 1)) >= 2
+      AND length(split_part(bigram, ' ', 2)) >= 2
+),
+topv AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS cnt FROM (
+            SELECT a AS word FROM pairs UNION ALL SELECT b FROM pairs
+        ) GROUP BY word
+    ) ORDER BY cnt DESC, word LIMIT {TEXTRANK_VOCAB}
+),
+und AS (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+    FROM (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL
+        SELECT b, a FROM pairs
+    )
+    WHERE src <> dst
+      AND src IN (SELECT word FROM topv)
+      AND dst IN (SELECT word FROM topv)
+    GROUP BY src, dst
+),
+strength AS (SELECT src, sum(w) AS s FROM und GROUP BY src),
+nodes AS (SELECT DISTINCT src AS word FROM und),
+pr0 AS (SELECT word, 1.0 AS pr FROM nodes)"""
+    ]
+    for t in range(1, TEXTRANK_ITERS + 1):
+        parts.append(
+            f"""
+pr{t} AS MATERIALIZED (
+    SELECT n.word,
+           round({1.0 - TEXTRANK_DAMP} + {TEXTRANK_DAMP} * coalesce(c.v, 0.0),
+                 {_TR_ROUND}) AS pr
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.dst AS word, sum(p.pr * e.w / s.s) AS v
+        FROM und e
+        JOIN pr{t - 1} p ON p.word = e.src
+        JOIN strength s ON s.src = e.src
+        GROUP BY e.dst
+    ) c ON c.word = n.word
+)"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "textrank_keywords",
+    sql=f"""
+WITH {_sql_textrank()}
+SELECT word, pr,
+       row_number() OVER (ORDER BY pr DESC, word) AS rank
+FROM pr{TEXTRANK_ITERS}
+QUALIFY rank <= {TEXTRANK_TOP_K}
+""",
+    tags=("text_analysis", "graph", "keywords", "scale"),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — weighted
+    PageRank over the word co-occurrence graph, the classic unsupervised
+    complement to the engine's c-TF-IDF keywords (SURVEY T2/M14 family).
+    Nodes are the top-{TEXTRANK_VOCAB} words of the adjacency graph (a
+    BOUNDED vocabulary at any corpus size); edges are adjacent-token
+    co-occurrences; {TEXTRANK_ITERS} damped iterations
+    PR(i) = {1 - TEXTRANK_DAMP} + {TEXTRANK_DAMP} * sum_j w_ji/s_j PR(j),
+    6-dp rounded per round (the clustering.py determinism recipe), so
+    DuckDB replays every iteration exactly.
+
+    Scale shape: the corpus-sized work is ONE bigram aggregation with
+    map-side combine; the graph itself is <= {TEXTRANK_VOCAB} nodes, so
+    every PageRank round is a join over a broadcast-sized edge table —
+    iterative graph analytics whose per-round cost is independent of
+    corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(TX.word_tokens("text").alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    "toks",
+                    lambda t, i: F.when(
+                        i < F.size("toks") - 1,
+                        F.struct(
+                            t.alias("a"), F.element_at("toks", i + 2).alias("b")
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(
+        (F.length("a") >= 2) & (F.length("b") >= 2)
+    )
+    counts = (
+        bigrams.select(F.col("a").alias("word"))
+        .union(bigrams.select("b"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(TEXTRANK_VOCAB)
+        .select("word")
+    )
+    und = (
+        bigrams.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(bigrams.select("b", "a"))
+        .filter(F.col("src") != F.col("dst"))
+        .join(F.broadcast(counts.withColumnRenamed("word", "src")), "src", "leftsemi")
+        .join(F.broadcast(counts.withColumnRenamed("word", "dst")), "dst", "leftsemi")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    from ..cache import memo
+
+    und = memo(
+        spark,
+        ("textrank_edges", sf_dir),
+        lambda: und,
+        persist=True,
+    )
+    strength = und.groupBy("src").agg(F.sum("w").alias("s"))
+    nodes = und.select(F.col("src").alias("word")).distinct()
+    pr = nodes.select("word", F.lit(1.0).alias("pr"))
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            und.join(pr.withColumnRenamed("word", "src"), "src")
+            .join(strength, "src")
+            .groupBy(F.col("dst").alias("word"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("s")).alias("v"))
+        )
+        pr = nodes.join(contrib, "word", "left").select(
+            "word",
+            F.round(
+                F.lit(1.0 - TEXTRANK_DAMP)
+                + TEXTRANK_DAMP * F.coalesce(F.col("v"), F.lit(0.0)),
+                _TR_ROUND,
+            ).alias("pr"),
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pr"), F.asc("word"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TEXTRANK_TOP_K)
+        .select("word", "pr", "rank")
+    )
