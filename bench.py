@@ -41,6 +41,8 @@ HEADLINE = (
     "cv_coherence",          # heaviest coherence metric (W=110 windows)
     "plsa_topic_terms",      # from-scratch distributed EM topic model
     "pack_sequences",        # curation: greedy sequence packing
+    "plsa_fold_in",          # serving path: broadcast-model inference
+    "textrank_keywords",     # iterative graph analytics (PageRank)
 )
 
 N_RUNS = 3  # timed runs per query; the reported figure is the median

@@ -134,3 +134,19 @@ def test_hierarchy_dendrogram_from_merge_log(spark, sf_dir, registry):
         if e.find(f"{SVG}title") is not None
     ]
     assert len(bridges) == steps.count()
+
+
+def test_visual_report_pipeline_writes_all_figures(spark, sf_dir, tmp_path):
+    from topic_modeling_ajin_spark.pipeline import run_visual_report
+
+    written = run_visual_report(spark, sf_dir, str(tmp_path / "viz"))
+    assert set(written) == {
+        "word_frequency", "topic_keywords", "topic_distribution",
+        "topic_heatmap", "topic_hierarchy", "report_html",
+    }
+    import os
+
+    for name, path in written.items():
+        assert os.path.getsize(path) > 0, name
+        if path.endswith(".svg"):
+            _root(open(path, encoding="utf-8").read())  # valid XML

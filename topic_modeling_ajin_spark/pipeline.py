@@ -82,3 +82,67 @@ def run_full_analysis(
     written = run_word_frequency(spark, sf_dir, out_dir)
     written.update(_write_outputs(spark, sf_dir, out_dir, FULL_ANALYSIS_OUTPUTS))
     return written
+
+
+def run_visual_report(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, str]:
+    """The reference's figure pass (``create_visualizations``,
+    ``BERTopic_Analysis.py:730-833``; ``LDA_Analysis.py:614-677``): render
+    every artifact family from the same registry outputs into SVG files
+    plus one bundled HTML report — driver-side over K-row aggregates, via
+    the stdlib-only S9 sinks."""
+    from pyspark.sql import functions as F
+
+    from . import plots
+
+    registry = load_all()
+    os.makedirs(out_dir, exist_ok=True)
+    sections = []
+    written: dict[str, str] = {}
+
+    def render(name: str, svg: str) -> None:
+        path = os.path.join(out_dir, f"{name}.svg")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(svg)
+        written[name] = path
+
+    wf = plots.plot_word_frequency(
+        registry["word_count"].fn(spark, sf_dir), count_col="cnt", top_n=20
+    )
+    render("word_frequency", wf)
+    sections.append(("Word frequencies", wf))
+
+    tk = plots.plot_topic_keywords(
+        registry["ctfidf_keywords"].fn(spark, sf_dir),
+        topic_col="label", word_col="keyword", weight_col="weight",
+    )
+    render("topic_keywords", tk)
+    sections.append(("Topic keywords", tk))
+
+    td = plots.plot_topic_distribution(
+        registry["topic_info"].fn(spark, sf_dir).select(
+            F.col("label").alias("topic"), "n_docs"
+        )
+    )
+    render("topic_distribution", td)
+    sections.append(("Documents per topic", td))
+
+    hm = plots.plot_topic_heatmap(
+        registry["topic_cosine_similarity"].fn(spark, sf_dir),
+        row_col="i", col_col="j", value_col="cosine",
+    )
+    render("topic_heatmap", hm)
+    sections.append(("Topic similarity", hm))
+
+    dg = plots.plot_topic_hierarchy(
+        registry["topic_merge_steps"].fn(spark, sf_dir),
+        registry["topic_reduction"].fn(spark, sf_dir),
+    )
+    render("topic_hierarchy", dg)
+    sections.append(("Topic hierarchy", dg))
+
+    html = os.path.join(out_dir, "report.html")
+    plots.export_html_report(html, sections)
+    written["report_html"] = html
+    return written
