@@ -130,10 +130,14 @@ def test_text_report_sink(spark, sf_dir, tmp_path):
 def test_full_analysis_pipeline(spark, sf_dir, tmp_path):
     from topic_modeling_ajin_spark.pipeline import run_full_analysis
 
+    import os
+
     written = run_full_analysis(spark, sf_dir, str(tmp_path / "out"))
     assert "word_count" in written and "topic_info" in written
+    assert "report_html" in written and "topic_hierarchy" in written
     for name, path in written.items():
-        if name == "analysis_report":
+        if os.path.isfile(path):  # text report / SVG figures / HTML bundle
+            assert os.path.getsize(path) > 0, name
             continue
         df = spark.read.parquet(path)
         assert df.count() > 0, name

@@ -78,9 +78,11 @@ def run_full_analysis(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict[str, str]:
     """§3.2: the combined topic-modeling run — both branches + metrics +
-    reports, every output a parquet table keyed by its operator name."""
+    reports + figures, every tabular output a parquet table keyed by its
+    operator name."""
     written = run_word_frequency(spark, sf_dir, out_dir)
     written.update(_write_outputs(spark, sf_dir, out_dir, FULL_ANALYSIS_OUTPUTS))
+    written.update(run_visual_report(spark, sf_dir, os.path.join(out_dir, "figures")))
     return written
 
 
