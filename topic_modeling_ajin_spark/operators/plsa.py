@@ -424,6 +424,21 @@ def q_plsa_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is scored by a model fitted on a sample. Held-out docs sharing
     no vocabulary with the training sample carry no evidence and are
     dropped by the inner join on both engines identically."""
+    theta = memo(spark, ("plsa_fold_theta", sf_dir), lambda: _fold_theta(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("theta"), F.asc("z"))
+    return (
+        theta.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("z").alias("topic"), F.round("theta", 6).alias("theta")
+        )
+    )
+
+
+def _fold_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {FOLD_ITERS}-round theta-only EM over the held-out counts;
+    memoized per dataset (the final round stays persisted, intermediates
+    are released eagerly)."""
     from .frequency import tokenized_words
 
     phi, _ = _fit(spark, sf_dir, PLSA_K, mod=SWEEP_SAMPLE_MOD)
@@ -446,6 +461,7 @@ def q_plsa_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(zs))
         .select("doc_id", "z", F.lit(1.0 / PLSA_K).alias("theta"))
     )
+    prev_cached = None
     for _ in range(FOLD_ITERS):
         num = (
             cnew.join(F.broadcast(phi), "word")
@@ -477,11 +493,11 @@ def q_plsa_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("s") / F.sum("s").over(sd), _ROUND).alias("theta"),
             )
         )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("theta"), F.asc("z"))
-    return (
-        theta.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id", F.col("z").alias("topic"), F.round("theta", 6).alias("theta")
-        )
-    )
+        # cut the per-round lineage as _fit does: without this, round t's
+        # plan re-executes every earlier round's corpus-sized E-step
+        theta = theta.persist()
+        theta.count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = theta
+    return theta
