@@ -415,3 +415,27 @@ def test_textrank_scores_bounded_and_ranked(spark, sf_dir, registry):
     prs = [r["pr"] for r in rows]
     assert all(p >= 0.15 - 1e-9 for p in prs)
     assert prs == sorted(prs, reverse=True)
+
+
+def test_transition_matrix_rows_are_distributions(spark, sf_dir, registry):
+    rows = registry["event_transition_matrix"].fn(spark, sf_dir).collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r["cur"], []).append(r["p"])
+    assert by_cur
+    for cur, ps in by_cur.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, cur
+
+
+def test_scd2_intervals_chain_without_overlap(spark, sf_dir, registry):
+    rows = registry["scd2_user_status"].fn(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1  # one open interval
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid  # gapless chain
+            assert a["status"] != b["status"], uid  # runs are collapsed

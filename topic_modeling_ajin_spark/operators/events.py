@@ -504,3 +504,119 @@ def q_ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("xb") * wgt) / F.sum(wgt), 6).alias("ewma")
         )
     )
+
+
+@register(
+    "cohort_retention",
+    sql="""
+WITH firstw AS (
+    SELECT user_id, min(date_trunc('week', ts)) AS cohort
+    FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firstw f USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("events", "analytics"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the classic activation analysis over the A7
+    per-date machinery: users grouped by first-activity week (cohort),
+    counted per subsequent activity week offset. Two aggregations, both
+    map-side-combined on user_id / (cohort, offset); the cohort table is
+    user-sized and joins co-partitioned on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firstw = e.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = e.select("user_id", wk.alias("wk")).distinct()
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    sql="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+c AS (
+    SELECT event_type AS cur, nxt, count(*) AS n
+    FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM c
+""",
+    tags=("events", "analytics"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences —
+    P(next event type | current), the behavioral-model complement of the
+    funnel/sessionization family. One lead window partitioned on user_id
+    (the same shuffle sessionization uses), then a K x K aggregate
+    (event-type vocabulary — tiny at any scale)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("cur"), "nxt"
+    ).agg(F.count("*").alias("n"))
+    wc = Window.partitionBy("cur")
+    return c.select(
+        "cur", "nxt", "n", F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p")
+    )
+
+
+@register(
+    "scd2_user_status",
+    sql="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+starts AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM seq WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS status, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM starts
+""",
+    tags=("events", "analytics", "scd"),
+)
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: each
+    run of consecutive identical event types per user becomes one
+    validity interval [valid_from, valid_to), open-ended for the current
+    state — the standard warehouse history-table shape, derived with two
+    windows over the same user_id partitioning (one shuffle total)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return seq.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
