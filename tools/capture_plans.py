@@ -85,6 +85,13 @@ SELECTED = (
         "embarrassingly parallel — the only doc-scaled shuffles are the "
         "per-doc normalizations, co-partitioned on doc_id.",
     ),
+    (
+        "cms_word_counts",
+        "Count-min sketch: the corpus-sized aggregation is CONSTANT-width "
+        "— map-side partial combine compresses every task to <= "
+        "DEPTH x WIDTH cells before the exchange — and the bounded "
+        "sketch broadcasts into the probe join.",
+    ),
 )
 
 
