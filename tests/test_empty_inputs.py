@@ -1,0 +1,64 @@
+"""Empty-input robustness: a pipeline that crashes on an empty partition
+or a fresh (zero-row) table can't run unattended at 100 TB. Every
+corpus-shaped operator here must return an EMPTY result, not raise.
+
+Out of scope by design: model-fitting ops that assert a minimum corpus
+(topic_reduction's fixed-label oracle guard, MLlib fits on empty input).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from topic_modeling_ajin_spark.registry import load_all
+from topic_modeling_ajin_spark.sources import load_table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# corpus-shaped queries that must degrade to zero rows on zero input
+EMPTY_SAFE = (
+    "word_count",
+    "dedup_exact",
+    "fingerprint_dedup",
+    "minhash_lsh_pairs",
+    "simhash16",
+    "quality_score",
+    "tfidf_top_terms",
+    "langid_heuristic",
+    "token_stats",
+    "events_hourly",
+    "sessionize_events",
+    "ewma_daily_events",
+    "event_transition_matrix",
+    "scd2_user_status",
+    "cohort_retention",
+    "train_val_test_split",
+    "cms_word_counts",
+    "pack_sequences",
+    "chunk_documents",
+    "stratified_sample",
+    "q1_pricing_summary",
+    "embed_documents",
+)
+# NOT in the list: q6_forecast_revenue and other global (no-GROUP BY)
+# aggregates — SQL semantics give them exactly one all-NULL/0 row on empty
+# input, which is correct, not a robustness failure.
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).write.parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_empty_input_yields_empty_output(spark, empty_sf_dir, name):
+    df = load_all()[name].fn(spark, empty_sf_dir)
+    assert df.count() == 0

@@ -107,6 +107,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
+    if not offsets:
+        offsets = {0: 0}  # empty corpus: create_map() would be untyped
     off = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
@@ -416,4 +418,52 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_chars", F.round("priority", 6).alias("priority"), "rank"
+    )
+
+
+SPLIT_BOUNDS = (80, 90)  # md5 percentile cut points: train/val/test 80/10/10
+
+
+@register(
+    "train_val_test_split",
+    sql=f"""
+WITH h AS (
+    SELECT doc_id,
+           ({_md5_u32_sql("'split|' || CAST(doc_id AS VARCHAR)")}) % 100 AS pct
+    FROM documents
+),
+assigned AS (
+    SELECT doc_id,
+           CASE WHEN pct < {SPLIT_BOUNDS[0]} THEN 'train'
+                WHEN pct < {SPLIT_BOUNDS[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+)
+SELECT split, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM assigned GROUP BY split
+""",
+    tags=("curation", "scale"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs, done the way that survives reruns and growing data:
+    each document's bucket is a pure function of its id (md5 percentile),
+    never a random() draw, so the split is reproducible across runs,
+    engines, and partitionings, and adding new documents never reshuffles
+    old ones between splits. Zero shuffles for the assignment itself (a
+    projection); this manifest query adds one K-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    assigned = d.select(
+        "doc_id",
+        F.when(pct < SPLIT_BOUNDS[0], "train")
+        .when(pct < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
     )
