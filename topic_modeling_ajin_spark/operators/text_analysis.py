@@ -293,15 +293,6 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     toks = TX.word_tokens("text")
-    # document frequency straight off the scan via per-doc distinct words —
-    # an independent slim subtree (word, df) that broadcasts without
-    # dragging the tf tree into the broadcast preparation
-    dfc = (
-        d.select(F.explode(F.array_distinct(toks)).alias("word"))
-        .filter(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count("*").alias("df"))
-    )
     # one explicit doc_id partitioning serves BOTH the (doc_id, word)
     # aggregation (hash(doc_id) co-locates every (doc_id, word) group) and
     # the per-doc rank window — two shuffles collapse into this one
@@ -312,6 +303,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
     )
+    # document frequency FROM the tf table (tf rows are unique per
+    # (doc, word), so counting them per word IS df) — exactly the oracle
+    # SQL's formulation, and it spares a second tokenize pass over the
+    # corpus (measured 1.86s -> 1.52s median at sf0.1; the duplicated tf
+    # subtree is coalesced at runtime)
+    dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()
     w = tf.join(F.broadcast(dfc), "word").withColumn(
         "tfidf",
