@@ -475,12 +475,11 @@ def run_streaming_ingest_dedup(
 
     State is the store itself — O(distinct fingerprints), 16 bytes each,
     partition-prunable parquet — not executor memory; restarts resume
-    from it for free. The store append is idempotent BY SEMANTICS: a
-    replayed batch re-appends fingerprints that already exist, and
-    duplicate store rows cannot change an anti-join verdict, so dedup
-    stays correct under at-least-once retries (pair the corpus sink with
-    the checkpointed exactly-once parquet sink pattern for end-to-end
-    exactly-once)."""
+    from it for free. Replay safety: the corpus sink overwrites its own
+    ``batch=<id>`` partition (exactly-once), and the store append is
+    idempotent BY SEMANTICS — a replayed batch re-appends fingerprints
+    that already exist, and duplicate store rows cannot change an
+    anti-join verdict."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -506,7 +505,12 @@ def run_streaming_ingest_dedup(
                 store, "fingerprint", "left_anti"
             )
         batch_kept = batch_kept.persist()
-        batch_kept.drop("fingerprint").write.mode("append").parquet(out_dir)
+        # corpus sink: overwrite this batch's own partition — a replayed
+        # batch_id rewrites instead of appending duplicates (the same
+        # idempotency pattern as the refreshing topic-assign sink)
+        batch_kept.drop("fingerprint").write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
         batch_kept.select("fingerprint").write.mode("append").parquet(store_dir)
         batch_kept.unpersist()
 
