@@ -393,3 +393,34 @@ def test_streaming_ingest_dedup_across_batches(spark, tmp_path):
     assert kept == {1, 2, 11}
     fps = [r["fingerprint"] for r in spark.read.parquet(store).collect()]
     assert len(fps) == len(set(fps)) == 3  # one stored key per distinct text
+
+
+def test_streaming_ingest_dedup_rerun_is_idempotent(spark, tmp_path):
+    """Re-running the ingest query against the same checkpoint (restart
+    with no new files) must leave corpus and store unchanged — the
+    per-batch overwrite sink plus checkpoint offsets give end-to-end
+    exactly-once."""
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "some document one"), (2, "some document two")], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string"
+            ).option("maxFilesPerTrigger", 1).parquet(staging)
+        )
+        ST.run_streaming_ingest_dedup(spark, stream, store, out, ck)
+
+    run()
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    n_store = spark.read.parquet(store).count()
+    run()  # restart, no new input
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == first
+    assert spark.read.parquet(store).count() == n_store
