@@ -439,3 +439,21 @@ def test_scd2_intervals_chain_without_overlap(spark, sf_dir, registry):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"], uid  # gapless chain
             assert a["status"] != b["status"], uid  # runs are collapsed
+
+
+def test_pq_codes_cover_all_vectors(spark, sf_dir, registry):
+    """Every vector gets exactly one code per subspace; codes come from
+    the seed-id codebook; reconstruction error is non-negative."""
+    from topic_modeling_ajin_spark.operators.clustering import PQ_K, PQ_M
+    from topic_modeling_ajin_spark.sources import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = registry["pq_codes"].fn(spark, sf_dir).collect()
+    assert len(rows) == n_vecs * PQ_M
+    seen = {}
+    for r in rows:
+        assert 0 <= r["code"] < PQ_K
+        assert r["sq_err"] >= 0.0
+        key = (r["vec_id"], r["subspace"])
+        assert key not in seen
+        seen[key] = r["code"]

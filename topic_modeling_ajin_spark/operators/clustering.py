@@ -629,3 +629,128 @@ def q_gmm_em_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         _points(spark, sf_dir)
         .mapInPandas(kernel, schema="vec_id long, component long, posterior double")
     )
+
+
+# ------------------------------------------------ product quantization (PQ)
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (driver embeddings are 64-d)
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 3
+
+
+def _assign_with_dist(pts: DataFrame, centroids) -> DataFrame:
+    """``_assign`` + the winning squared distance (the per-subspace
+    reconstruction error PQ reports)."""
+    import numpy as np
+
+    ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)
+            pdf = pdf.copy()
+            pdf["cluster"] = ids[best]
+            pdf["dist"] = d2[np.arange(len(pdf)), best]
+            yield pdf[["vec_id", "cluster", "dist"]]
+
+    return pts.select("vec_id", "emb").mapInPandas(
+        kernel, schema="vec_id long, cluster long, dist double"
+    )
+
+
+def _sql_pq() -> str:
+    parts = [
+        f"""
+pts AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+)"""
+    ]
+    sel = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+        s = f"_s{m}"
+        parts.append(
+            f"""
+p{s} AS (SELECT vec_id, dim, val FROM pts WHERE dim >= {lo} AND dim < {hi}),
+c0{s} AS (
+    SELECT vec_id AS cluster, dim, round(val, {_ROUND}) AS val
+    FROM p{s} WHERE vec_id < {PQ_K}
+)"""
+        )
+        for i in range(1, PQ_ITERS + 1):
+            parts.append(
+                f"""
+d{i}{s} AS (
+    SELECT p.vec_id, c.cluster,
+           sum((p.val - c.val) * (p.val - c.val)) AS dist
+    FROM p{s} p JOIN c{i - 1}{s} c ON c.dim = p.dim
+    GROUP BY p.vec_id, c.cluster
+),
+a{i}{s} AS (
+    SELECT vec_id, cluster, dist FROM d{i}{s}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+            )
+            if i < PQ_ITERS:
+                parts.append(
+                    f"""
+c{i}{s} AS (
+    SELECT a.cluster, p.dim, round(avg(p.val), {_ROUND}) AS val
+    FROM a{i}{s} a JOIN p{s} p ON p.vec_id = a.vec_id
+    GROUP BY a.cluster, p.dim
+)"""
+                )
+        sel.append(
+            f"SELECT vec_id, {m} AS subspace, cluster AS code, "
+            f"round(dist, 6) AS sq_err FROM a{PQ_ITERS}{s}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + " UNION ALL ".join(sel)
+
+
+@register("pq_codes", sql=_sql_pq(), tags=("similarity", "quantization", "ml", "scale"))
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the vector-compression
+    step between scalar int8 quantization and IVF in a 100 TB vector
+    store: split each embedding into {PQ_M} x {PQ_SUB}-dim subspaces,
+    fit a {PQ_K}-code deterministic Lloyd codebook per subspace, and
+    encode every vector as {PQ_M} code ids (here with the winning squared
+    reconstruction error per subspace). {PQ_M} codebooks x {PQ_K} codes
+    x {PQ_SUB} dims replace {PQ_M * PQ_SUB} floats with {PQ_M} bytes per
+    vector.
+
+    Scale shape: each subspace fit reuses the Lloyd layout — broadcast
+    codebook into an Arrow-batched argmin kernel (no shuffle), K x d
+    centroid updates collected driver-side — and the {PQ_M} fits share
+    the persisted points table. Exact oracle: DuckDB replays all
+    {PQ_M} unrolled fits; deterministic first-K-points init and
+    dist/cluster tie-breaks keep the codes identical."""
+    pts = _points(spark, sf_dir)
+    out = None
+    for m in range(PQ_M):
+        sub = pts.select(
+            "vec_id", F.slice("emb", m * PQ_SUB + 1, PQ_SUB).alias("emb")
+        )
+        seed = sub.filter(F.col("vec_id") < PQ_K).collect()
+        centroids = [
+            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
+            for r in sorted(seed, key=lambda r: r["vec_id"])
+        ]
+        for _ in range(PQ_ITERS - 1):
+            centroids = _update(_assign(sub, centroids))
+        part = _assign_with_dist(sub, centroids).select(
+            "vec_id",
+            F.lit(m).alias("subspace"),
+            F.col("cluster").alias("code"),
+            F.round("dist", 6).alias("sq_err"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
