@@ -28,7 +28,7 @@ CTEs over the long-form (vec_id, dim, val) table. Reference parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import memo
@@ -664,7 +664,9 @@ def _assign_with_dist(pts: DataFrame, centroids) -> DataFrame:
     )
 
 
-def _sql_pq() -> str:
+def _sql_pq_ctes() -> str:
+    """The PQ CTE chain alone (pts + per-subspace fits) — shared by the
+    codes query and the ADC search."""
     parts = [
         f"""
 pts AS (
@@ -713,7 +715,12 @@ c{i}{s} AS (
             f"SELECT vec_id, {m} AS subspace, cluster AS code, "
             f"round(dist, 6) AS sq_err FROM a{PQ_ITERS}{s}"
         )
-    return "WITH " + ",".join(parts) + "\n" + " UNION ALL ".join(sel)
+    return ",".join(parts), " UNION ALL ".join(sel)
+
+
+def _sql_pq() -> str:
+    ctes, sel = _sql_pq_ctes()
+    return "WITH " + ctes + "\n" + sel
 
 
 @register("pq_codes", sql=_sql_pq(), tags=("similarity", "quantization", "ml", "scale"))
@@ -754,3 +761,95 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+PQ_ADC_QUERIES = 5
+PQ_ADC_TOP_K = 10
+
+
+@register(
+    "pq_adc_topk",
+    sql=f"""
+WITH {_sql_pq_ctes()[0]},
+adc AS (
+    {" UNION ALL ".join(
+        f'''SELECT q.vec_id AS query_id, a.vec_id AS db_id,
+       sum((q.val - c.val) * (q.val - c.val)) AS d
+FROM a{PQ_ITERS}_s{m} a
+JOIN c{PQ_ITERS - 1}_s{m} c ON c.cluster = a.cluster
+JOIN pts q ON q.dim = c.dim AND q.vec_id < {PQ_ADC_QUERIES}
+GROUP BY q.vec_id, a.vec_id'''
+        for m in range(PQ_M)
+    )}
+),
+tot AS (
+    SELECT query_id, db_id, round(sum(d), 6) AS adc_dist
+    FROM adc WHERE query_id <> db_id
+    GROUP BY query_id, db_id
+)
+SELECT query_id, db_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, db_id) AS rank
+FROM tot
+QUALIFY rank <= {PQ_ADC_TOP_K}
+""",
+    tags=("similarity", "quantization", "scale"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al. 2011 §IV): queries
+    stay exact, the database side is its {PQ_M}-byte PQ code —
+    d(q, v) ~= sum_m ||q_m - codebook_m[code_m(v)]||^2. At scale the
+    per-query work is a {PQ_M} x {PQ_K} lookup table (computed once per
+    query against the broadcast codebooks) plus one add per code — how a
+    100 TB vector store scans billions of vectors without touching a
+    float. Here distances are computed via the same broadcast joins the
+    oracle replays, so every ADC distance and the per-query top-k
+    hash-match DuckDB."""
+    pts = _points(spark, sf_dir)
+    queries = pts.filter(F.col("vec_id") < PQ_ADC_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    total = None
+    for m in range(PQ_M):
+        sub = pts.select(
+            "vec_id", F.slice("emb", m * PQ_SUB + 1, PQ_SUB).alias("emb")
+        )
+        seed = sub.filter(F.col("vec_id") < PQ_K).collect()
+        centroids = [
+            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
+            for r in sorted(seed, key=lambda r: r["vec_id"])
+        ]
+        for _ in range(PQ_ITERS - 1):
+            centroids = _update(_assign(sub, centroids))
+        codes = _assign(sub, centroids).select(
+            F.col("vec_id").alias("db_id"), F.col("cluster").alias("code")
+        )
+        cb = spark.createDataFrame(
+            [(c, v) for c, v in centroids], "code long, cent array<double>"
+        )
+        qs = queries.select(
+            "query_id", F.slice("q_emb", m * PQ_SUB + 1, PQ_SUB).alias("q_sub")
+        )
+        from ..functions import vectors as V
+
+        part = (
+            codes.join(F.broadcast(cb), "code")
+            .crossJoin(F.broadcast(qs))
+            .select(
+                "query_id",
+                "db_id",
+                V.sq_l2(F.col("q_sub"), F.col("cent")).alias("d"),
+            )
+        )
+        total = part if total is None else total.unionByName(part)
+    tot = (
+        total.filter(F.col("query_id") != F.col("db_id"))
+        .groupBy("query_id", "db_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("db_id"))
+    return (
+        tot.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_ADC_TOP_K)
+        .select("query_id", "db_id", "adc_dist", "rank")
+    )
