@@ -723,6 +723,26 @@ def _sql_pq() -> str:
     return "WITH " + ctes + "\n" + sel
 
 
+def _pq_fit(spark: SparkSession, sf_dir: str, m: int):
+    """Memoized per-subspace codebook fit: (sub_points_df, centroids)."""
+
+    def build():
+        pts = _points(spark, sf_dir)
+        sub = pts.select(
+            "vec_id", F.slice("emb", m * PQ_SUB + 1, PQ_SUB).alias("emb")
+        )
+        seed = sub.filter(F.col("vec_id") < PQ_K).collect()
+        centroids = [
+            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
+            for r in sorted(seed, key=lambda r: r["vec_id"])
+        ]
+        for _ in range(PQ_ITERS - 1):
+            centroids = _update(_assign(sub, centroids))
+        return (sub, centroids)
+
+    return memo(spark, ("pq_fit", sf_dir, m), build)
+
+
 @register("pq_codes", sql=_sql_pq(), tags=("similarity", "quantization", "ml", "scale"))
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011) — the vector-compression
@@ -740,19 +760,9 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted points table. Exact oracle: DuckDB replays all
     {PQ_M} unrolled fits; deterministic first-K-points init and
     dist/cluster tie-breaks keep the codes identical."""
-    pts = _points(spark, sf_dir)
     out = None
     for m in range(PQ_M):
-        sub = pts.select(
-            "vec_id", F.slice("emb", m * PQ_SUB + 1, PQ_SUB).alias("emb")
-        )
-        seed = sub.filter(F.col("vec_id") < PQ_K).collect()
-        centroids = [
-            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
-            for r in sorted(seed, key=lambda r: r["vec_id"])
-        ]
-        for _ in range(PQ_ITERS - 1):
-            centroids = _update(_assign(sub, centroids))
+        sub, centroids = _pq_fit(spark, sf_dir, m)
         part = _assign_with_dist(sub, centroids).select(
             "vec_id",
             F.lit(m).alias("subspace"),
@@ -811,16 +821,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = None
     for m in range(PQ_M):
-        sub = pts.select(
-            "vec_id", F.slice("emb", m * PQ_SUB + 1, PQ_SUB).alias("emb")
-        )
-        seed = sub.filter(F.col("vec_id") < PQ_K).collect()
-        centroids = [
-            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
-            for r in sorted(seed, key=lambda r: r["vec_id"])
-        ]
-        for _ in range(PQ_ITERS - 1):
-            centroids = _update(_assign(sub, centroids))
+        sub, centroids = _pq_fit(spark, sf_dir, m)
         codes = _assign(sub, centroids).select(
             F.col("vec_id").alias("db_id"), F.col("cluster").alias("code")
         )
