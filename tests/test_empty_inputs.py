@@ -62,3 +62,44 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
 def test_empty_input_yields_empty_output(spark, empty_sf_dir, name):
     df = load_all()[name].fn(spark, empty_sf_dir)
     assert df.count() == 0
+
+
+# text operators that must tolerate NULL text values (crawls deliver them)
+NULL_TEXT_SAFE = (
+    "word_count",
+    "dedup_exact",
+    "fingerprint_dedup",
+    "quality_score",
+    "tfidf_top_terms",
+    "minhash_lsh_pairs",
+    "langid_heuristic",
+    "cms_word_counts",
+    "pack_sequences",
+    "train_val_test_split",
+    "embed_documents",
+)
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 with a third of document texts nulled out."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        df.write.parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_SAFE)
+def test_null_texts_do_not_crash(spark, nulls_sf_dir, name):
+    # must execute without raising; rows from the non-null majority remain
+    load_all()[name].fn(spark, nulls_sf_dir).count()

@@ -620,3 +620,45 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+ANOMALY_Z = 1.5  # |z| >= this flags a day as anomalous
+
+
+@register(
+    "daily_anomalies",
+    sql=f"""
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+    FROM events GROUP BY 1
+),
+stats AS (
+    SELECT avg(n_events) AS mu, stddev_samp(n_events) AS sigma FROM daily
+)
+SELECT d.day, d.n_events,
+       round((d.n_events - s.mu) / s.sigma, 6) AS z,
+       (abs((d.n_events - s.mu) / s.sigma) >= {ANOMALY_Z}) AS is_anomaly
+FROM daily d CROSS JOIN stats s
+""",
+    tags=("events", "timeseries", "analytics"),
+)
+def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags over the daily event series — the alerting
+    step on top of A7's per-date counts (pairs with ``ewma_daily_events``
+    for the monitoring story). The corpus-sized work is the daily
+    pre-aggregation; mu/sigma are one global aggregate broadcast back
+    onto the calendar-bounded series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    stats = daily.agg(
+        F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sigma")
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
+    )
