@@ -503,3 +503,26 @@ def test_pq_adc_approximates_exact_search(spark, sf_dir, registry):
         sel = np.mean([ex[r["db_id"]] for r in rows])
         ratios.append(sel / np.mean(list(ex.values())))
     assert float(np.mean(ratios)) < 0.9
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir, registry):
+    from topic_modeling_ajin_spark.sources import load_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    rows = registry["hard_negatives"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["negative_id"]] != labels[r["query_id"]]
+        assert r["negative_label"] == labels[r["negative_id"]]
+        assert -1.0 - 1e-6 <= r["cosine"] <= 1.0 + 1e-6
+
+
+def test_vocab_drift_bounded_by_ln2(spark, sf_dir, registry):
+    row = registry["vocab_drift"].fn(spark, sf_dir).collect()[0]
+    import math
+
+    assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9
+    assert row["n_vocab"] > 0

@@ -459,3 +459,71 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(V.cosine(F.col("emb"), F.col("deq")), 6).alias("fidelity"),
         F.round(F.sqrt(V.dot(diff, diff)), 6).alias("l2_err"),
     )
+
+
+HN_TOP_K = 3
+
+
+@register(
+    "hard_negatives",
+    sql=f"""
+SELECT q.vec_id AS query_id,
+       c.vec_id AS negative_id,
+       c.label AS negative_label,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) AS cosine,
+       row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           c.embedding::DOUBLE[]) DESC,
+                    c.vec_id) AS rank
+FROM embeddings q
+JOIN embeddings c ON c.label <> q.label
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {HN_TOP_K}
+""",
+    tags=("similarity", "training-data", "scale"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for each
+    anchor, the most-similar vectors with a DIFFERENT label (the examples
+    an embedding model most needs to push apart). Same broadcast-anchor
+    scan shape as the brute-force top-k (anchors broadcast, corpus never
+    shuffles, `WindowGroupLimit` prunes per-anchor); at 100 TB swap the
+    full scan for the IVF/PQ candidate generation and keep this ranking
+    stage unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        V.as_double("embedding").alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        V.as_double("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("negative_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "negative_id",
+            "negative_label",
+            V.cosine(F.col("q_emb"), F.col("c_emb")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_TOP_K)
+        .select(
+            "query_id",
+            "negative_id",
+            "negative_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -1044,3 +1044,85 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(wd, p, i + 1) for i, (wd, p) in enumerate(top)],
         "word string, pr double, rank int",
     )
+
+
+# ------------------------------------------------ vocabulary drift (JS)
+
+DRIFT_VOCAB = 100
+
+
+@register(
+    "vocab_drift",
+    sql=f"""
+WITH tw AS (
+    SELECT half, word FROM (
+        SELECT doc_id % 2 AS half, unnest(toks) AS word
+        FROM ({_SQL_WORD_TOKS})
+    ) WHERE length(word) >= 2
+),
+vocab AS (
+    SELECT word, ca, cb FROM (
+        SELECT word,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb,
+               count(*) AS tot
+        FROM tw GROUP BY word
+    ) ORDER BY tot DESC, word LIMIT {DRIFT_VOCAB}
+),
+tots AS (SELECT sum(ca) * 1.0 AS ta, sum(cb) * 1.0 AS tb FROM vocab),
+terms AS (
+    SELECT ca / ta AS p, cb / tb AS q,
+           (ca / ta + cb / tb) / 2 AS m2
+    FROM vocab CROSS JOIN tots
+)
+SELECT round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / m2) ELSE 0 END)
+           + 0.5 * sum(CASE WHEN q > 0 THEN q * ln(q / m2) ELSE 0 END),
+             6) AS js_divergence,
+       count(*) AS n_vocab
+FROM terms
+""",
+    tags=("text_analysis", "quality", "drift"),
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the word distributions of the
+    two doc_id-parity halves of the corpus — the drift detector a
+    continuously-ingesting pipeline runs between yesterday's and today's
+    data (or train vs serve): JS == 0 means identical distributions,
+    ln 2 is the maximum. Restricted to the top-{DRIFT_VOCAB} words
+    (renormalized), so the statistic — like the shuffle behind it — is
+    vocabulary-bounded at any corpus size: one map-side-combined word
+    count is the only corpus-scaled work."""
+    d = _docs(spark, sf_dir)
+    tw = (
+        d.select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(TX.word_tokens("text")).alias("word"),
+        )
+        .filter(F.length("word") >= 2)
+    )
+    vocab = (
+        tw.groupBy("word")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+            F.count("*").alias("tot"),
+        )
+        .orderBy(F.desc("tot"), F.asc("word"))
+        .limit(DRIFT_VOCAB)
+    )
+    tots = vocab.agg(
+        (F.sum("ca") * 1.0).alias("ta"), (F.sum("cb") * 1.0).alias("tb")
+    )
+    p = F.col("ca") / F.col("ta")
+    q = F.col("cb") / F.col("tb")
+    m2 = (p + q) / 2
+    terms = vocab.crossJoin(F.broadcast(tots)).select(
+        p.alias("p"), q.alias("q"), m2.alias("m2")
+    )
+    kl = lambda x: F.when(F.col(x) > 0, F.col(x) * F.log(F.col(x) / F.col("m2"))).otherwise(0.0)  # noqa: E731
+    return terms.agg(
+        F.round(0.5 * F.sum(kl("p")) + 0.5 * F.sum(kl("q")), 6).alias(
+            "js_divergence"
+        ),
+        F.count("*").alias("n_vocab"),
+    )
