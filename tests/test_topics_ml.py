@@ -526,3 +526,34 @@ def test_vocab_drift_bounded_by_ln2(spark, sf_dir, registry):
 
     assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9
     assert row["n_vocab"] > 0
+
+
+def test_ngram_novelty_bounds_and_duplicates_score_zero(spark, sf_dir, registry):
+    rows = registry["ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_shingles"]
+        assert -1e-9 <= r["novelty"] <= 1.0 + 1e-9
+    # exact duplicates share every shingle -> novelty exactly 0 for both
+    dup = registry["dedup_exact"].fn(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r["novelty"] for r in rows}
+    dups = [r for r in dup if r["n_copies"] > 1]
+    assert dups
+    for r in dups:
+        if r["doc_id"] in by_id:
+            assert by_id[r["doc_id"]] == 0.0
+
+
+def test_collocations_thresholded_and_ordered(spark, sf_dir, registry):
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        COLLOC_MIN_COUNT,
+    )
+
+    rows = sorted(
+        registry["collocations"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["n_pair"] >= COLLOC_MIN_COUNT for r in rows)

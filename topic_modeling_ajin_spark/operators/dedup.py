@@ -670,3 +670,52 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("quality", 6).alias("keeper_quality"),
         )
     )
+
+
+@register(
+    "ngram_novelty",
+    sql=f"""
+WITH {SQL_SHINGLES},
+df AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle),
+j AS (
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM sh s JOIN df d ON d.shingle = s.shingle
+    GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       round(1.0 - n_shared * 1.0 / n_shingles, 6) AS novelty
+FROM j
+""",
+    tags=("dedup", "curation", "scale"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk signal between
+    exact dedup and near-dup pairs: the share of a document's 3-gram
+    shingles that appear in NO other document (novelty 0 = every shingle
+    is shared somewhere; boilerplate and templated text score low without
+    ever forming a >=0.8-Jaccard pair). One shingle-keyed
+    map-side-combined aggregate for document frequency, then a
+    co-partitioned join back — the same shuffle skeleton as the exact
+    Jaccard baseline, reusing the memoized shingle table."""
+    sh = _exploded_shingles(spark, sf_dir)
+    dfc = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    j = (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.round(1.0 - F.col("n_shared") / F.col("n_shingles"), 6).alias(
+            "novelty"
+        ),
+    )

@@ -10,7 +10,7 @@ on md5 nibbles).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1125,4 +1125,114 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_divergence"
         ),
         F.count("*").alias("n_vocab"),
+    )
+
+
+# ---------------------------------------------------- PMI collocations
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 20
+
+
+@register(
+    "collocations",
+    sql=f"""
+WITH t AS ({_SQL_WORD_TOKS}),
+uni AS (
+    SELECT word, count(*) AS c FROM (
+        SELECT unnest(toks) AS word FROM t
+    ) WHERE length(word) >= 2 GROUP BY word
+),
+tot AS (SELECT sum(c) * 1.0 AS n FROM uni),
+bg AS (
+    SELECT a, b, count(*) AS cab FROM (
+        SELECT split_part(bigram, ' ', 1) AS a,
+               split_part(bigram, ' ', 2) AS b
+        FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM t
+        )
+    )
+    WHERE length(a) >= 2 AND length(b) >= 2
+    GROUP BY a, b
+),
+btot AS (SELECT sum(cab) * 1.0 AS nb FROM bg),
+scored AS (
+    SELECT bg.a, bg.b, bg.cab,
+           ln((bg.cab / btot.nb) / ((ua.c / tot.n) * (ub.c / tot.n))) AS pmi
+    FROM bg
+    JOIN uni ua ON ua.word = bg.a
+    JOIN uni ub ON ub.word = bg.b
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE bg.cab >= {COLLOC_MIN_COUNT}
+)
+SELECT a, b, cab AS n_pair, round(pmi, 6) AS pmi,
+       row_number() OVER (ORDER BY pmi DESC, a, b) AS rank
+FROM scored
+QUALIFY rank <= {COLLOC_TOP_K}
+""",
+    tags=("text_analysis", "keywords"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations (Church & Hanks 1990) — the statistically
+    over-represented adjacent word pairs, with a minimum-count floor so
+    rare coincidences don't dominate. Complements raw ``bigram_counts``
+    (frequency) and ``textrank_keywords`` (centrality). Two map-side-
+    combined aggregates (unigrams, bigrams); totals broadcast back; the
+    top-k is `TakeOrderedAndProject`-shaped over the thresholded pairs."""
+    d = _docs(spark, sf_dir)
+    toks = TX.word_tokens("text")
+    uni = (
+        d.select(F.explode(toks).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg((F.sum("c") * 1.0).alias("n"))
+    pairs = d.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda t, i: F.when(
+                        i < F.size(toks) - 1,
+                        F.struct(
+                            t.alias("a"), F.element_at(toks, i + 2).alias("b")
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(
+        (F.length("a") >= 2) & (F.length("b") >= 2)
+    )
+    bg = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    btot = bg.agg((F.sum("cab") * 1.0).alias("nb"))
+    ua = uni.select(F.col("word").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bg.filter(F.col("cab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "a",
+            "b",
+            "cab",
+            F.log(
+                (F.col("cab") / F.col("nb"))
+                / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= COLLOC_TOP_K)
+        .select(
+            "a", "b", F.col("cab").alias("n_pair"), F.round("pmi", 6).alias("pmi"), "rank"
+        )
     )
