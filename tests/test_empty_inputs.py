@@ -42,6 +42,10 @@ EMPTY_SAFE = (
     "stratified_sample",
     "q1_pricing_summary",
     "embed_documents",
+    "ngram_novelty",
+    "collocations",
+    "hard_negatives",
+    "daily_anomalies",
 )
 # NOT in the list: q6_forecast_revenue and other global (no-GROUP BY)
 # aggregates — SQL semantics give them exactly one all-NULL/0 row on empty
