@@ -1236,3 +1236,56 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a", "b", F.col("cab").alias("n_pair"), F.round("pmi", 6).alias("pmi"), "rank"
         )
     )
+
+
+# --------------------------------------------- BPE-ish regex tokenizer
+
+# GPT-2-style pre-tokenization pattern: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs. Written in
+# the common subset of Java regex (Spark) and RE2 (DuckDB) so both
+# engines extract byte-identical tokens.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+_BPE_SQL_PATTERN = (
+    "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'"
+)
+BPE_TOP_K = 30
+
+
+@register(
+    "bpe_regex_tokens",
+    sql=f"""
+WITH tok AS (
+    SELECT unnest(regexp_extract_all(text, {_BPE_SQL_PATTERN})) AS token
+    FROM documents
+)
+SELECT token, count(*) AS cnt,
+       row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+FROM tok
+GROUP BY token
+QUALIFY rank <= {BPE_TOP_K}
+""",
+    tags=("text_analysis", "tokenize"),
+)
+def q_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the GPT-2 regex family): space-aware
+    letter/digit/punctuation runs plus contraction suffixes — the token
+    stream a byte-pair tokenizer trains on, and the honest token-count
+    basis for sequence packing budgets (whitespace tokenization
+    undercounts punctuation-heavy text). Top-{BPE_TOP_K} tokens with
+    counts; the extraction is a codegen'd regexp over the scan, one
+    map-side-combined aggregate, top-k via per-partition heaps. The
+    pattern is written in the Java-regex/RE2 common subset, so DuckDB
+    extracts byte-identical tokens."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("token")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_K)
+    )
