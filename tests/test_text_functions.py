@@ -121,3 +121,29 @@ def test_cache_memo_and_clear(spark):
     c = memo(spark, ("t", "x"), build, persist=True)
     assert len(calls) == 2 and c is not a
     clear_caches(spark)
+
+
+def test_fuzzy_pairs_find_planted_typos(spark):
+    """Deletion-neighborhood join recovers exactly the planted
+    edit-distance-1 pairs (substitution, deletion) and nothing else."""
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        fuzzy_pairs_from_vocab,
+    )
+
+    vocab = spark.createDataFrame(
+        [("hash", 10), ("cash", 4), ("hashs", 2),  # substitution + insertion
+         ("filter", 9), ("fitter", 3),             # substitution
+         ("merge", 8), ("purge", 5),               # ed=2: must NOT pair
+         ("배치처리", 6), ("배치저리", 2)],          # Hangul substitution
+        "word string, c long",
+    )
+    pairs = {
+        (r["word_a"], r["word_b"])
+        for r in fuzzy_pairs_from_vocab(vocab).collect()
+    }
+    assert pairs == {
+        ("cash", "hash"),
+        ("hash", "hashs"),
+        ("filter", "fitter"),
+        ("배치저리", "배치처리"),
+    }

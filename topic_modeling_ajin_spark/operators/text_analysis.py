@@ -1289,3 +1289,98 @@ def q_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BPE_TOP_K)
     )
+
+
+# ------------------------------------------- fuzzy vocabulary matching
+
+FUZZY_MIN_LEN = 4
+FUZZY_MIN_COUNT = 3
+
+
+@register(
+    "edit_distance_pairs",
+    sql=f"""
+WITH t AS ({_SQL_WORD_TOKS}),
+vocab AS (
+    SELECT word, count(*) AS c FROM (
+        SELECT unnest(toks) AS word FROM t
+    )
+    WHERE length(word) >= {FUZZY_MIN_LEN}
+    GROUP BY word HAVING count(*) >= {FUZZY_MIN_COUNT}
+),
+vars AS (
+    SELECT word, c,
+           unnest(list_distinct(list_prepend(word, list_transform(
+               range(1, length(word) + 1),
+               i -> substr(word, 1, i - 1) || substr(word, i + 1, length(word))
+           )))) AS variant
+    FROM vocab
+),
+cand AS (
+    SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+           any_value(a.c) AS cnt_a, any_value(b.c) AS cnt_b
+    FROM vars a JOIN vars b ON a.variant = b.variant AND a.word < b.word
+    GROUP BY a.word, b.word
+)
+SELECT word_a, word_b, cnt_a, cnt_b
+FROM cand
+WHERE levenshtein(word_a, word_b) = 1
+""",
+    tags=("text_analysis", "fuzzy", "scale"),
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching at edit distance 1 (typo/variant
+    detection — the generalization of the reference's hand-written
+    AI → 인공지능 normalization, ``preprocessing.py:227-235``'s spirit)
+    via the SymSpell deletion-neighborhood trick: every word emits its
+    |w| single-deletion variants, candidate pairs are an EQUI-JOIN on the
+    variant key, and only candidates pay the Levenshtein verification.
+    The quadratic vocab x vocab cross never happens — candidate
+    generation is one hash join on short strings, the scale-correct
+    fuzzy-match shape."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(TX.word_tokens("text")).alias("word"))
+        .filter(F.length("word") >= FUZZY_MIN_LEN)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= FUZZY_MIN_COUNT)
+    )
+    return fuzzy_pairs_from_vocab(vocab)
+
+
+def fuzzy_pairs_from_vocab(vocab: DataFrame) -> DataFrame:
+    """The deletion-neighborhood join over any (word, c) vocabulary —
+    exposed separately so planted-typo fixtures can exercise the pair
+    finding directly (the driver's synthetic vocabulary contains no
+    natural edit-distance-1 neighbors)."""
+    vars_ = vocab.select(
+        "word",
+        "c",
+        # SymSpell neighborhood = the word itself (distance 0) plus its
+        # single deletions — the self entry is what lets pure-insertion
+        # pairs (hash vs hashs) meet on a shared key
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "concat(array(word), "
+                    "transform(sequence(1, length(word)), "
+                    "i -> concat(substring(word, 1, i - 1), "
+                    "substring(word, i + 1, length(word)))))"
+                )
+            )
+        ).alias("variant"),
+    )
+    a = vars_.select(
+        F.col("word").alias("word_a"), F.col("c").alias("cnt_a"), "variant"
+    )
+    b = vars_.select(
+        F.col("word").alias("word_b"), F.col("c").alias("cnt_b"), "variant"
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b", "cnt_a", "cnt_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("word_a", "word_b") == 1)
