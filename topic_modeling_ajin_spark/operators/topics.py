@@ -877,3 +877,75 @@ def q_topic_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ex, "label")
         .select("label", "topic_label", "keywords", "n_docs", "example_docs")
     )
+
+
+SOURCE_TOP_K = 5
+
+
+@register(
+    "source_distinctive_terms",
+    sql=rf"""
+WITH toks AS (
+    SELECT source AS label,
+           unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+),
+tc AS (
+    SELECT label, word, count(*) AS tf FROM toks
+    WHERE length(word) >= 2 GROUP BY label, word
+),
+ct AS (SELECT label, CAST(sum(tf) AS DOUBLE) AS total FROM tc GROUP BY label),
+wf AS (SELECT word, CAST(sum(tf) AS DOUBLE) AS f FROM tc GROUP BY word),
+avgc AS (SELECT avg(total) AS a FROM ct),
+w AS (
+    SELECT tc.label, tc.word,
+           (tc.tf * 1.0 / ct.total) * ln(1 + avgc.a / wf.f) AS wt
+    FROM tc
+    JOIN ct ON ct.label = tc.label
+    JOIN wf ON wf.word = tc.word
+    CROSS JOIN avgc
+)
+SELECT label AS source, word, round(wt, 6) AS weight,
+       row_number() OVER (PARTITION BY label ORDER BY wt DESC, word) AS rank
+FROM w
+QUALIFY rank <= {SOURCE_TOP_K}
+""",
+    tags=("topics", "curation", "quality"),
+)
+def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE distinctive vocabulary — the c-TF-IDF machinery (M14)
+    re-keyed on the crawl source instead of the cluster label: which words
+    over-represent each source, the first thing a data-curation review
+    asks of a multi-source corpus (boilerplate and domain skew show up
+    immediately). Same plan shape as the topic keywords: one (source,
+    word) count shuffle, class mass / term df broadcast back."""
+    d = parallelized(load_table(spark, sf_dir, "documents"))
+    tc = (
+        d.select(F.col("source").alias("label"), F.explode(TX.tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("label", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    ct = tc.groupBy("label").agg(F.sum("tf").cast("double").alias("total"))
+    wf = tc.groupBy("word").agg(F.sum("tf").cast("double").alias("f"))
+    a = ct.agg(F.avg("total").alias("a"))
+    w = (
+        tc.join(F.broadcast(ct), "label")
+        .join(F.broadcast(wf), "word")
+        .crossJoin(F.broadcast(a))
+        .withColumn(
+            "wt",
+            (F.col("tf") * 1.0 / F.col("total")) * F.log(1 + F.col("a") / F.col("f")),
+        )
+    )
+    win = Window.partitionBy("label").orderBy(F.desc("wt"), F.asc("word"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= SOURCE_TOP_K)
+        .select(
+            F.col("label").alias("source"),
+            "word",
+            F.round("wt", 6).alias("weight"),
+            "rank",
+        )
+    )
