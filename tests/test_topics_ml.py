@@ -567,3 +567,26 @@ def test_collocations_thresholded_and_ordered(spark, sf_dir, registry):
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r["n_pair"] >= COLLOC_MIN_COUNT for r in rows)
+
+
+def test_ivfpq_residual_error_beats_flat_pq(spark, sf_dir, registry):
+    """Quantizing the residual (after the coarse quantizer absorbs the
+    cluster structure) must reconstruct better than flat PQ with the same
+    fine-code budget: mean per-subspace squared error strictly lower."""
+    flat = registry["pq_codes"].fn(spark, sf_dir).collect()
+    ivf = registry["ivfpq_codes"].fn(spark, sf_dir).collect()
+    assert len(ivf) == len(flat)
+    from topic_modeling_ajin_spark.operators.clustering import (
+        IVFPQ_COARSE_K,
+        PQ_K,
+        PQ_M,
+    )
+
+    for r in ivf:
+        assert 0 <= r["coarse"] < IVFPQ_COARSE_K
+        assert 0 <= r["code"] < PQ_K
+        assert 0 <= r["subspace"] < PQ_M
+        assert r["sq_err"] >= 0.0
+    mean_flat = sum(r["sq_err"] for r in flat) / len(flat)
+    mean_ivf = sum(r["sq_err"] for r in ivf) / len(ivf)
+    assert mean_ivf < mean_flat

@@ -854,3 +854,145 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_ADC_TOP_K)
         .select("query_id", "db_id", "adc_dist", "rank")
     )
+
+
+# ------------------------------------------ IVF-PQ residual index (FAISS)
+
+IVFPQ_COARSE_K = LLOYD_K  # coarse quantizer = the deterministic Lloyd fit
+IVFPQ_ITERS = 2  # residual-codebook EM rounds (kept small for the oracle)
+
+
+def _residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, coarse, remb): each vector minus its coarse centroid —
+    the residual the fine PQ codebooks quantize. Memoized; the coarse fit
+    is the memo-shared deterministic Lloyd."""
+
+    def build():
+        assigned, centroids = lloyd_fit(spark, sf_dir)
+        cent = spark.createDataFrame(
+            [(c, v) for c, v in centroids], "cluster long, cent array<double>"
+        )
+        return assigned.join(F.broadcast(cent), "cluster").select(
+            "vec_id",
+            F.col("cluster").alias("coarse"),
+            F.zip_with("emb", "cent", lambda x, c: x - c).alias("remb"),
+        )
+
+    return memo(spark, ("ivfpq_res", sf_dir), build, persist=True)
+
+
+def _ivfpq_fit(spark: SparkSession, sf_dir: str, m: int):
+    """Memoized residual-subspace codebook: (sub_points_df, centroids)."""
+
+    def build():
+        res = _residuals(spark, sf_dir)
+        sub = res.select(
+            "vec_id",
+            "coarse",
+            F.slice("remb", m * PQ_SUB + 1, PQ_SUB).alias("emb"),
+        )
+        seed = sub.filter(F.col("vec_id") < PQ_K).collect()
+        centroids = [
+            (int(r["vec_id"]), [round(float(x), _ROUND) for x in r["emb"]])
+            for r in sorted(seed, key=lambda r: r["vec_id"])
+        ]
+        for _ in range(IVFPQ_ITERS - 1):
+            centroids = _update(_assign(sub, centroids))
+        return (sub, centroids)
+
+    return memo(spark, ("ivfpq_fit", sf_dir, m), build)
+
+
+def _sql_ivfpq() -> str:
+    """Coarse Lloyd CTEs + residual table + unrolled residual-PQ fits;
+    final per-subspace assignment CTEs ra{IVFPQ_ITERS}_r{m}."""
+    parts = [
+        _sql_lloyd(IVFPQ_COARSE_K, LLOYD_ITERS),
+        f"""
+res AS MATERIALIZED (
+    SELECT p.vec_id, a.cluster AS coarse, p.dim, p.val - c.val AS val
+    FROM pts p
+    JOIN a{LLOYD_ITERS} a ON a.vec_id = p.vec_id
+    JOIN c{LLOYD_ITERS - 1} c ON c.cluster = a.cluster AND c.dim = p.dim
+)""",
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+        s = f"_r{m}"
+        parts.append(
+            f"""
+p{s} AS (SELECT vec_id, coarse, dim, val FROM res WHERE dim >= {lo} AND dim < {hi}),
+rc0{s} AS (
+    SELECT vec_id AS cluster, dim, round(val, {_ROUND}) AS val
+    FROM p{s} WHERE vec_id < {PQ_K}
+)"""
+        )
+        for i in range(1, IVFPQ_ITERS + 1):
+            parts.append(
+                f"""
+rd{i}{s} AS (
+    SELECT p.vec_id, c.cluster,
+           sum((p.val - c.val) * (p.val - c.val)) AS dist
+    FROM p{s} p JOIN rc{i - 1}{s} c ON c.dim = p.dim
+    GROUP BY p.vec_id, c.cluster
+),
+ra{i}{s} AS (
+    SELECT vec_id, cluster, dist FROM rd{i}{s}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+)"""
+            )
+            if i < IVFPQ_ITERS:
+                parts.append(
+                    f"""
+rc{i}{s} AS (
+    SELECT a.cluster, p.dim, round(avg(p.val), {_ROUND}) AS val
+    FROM ra{i}{s} a JOIN p{s} p ON p.vec_id = a.vec_id
+    GROUP BY a.cluster, p.dim
+)"""
+                )
+    return ",".join(parts)
+
+
+@register(
+    "ivfpq_codes",
+    sql=f"""
+WITH {_sql_ivfpq()}
+{" UNION ALL ".join(
+    f'''SELECT r.vec_id, r.coarse, {m} AS subspace,
+       a.cluster AS code, round(a.dist, 6) AS sq_err
+FROM ra{IVFPQ_ITERS}_r{m} a
+JOIN (SELECT DISTINCT vec_id, coarse FROM res) r ON r.vec_id = a.vec_id'''
+    for m in range(PQ_M)
+)}
+""",
+    tags=("similarity", "quantization", "ml", "scale"),
+)
+def q_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual index (Jégou et al. 2011 §V; the FAISS IVFPQ
+    layout): the coarse Lloyd quantizer routes each vector to an inverted
+    list, and {PQ_M} fine codebooks quantize the RESIDUAL x - c(x) —
+    residuals concentrate near zero, so the same code budget spends its
+    precision where the data actually lives. Output: one row per
+    (vector, subspace) with the coarse list id, the fine code, and the
+    per-subspace residual reconstruction error.
+
+    Scale shape: every stage reuses the audited layouts — broadcast
+    centroids into Arrow argmin kernels, K x d driver payloads, memoized
+    residual table — and the whole two-level index (coarse fit, residual,
+    {PQ_M} fine fits) replays exactly in DuckDB."""
+    out = None
+    for m in range(PQ_M):
+        sub, centroids = _ivfpq_fit(spark, sf_dir, m)
+        part = (
+            _assign_with_dist(sub.select("vec_id", "emb"), centroids)
+            .join(sub.select("vec_id", "coarse"), "vec_id")
+            .select(
+                "vec_id",
+                "coarse",
+                F.lit(m).alias("subspace"),
+                F.col("cluster").alias("code"),
+                F.round("dist", 6).alias("sq_err"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
