@@ -590,3 +590,46 @@ def test_ivfpq_residual_error_beats_flat_pq(spark, sf_dir, registry):
     mean_flat = sum(r["sq_err"] for r in flat) / len(flat)
     mean_ivf = sum(r["sq_err"] for r in ivf) / len(ivf)
     assert mean_ivf < mean_flat
+
+
+def test_ivfpq_search_candidates_come_from_probed_lists(spark, sf_dir, registry):
+    """Every returned neighbor must live in one of its query's nprobe
+    coarse lists (the IVF pruning contract), ranks gapless, distances
+    sorted."""
+    import numpy as np
+
+    from topic_modeling_ajin_spark.operators.clustering import (
+        IVFPQ_NPROBE,
+        PQ_ADC_QUERIES,
+        _points,
+        lloyd_fit,
+    )
+
+    assigned, cents = lloyd_fit(spark, sf_dir)
+    coarse_of = {
+        r["vec_id"]: r["cluster"]
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+    cids = np.array([c for c, _ in cents])
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    probes = {}
+    for r in _points(spark, sf_dir).filter(
+        f"vec_id < {PQ_ADC_QUERIES}"
+    ).collect():
+        q = np.array(r["emb"], dtype=np.float64)
+        cd = ((q[None, :] - C) ** 2).sum(axis=1)
+        order = sorted(range(len(cids)), key=lambda i: (cd[i], cids[i]))
+        probes[r["vec_id"]] = {int(cids[i]) for i in order[:IVFPQ_NPROBE]}
+
+    rows = registry["ivfpq_adc_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        for r in rs:
+            assert coarse_of[r["db_id"]] in probes[q]

@@ -996,3 +996,130 @@ def q_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+IVFPQ_NPROBE = 3
+
+
+@register(
+    "ivfpq_adc_topk",
+    sql=f"""
+WITH {_sql_ivfpq()},
+qc AS (
+    SELECT p.vec_id AS query_id, c.cluster AS coarse,
+           sum((p.val - c.val) * (p.val - c.val)) AS cd
+    FROM pts p
+    JOIN c{LLOYD_ITERS - 1} c ON c.dim = p.dim
+    WHERE p.vec_id < {PQ_ADC_QUERIES}
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT query_id, coarse FROM qc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cd, coarse)
+            <= {IVFPQ_NPROBE}
+),
+qres AS MATERIALIZED (
+    SELECT pr.query_id, pr.coarse, p.dim, p.val - c.val AS val
+    FROM probe pr
+    JOIN pts p ON p.vec_id = pr.query_id
+    JOIN c{LLOYD_ITERS - 1} c ON c.cluster = pr.coarse AND c.dim = p.dim
+),
+rv AS (SELECT DISTINCT vec_id, coarse FROM res),
+adc AS (
+    {" UNION ALL ".join(
+        f'''SELECT qr.query_id, a.vec_id AS db_id,
+       sum((qr.val - cb.val) * (qr.val - cb.val)) AS d
+FROM ra{IVFPQ_ITERS}_r{m} a
+JOIN rv ON rv.vec_id = a.vec_id
+JOIN qres qr ON qr.coarse = rv.coarse
+            AND qr.dim >= {m * PQ_SUB} AND qr.dim < {(m + 1) * PQ_SUB}
+JOIN rc{IVFPQ_ITERS - 1}_r{m} cb ON cb.cluster = a.cluster AND cb.dim = qr.dim
+GROUP BY qr.query_id, a.vec_id'''
+        for m in range(PQ_M)
+    )}
+),
+tot AS (
+    SELECT query_id, db_id, round(sum(d), 6) AS adc_dist
+    FROM adc WHERE query_id <> db_id
+    GROUP BY query_id, db_id
+)
+SELECT query_id, db_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, db_id) AS rank
+FROM tot
+QUALIFY rank <= {PQ_ADC_TOP_K}
+""",
+    tags=("similarity", "quantization", "scale"),
+)
+def q_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search: each query probes its {IVFPQ_NPROBE}
+    nearest coarse lists, forms the per-list query residual q - c, and
+    scores ONLY the vectors in those lists by residual ADC — the scan
+    shape behind every production billion-vector index (inverted-list
+    pruning x byte codes x lookup tables). The probe set, residuals and
+    distances all replay exactly in DuckDB."""
+    import numpy as np
+
+    _, coarse_cents = lloyd_fit(spark, sf_dir)
+    cids = np.array([c for c, _ in coarse_cents])
+    C = np.array([v for _, v in coarse_cents], dtype=np.float64)
+    pts = _points(spark, sf_dir)
+    qrows = sorted(
+        pts.filter(F.col("vec_id") < PQ_ADC_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    # model-sized driver work: probe lists + per-list query residuals
+    probe_rows = []
+    for r in qrows:
+        q = np.array(r["emb"], dtype=np.float64)
+        cd = ((q[None, :] - C) ** 2).sum(axis=1)
+        order = sorted(range(len(cids)), key=lambda i: (cd[i], cids[i]))
+        for i in order[:IVFPQ_NPROBE]:
+            probe_rows.append(
+                (int(r["vec_id"]), int(cids[i]), (q - C[i]).tolist())
+            )
+    qres = spark.createDataFrame(
+        probe_rows, "query_id long, coarse long, qres array<double>"
+    )
+    from ..functions import vectors as V
+
+    total = None
+    for m in range(PQ_M):
+        sub, centroids = _ivfpq_fit(spark, sf_dir, m)
+        codes = _assign(sub.select("vec_id", "emb"), centroids).select(
+            F.col("vec_id").alias("db_id"), F.col("cluster").alias("code")
+        )
+        cb = spark.createDataFrame(
+            [(c, v) for c, v in centroids], "code long, cent array<double>"
+        )
+        part = (
+            codes.join(sub.select(F.col("vec_id").alias("db_id"), "coarse"), "db_id")
+            .join(F.broadcast(cb), "code")
+            .join(
+                F.broadcast(
+                    qres.select(
+                        "query_id",
+                        "coarse",
+                        F.slice("qres", m * PQ_SUB + 1, PQ_SUB).alias("q_sub"),
+                    )
+                ),
+                "coarse",
+            )
+            .select(
+                "query_id",
+                "db_id",
+                V.sq_l2(F.col("q_sub"), F.col("cent")).alias("d"),
+            )
+        )
+        total = part if total is None else total.unionByName(part)
+    tot = (
+        total.filter(F.col("query_id") != F.col("db_id"))
+        .groupBy("query_id", "db_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("db_id"))
+    return (
+        tot.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_ADC_TOP_K)
+        .select("query_id", "db_id", "adc_dist", "rank")
+    )
