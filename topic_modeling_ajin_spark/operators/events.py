@@ -662,3 +662,87 @@ def q_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) >= ANOMALY_Z).alias("is_anomaly"),
     )
+
+
+SEQ3_TOP_K = 15
+
+
+@register(
+    "event_trigram_sequences",
+    sql=f"""
+WITH seq AS (
+    SELECT user_id, event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*) AS n,
+       row_number() OVER (ORDER BY count(*) DESC, e1, e2, e3) AS rank
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+QUALIFY rank <= {SEQ3_TOP_K}
+""",
+    tags=("events", "analytics", "sequence"),
+)
+def q_event_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent length-3 behavior sequences — the sequential-pattern
+    complement of the first-order transition matrix (PrefixSpan's
+    contiguous-trigram slice, kept exact-oracle where the MLlib miner
+    would be rows-only). One lead window on the shared user_id
+    sessionization shuffle, then a K^3-bounded aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    wr = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= SEQ3_TOP_K)
+    )
+
+
+K_ANON = 25  # groups smaller than this are re-identification risks
+
+
+@register(
+    "k_anonymity_report",
+    sql=f"""
+WITH g AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS group_size
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT count(*) AS n_groups,
+       CAST(min(group_size) AS BIGINT) AS min_group,
+       CAST(sum(CASE WHEN group_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_k,
+       round(avg(group_size), 6) AS avg_group
+FROM g
+""",
+    tags=("events", "privacy", "governance"),
+)
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the (event_type, day) quasi-identifier
+    pair — the release-gate check paired with ``pii_redact``: how many
+    quasi-identifier groups exist, the smallest group, and how many fall
+    below k={K_ANON} (those rows re-identify). One map-side-combined
+    aggregate over the grain; the report is grain-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("group_size"))
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.min("group_size").alias("min_group"),
+        F.sum(F.when(F.col("group_size") < K_ANON, 1).otherwise(0)).alias(
+            "n_below_k"
+        ),
+        F.round(F.avg("group_size"), 6).alias("avg_group"),
+    )
