@@ -46,7 +46,13 @@ EMPTY_SAFE = (
     "collocations",
     "hard_negatives",
     "daily_anomalies",
+    "event_trigram_sequences",
+    "edit_distance_pairs",
+    "source_distinctive_terms",
 )
+# Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
+# NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ
+# codebook fits (a model fit on zero vectors is undefined, like MLlib fits).
 # NOT in the list: q6_forecast_revenue and other global (no-GROUP BY)
 # aggregates — SQL semantics give them exactly one all-NULL/0 row on empty
 # input, which is correct, not a robustness failure.
