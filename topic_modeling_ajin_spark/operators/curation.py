@@ -467,3 +467,60 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@register(
+    "chunk_dedup",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+nz AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
+st AS (
+    SELECT doc_id, toks, unnest(generate_series(0, length(toks) - 1, {CHUNK_STRIDE})) AS s
+    FROM nz
+),
+ch AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_SIZE}), ' ')) AS chunk_md5
+    FROM st
+)
+SELECT chunk_md5,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM ch
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) > 1
+""",
+    tags=("curation", "dedup", "scale"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph) dedup: which {CHUNK_SIZE}-token windows
+    recur across DIFFERENT documents — the boilerplate/navigation-text
+    signal document-level dedup cannot see (two distinct pages sharing a
+    footer never reach 0.8 Jaccard). The shuffle key is the 16-byte chunk
+    md5 — chunk text never moves — and the HAVING prunes to the
+    cross-document offenders a cleaner would strip."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.word_tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.md5(
+                    F.array_join(F.slice("toks", s + 1, CHUNK_SIZE), " ")
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
