@@ -542,6 +542,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rounds. This is the Hash-to-Min / GraphX regime: rounds
     logarithmic in component diameter, each round co-partitioned joins."""
     from ..cache import memo
+
+    # the final label table is memoized per dataset: canonical_docs and
+    # repeated gate runs consume the same closure, and the 12
+    # checkpointed rounds are the expensive part
+    label = memo(spark, ("cc_labels", sf_dir), lambda: _cc_labels(spark, sf_dir))
+    sizes = label.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return label.join(sizes, "comp").select(
+        "doc_id", F.col("comp").alias("component"), "component_size"
+    )
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cache import memo
     from .text_analysis import q_simhash_near_dup
 
     edges = memo(
@@ -585,10 +598,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to a leaf each round — the GraphX/GraphFrames pattern for
         # iterative graph algorithms.
         label = jumped.localCheckpoint(eager=True)
-    sizes = label.groupBy("comp").agg(F.count("*").alias("component_size"))
-    return label.join(sizes, "comp").select(
-        "doc_id", F.col("comp").alias("component"), "component_size"
-    )
+    return label
 
 
 def _sql_quality_block() -> str:
