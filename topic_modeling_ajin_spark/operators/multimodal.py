@@ -313,3 +313,33 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(batches, schema=schema).withColumn(
         "duration_s", F.round(F.col("n_samples") / AUDIO_SAMPLE_RATE, 6)
     )
+
+
+@register(
+    "mm_binary_dedup",
+    sql="""
+WITH p AS (
+    -- DuckDB's md5 takes VARCHAR; hashing the string hashes its utf-8
+    -- bytes, which IS the stand-in payload Spark hashes as binary
+    SELECT doc_id, md5(text) AS payload_md5
+    FROM documents
+)
+SELECT payload_md5, min(doc_id) AS keeper, count(*) AS n_copies
+FROM p
+GROUP BY payload_md5
+""",
+    tags=("multimodal", "dedup", "scale"),
+)
+def q_mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact dedup of binary payloads — the first dedup pass of any
+    image/audio corpus (identical files re-crawled under different ids):
+    group by the 16-byte md5 of the BLOB, deterministic min-id keeper.
+    Same fixed-width-key shuffle discipline as the text fingerprint
+    dedup, applied to the binary column; content bytes never move."""
+    docs = parallelized(load_table(spark, sf_dir, "documents"))
+    payload = with_binary_payload(docs)
+    return (
+        payload.select("doc_id", F.md5(F.col("payload")).alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
