@@ -424,3 +424,46 @@ def test_streaming_ingest_dedup_rerun_is_idempotent(spark, tmp_path):
     run()  # restart, no new input
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == first
     assert spark.read.parquet(store).count() == n_store
+
+
+def test_streaming_ingest_dedup_survives_store_commit_crash(spark, tmp_path):
+    """Crash-replay safety: if a batch's STORE write committed but the
+    streaming checkpoint did not (crash between the two), the replayed
+    batch must NOT anti-join against its own fingerprints — that would
+    overwrite the corpus partition with nothing. Simulated by pre-writing
+    the store's batch=0 partition with the exact fingerprints the first
+    micro-batch will produce, then running with a FRESH checkpoint so
+    streaming assigns batch_id=0 again."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(1, "crash replay doc one"), (2, "crash replay doc two")], schema
+    )
+    docs.coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    # emulate the half-committed state: batch 0's fingerprints already in
+    # the store, checkpoint absent
+    docs.select(
+        H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{store}/batch=0")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    ST.run_streaming_ingest_dedup(
+        spark, stream, store, out, str(tmp_path / "ck_fresh")
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]  # the replay kept the documents, no silent loss
+    # store still has exactly one row per distinct text (partition was
+    # overwritten in place, not appended to)
+    assert spark.read.parquet(store).count() == 2

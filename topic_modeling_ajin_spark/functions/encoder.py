@@ -57,14 +57,18 @@ def _get_encoder():
 
 def encoder_kind() -> str:
     """Which encoder this environment will run ('sbert' or 'hash').
-    Answered from the import machinery — never loads the model."""
-    import importlib.util
 
-    return (
-        "sbert"
-        if importlib.util.find_spec("sentence_transformers") is not None
-        else "hash"
-    )
+    Probes with the SAME guarded import that ``_get_encoder`` uses — not
+    ``find_spec`` — so an installed-but-broken ``sentence_transformers``
+    (e.g. torso of a torch install) answers 'hash' here exactly as the
+    runtime kernel would fall back. Imports the package but never loads
+    the model weights."""
+    try:
+        import sentence_transformers  # noqa: F401
+
+        return "sbert"
+    except ImportError:
+        return "hash"
 
 
 # ASCII-only whitespace split: DuckDB's RE2 '\s' (the oracle twin) and the

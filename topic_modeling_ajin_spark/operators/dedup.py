@@ -638,7 +638,7 @@ ranked AS (
     SELECT l.comp AS component, l.doc_id, q.quality,
            count(*) OVER (PARTITION BY l.comp) AS n_members,
            row_number() OVER (PARTITION BY l.comp
-                              ORDER BY q.quality DESC, l.doc_id) AS rn
+                              ORDER BY round(q.quality, 6) DESC, l.doc_id) AS rn
     FROM l{CC_STEPS} l JOIN q ON q.doc_id = l.doc_id
 )
 SELECT component, doc_id AS keeper, n_members,

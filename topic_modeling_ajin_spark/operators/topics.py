@@ -419,18 +419,25 @@ def q_topic_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_TOPICS_AFTER_REDUCE = 6
-# the synthetic generator emits exactly 10 labels at every SF, so the
-# reduction performs 10 - 6 = 4 merges; the oracle unrolls that many steps
-_REDUCE_STEPS = 4
+# The oracle SQL is static (registry contract), so the merge unroll can't
+# depend on the runtime label count. Instead each unrolled step is
+# data-driven — it merges only while count(DISTINCT root) > target — and
+# we unroll enough steps for any label count up to this cap. The synthetic
+# generator emits 10 labels today; the cap leaves 3x headroom, and label
+# counts beyond it fail loudly in _reduction_merges.
+_MAX_UNROLL_LABELS = 32
+_REDUCE_STEPS = _MAX_UNROLL_LABELS - MAX_TOPICS_AFTER_REDUCE
 
 
 def _sql_merge_steps(steps: int) -> str:
     """Unrolled single-linkage merges over the static ``sims`` pair table:
     each step merges the highest-cosine pair whose endpoints live in
     different components (greater root into lesser) — Kruskal order, the
-    exact semantics of the driver-side union-find. An exhausted candidate
-    list (already ≤ target components) degrades to a no-op step: the CASE
-    compares against NULL and keeps every root."""
+    exact semantics of the driver-side union-find. A step whose component
+    count already reached the target (or whose candidate list is
+    exhausted) degrades to a no-op: ``cand{{t}}`` is empty, the CASE
+    compares against NULL and keeps every root — so the same static
+    unroll replays any label count up to ``_MAX_UNROLL_LABELS``."""
     parts = [
         """
 labs AS (SELECT i AS label FROM sims UNION SELECT j FROM sims),
@@ -448,6 +455,8 @@ cand{t} AS MATERIALIZED (
     JOIN map{t - 1} mi ON mi.label = s.i
     JOIN map{t - 1} mj ON mj.label = s.j
     WHERE mi.root <> mj.root
+      AND (SELECT count(DISTINCT root) FROM map{t - 1})
+          > {MAX_TOPICS_AFTER_REDUCE}
     ORDER BY s.cos DESC, s.i, s.j
     LIMIT 1
 ),
@@ -528,14 +537,13 @@ def _reduction_merges(spark: SparkSession, sf_dir: str):
         .collect()
     )
     labels = sorted({r["i"] for r in sims} | {r["j"] for r in sims})
-    # The DuckDB oracle unrolls exactly _REDUCE_STEPS merges, which is only
-    # equivalent when the pair graph covers exactly this many labels; fail
-    # loudly on a generator change instead of silently diverging.
-    expected = MAX_TOPICS_AFTER_REDUCE + _REDUCE_STEPS
-    if len(labels) != expected:
+    # Each unrolled oracle step is a data-driven no-op once K <= target,
+    # so ANY label count up to the unroll cap replays exactly; only a
+    # count beyond the cap (needing more merges than unrolled) must fail.
+    if len(labels) > _MAX_UNROLL_LABELS:
         raise AssertionError(
-            f"topic_reduction oracle assumes {expected} labels in the c-TF-IDF "
-            f"pair graph (unrolled {_REDUCE_STEPS} merges); got {len(labels)}"
+            f"topic_reduction oracle unrolls {_REDUCE_STEPS} merges "
+            f"(label cap {_MAX_UNROLL_LABELS}); got {len(labels)} labels"
         )
     parent = {l: l for l in labels}
 
@@ -582,8 +590,16 @@ def q_topic_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``BERTopic_Analysis.py:795-800``); ``plots.plot_topic_hierarchy``
     renders it. DuckDB replays each unrolled merge step's winning
     candidate, so the whole linkage is value-checked."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # HALF_UP like DuckDB's round(), not builtin round()'s half-to-even —
+    # the same recipe as q_textrank_keywords
+    q6 = Decimal("0.000001")
     _, merges = _reduction_merges(spark, sf_dir)
-    rows = [(s, a, b, round(c, 6)) for s, a, b, c in merges]
+    rows = [
+        (s, a, b, float(Decimal(c).quantize(q6, rounding=ROUND_HALF_UP)))
+        for s, a, b, c in merges
+    ]
     return spark.createDataFrame(rows, ["step", "into_root", "from_root", "cosine"])
 
 

@@ -475,11 +475,13 @@ def run_streaming_ingest_dedup(
 
     State is the store itself — O(distinct fingerprints), 16 bytes each,
     partition-prunable parquet — not executor memory; restarts resume
-    from it for free. Replay safety: the corpus sink overwrites its own
-    ``batch=<id>`` partition (exactly-once), and the store append is
-    idempotent BY SEMANTICS — a replayed batch re-appends fingerprints
-    that already exist, and duplicate store rows cannot change an
-    anti-join verdict."""
+    from it for free. Replay safety: BOTH sinks overwrite their own
+    ``batch=<id>`` partition (exactly-once), and the anti-join probes
+    only store partitions with ``batch < batch_id``. That last filter is
+    load-bearing: if a batch crashed after its store write committed but
+    before the streaming checkpoint committed, the replay would otherwise
+    anti-join against its OWN fingerprints and emit an empty corpus
+    partition over the previously written one — silent data loss."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
@@ -495,9 +497,17 @@ def run_streaming_ingest_dedup(
             .drop("first_id")
         )
         # probe the store through Spark's own FS layer (works for s3/hdfs/
-        # local alike); a store that doesn't exist yet = first batch
+        # local alike); a store that doesn't exist yet = first batch.
+        # basePath exposes the batch partition column so we can exclude
+        # this batch's own (possibly crash-committed) partition — only
+        # strictly earlier batches may veto a document.
         try:
-            store = spark.read.parquet(store_dir)
+            store = (
+                spark.read.option("basePath", store_dir)
+                .parquet(store_dir)
+                .filter(F.col("batch") < F.lit(batch_id))
+                .select("fingerprint")
+            )
         except AnalysisException:
             store = None
         if store is not None:
@@ -505,13 +515,15 @@ def run_streaming_ingest_dedup(
                 store, "fingerprint", "left_anti"
             )
         batch_kept = batch_kept.persist()
-        # corpus sink: overwrite this batch's own partition — a replayed
+        # both sinks overwrite this batch's own partition — a replayed
         # batch_id rewrites instead of appending duplicates (the same
         # idempotency pattern as the refreshing topic-assign sink)
         batch_kept.drop("fingerprint").write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
-        batch_kept.select("fingerprint").write.mode("append").parquet(store_dir)
+        batch_kept.select("fingerprint").write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}"
+        )
         batch_kept.unpersist()
 
     (
