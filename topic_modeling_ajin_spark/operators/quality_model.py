@@ -1,0 +1,246 @@
+"""Model-scored document quality gate (LLM-pipeline surface).
+
+``quality_score`` (``text_analysis.py``) is a fixed heuristic rule mix;
+production pipelines score documents with a TRAINED linear classifier
+(fastText-style: hashed text features -> logistic regression), retrained
+as the corpus drifts. This module implements that shape end-to-end:
+
+- **features** (20 dims): the 16-dim signed-feature-hashing embedding from
+  ``functions/encoder.py`` (the fastText n-gram-bucket analogue, exact
+  DuckDB twin) + 3 structural signals (capped length, stopword ratio,
+  punctuation ratio, each 6-dp-rounded so both engines see identical
+  inputs) + a bias term;
+- **labels**: distilled from the heuristic gate (teacher =
+  ``quality >= MIN_KEEP_QUALITY``) — the standard bootstrap when no human
+  labels exist (C4 trained its filter against "looks like Wikipedia"
+  labels the same way);
+- **training**: ``QM_ITERS`` full-batch gradient-descent rounds of
+  logistic loss. Weights are rounded to ``QM_W_ROUND`` decimals after
+  every update — the ``clustering.py`` GMM recipe — which both makes the
+  fit reproducible under repartitioning (summation-order ulp noise is
+  absorbed) and lets the DuckDB oracle replay every round exactly as
+  unrolled CTEs;
+- **inference**: broadcast the 20 learned weights into one column
+  expression — zero Python in the scoring path, the part that runs over
+  100 TB. Training cost is ``QM_ITERS`` corpus passes of one slim
+  aggregate each (p is a scalar per doc; the gradient shuffles 20 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cache import memo
+from ..functions.encoder import ENCODER_DIM, sql_hash_embedding
+from ..registry import register
+from ..sources import load_table, parallelized
+
+QM_ITERS = 8
+QM_LR = 4.0
+QM_W_ROUND = 9  # per-round weight rounding: > fp drift, < real signal
+QM_DIM = ENCODER_DIM + 4  # 16 hash dims + length + stop + punct + bias
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelized(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ features
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, feat array<double>[QM_DIM], y) — hash embedding ++
+    structural signals ++ bias, teacher label from the heuristic gate."""
+    from ..operators.encoding import _hash_embedded
+    from ..operators.text_analysis import MIN_KEEP_QUALITY, q_quality_score
+
+    emb = _hash_embedded(spark, sf_dir)  # (doc_id, embedding[16])
+    q = q_quality_score(spark, sf_dir)  # rounded ratios + quality
+    length_feat = F.round(
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)), 6
+    )
+    return emb.join(q, "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.col("embedding"),
+            F.array(
+                length_feat,
+                F.col("stop_ratio"),
+                F.col("punct_ratio"),
+                F.lit(1.0),
+            ),
+        ).alias("feat"),
+        (F.col("quality") >= F.lit(MIN_KEEP_QUALITY))
+        .cast("int")
+        .alias("y"),
+    )
+
+
+# ------------------------------------------------------------- training
+
+
+def fit_quality_weights(feats: DataFrame, iters: int = QM_ITERS) -> list:
+    """Full-batch logistic GD over (feat array, y) rows; returns the
+    QM_DIM weight list. Each round is ONE slim aggregate (the per-dim
+    gradient — QM_DIM rows collected) plus a count; per-round weight
+    rounding keeps the trajectory engine- and partitioning-independent."""
+    import numpy as np
+
+    feats = feats.persist()
+    n = feats.count()
+    w = np.zeros(QM_DIM)
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(float(v)) for v in w])
+        margin = F.aggregate(
+            F.zip_with("feat", w_lit, lambda x, wd: x * wd),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        g = (
+            feats.select(
+                ((p - F.col("y")) ).alias("err"),
+                F.posexplode("feat").alias("dim", "x"),
+            )
+            .groupBy("dim")
+            .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
+            .collect()
+        )
+        grad = np.zeros(QM_DIM)
+        for r in g:
+            grad[r["dim"]] = r["g"] / n
+        w = np.round(w - QM_LR * grad, QM_W_ROUND)
+    feats.unpersist()
+    return [float(v) for v in w]
+
+
+def _qm_fit(spark: SparkSession, sf_dir: str) -> list:
+    return memo(
+        spark,
+        ("qm_fit", sf_dir),
+        lambda: fit_quality_weights(_features(spark, sf_dir)),
+    )
+
+
+# --------------------------------------------------------------- oracle
+
+
+def _sql_rounds(iters: int) -> str:
+    """Unrolled GD rounds over the MATERIALIZED feature table."""
+    from .dedup import _sql_quality_block
+    from .text_analysis import _SQL_WORD_TOKS, MIN_KEEP_QUALITY
+
+    parts = [
+        f"""
+t AS ({_SQL_WORD_TOKS}),
+{_sql_quality_block()},
+lab AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN round(quality, 6) >= {MIN_KEEP_QUALITY}
+                THEN 1 ELSE 0 END AS y
+    FROM q
+),
+{sql_hash_embedding()},
+feat AS MATERIALIZED (
+    SELECT doc_id, dim, v FROM hemb
+    UNION ALL
+    SELECT qm.doc_id, {ENCODER_DIM} AS dim,
+           round(least(qm.n_tokens / 100.0, 1.0), 6) AS v FROM qm
+    UNION ALL
+    SELECT qm.doc_id, {ENCODER_DIM + 1}, round(qm.stop_ratio, 6) FROM qm
+    UNION ALL
+    SELECT qm.doc_id, {ENCODER_DIM + 2}, round(qm.punct_ratio, 6) FROM qm
+    UNION ALL
+    SELECT doc_id, {ENCODER_DIM + 3}, 1.0 FROM documents
+),
+nn AS (SELECT count(*) AS c FROM documents),
+w0 AS (SELECT unnest(range(0, {QM_DIM})) AS dim, 0.0 AS wv)"""
+    ]
+    for t in range(1, iters + 2):
+        parts.append(
+            f"""
+mar{t} AS (
+    SELECT f.doc_id, sum(f.v * w.wv) AS m
+    FROM feat f JOIN w{t - 1} w ON w.dim = f.dim
+    GROUP BY f.doc_id
+),
+p{t} AS MATERIALIZED (
+    SELECT doc_id, 1.0 / (1.0 + exp(-m)) AS p FROM mar{t}
+)"""
+        )
+        if t <= iters:
+            parts.append(
+                f"""
+g{t} AS (
+    SELECT f.dim,
+           sum((p.p - l.y) * f.v) / (SELECT c FROM nn) AS g
+    FROM feat f
+    JOIN p{t} p ON p.doc_id = f.doc_id
+    JOIN lab l ON l.doc_id = f.doc_id
+    GROUP BY f.dim
+),
+w{t} AS MATERIALIZED (
+    SELECT w.dim, round(w.wv - {QM_LR} * g.g, {QM_W_ROUND}) AS wv
+    FROM w{t - 1} w JOIN g{t} g ON g.dim = w.dim
+)"""
+            )
+    return ",".join(parts)
+
+
+# -------------------------------------------------------------- queries
+
+
+@register(
+    "quality_model_score",
+    sql=f"""
+WITH {_sql_rounds(QM_ITERS)}
+SELECT p.doc_id, l.y AS teacher_label, round(p.p, 6) AS score,
+       CASE WHEN round(p.p, 6) >= 0.5 THEN 1 ELSE 0 END AS predicted
+FROM p{QM_ITERS + 1} p JOIN lab l ON l.doc_id = p.doc_id
+""",
+    tags=("text_analysis", "quality", "ml", "scale"),
+)
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the TRAINED logistic quality model:
+    (doc_id, teacher_label, sigmoid score, predicted keep/drop). The
+    scoring pass is one broadcast-weights column expression over the
+    feature columns — the inference shape that runs over 100 TB; the
+    training loop behind it is memoized per (session, sf_dir). DuckDB
+    replays the entire fit (8 unrolled GD rounds) and the final scores
+    must hash-match — the model, not just the plumbing, is the oracle
+    contract."""
+    w = _qm_fit(spark, sf_dir)
+    feats = _features(spark, sf_dir)
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    margin = F.aggregate(
+        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feats.select(
+        "doc_id",
+        F.col("y").alias("teacher_label"),
+        F.round(p, 6).alias("score"),
+        (F.round(p, 6) >= 0.5).cast("int").alias("predicted"),
+    )
+
+
+@register(
+    "quality_model_weights",
+    sql=f"""
+WITH {_sql_rounds(QM_ITERS)}
+SELECT dim, round(wv, 6) AS weight FROM w{QM_ITERS}
+""",
+    tags=("text_analysis", "quality", "ml"),
+)
+def q_quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted weight vector itself (dim, weight) — the shippable
+    model artifact, and the sharpest oracle: any divergence anywhere in
+    the 8-round trajectory surfaces here undiluted by the sigmoid."""
+    w = _qm_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        [(d, round(v, 6)) for d, v in enumerate(w)],
+        "dim long, weight double",
+    )
