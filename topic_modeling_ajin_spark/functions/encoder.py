@@ -49,7 +49,12 @@ def _get_encoder():
 
             _ENCODER = SentenceTransformer(ENCODER_MODEL)
             _ENCODER_KIND = "sbert"
-        except ImportError:
+        except Exception:
+            # Exception, not just ImportError: a degraded install raises
+            # OSError/RuntimeError from native torch libs, and the
+            # contract is "any environment that cannot actually encode
+            # falls back to hash" — crashing every executor batch on a
+            # half-broken optional dependency is worse (r4 ADVICE)
             _ENCODER = None
             _ENCODER_KIND = "hash"
     return _ENCODER, _ENCODER_KIND
@@ -62,12 +67,14 @@ def encoder_kind() -> str:
     ``find_spec`` — so an installed-but-broken ``sentence_transformers``
     (e.g. torso of a torch install) answers 'hash' here exactly as the
     runtime kernel would fall back. Imports the package but never loads
-    the model weights."""
+    the model weights. Catches Exception for the same reason
+    ``_get_encoder`` does: native-lib breakage raises OSError, not
+    ImportError, and must answer 'hash', not propagate."""
     try:
         import sentence_transformers  # noqa: F401
 
         return "sbert"
-    except ImportError:
+    except Exception:
         return "hash"
 
 

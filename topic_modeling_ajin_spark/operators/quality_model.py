@@ -84,12 +84,22 @@ def fit_quality_weights(feats: DataFrame, iters: int = QM_ITERS) -> list:
     """Full-batch logistic GD over (feat array, y) rows; returns the
     QM_DIM weight list. Each round is ONE slim aggregate (the per-dim
     gradient — QM_DIM rows collected) plus a count; per-round weight
-    rounding keeps the trajectory engine- and partitioning-independent."""
-    import numpy as np
+    rounding keeps the trajectory engine- and partitioning-independent.
+    Rounding uses decimal HALF_UP — the repo's one documented tie rule
+    (same as ``textrank_keywords``), matching DuckDB's ``round()``
+    half-away-from-zero rather than numpy's banker's rounding, so a
+    gradient landing on a grid boundary cannot diverge across engines
+    (r4 ADVICE)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qw = Decimal(1).scaleb(-QM_W_ROUND)
+
+    def round_w(x: float) -> float:
+        return float(Decimal(x).quantize(qw, rounding=ROUND_HALF_UP))
 
     feats = feats.persist()
     n = feats.count()
-    w = np.zeros(QM_DIM)
+    w = [0.0] * QM_DIM
     for _ in range(iters):
         w_lit = F.array(*[F.lit(float(v)) for v in w])
         margin = F.aggregate(
@@ -107,10 +117,10 @@ def fit_quality_weights(feats: DataFrame, iters: int = QM_ITERS) -> list:
             .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
             .collect()
         )
-        grad = np.zeros(QM_DIM)
+        grad = [0.0] * QM_DIM
         for r in g:
             grad[r["dim"]] = r["g"] / n
-        w = np.round(w - QM_LR * grad, QM_W_ROUND)
+        w = [round_w(w[d] - QM_LR * grad[d]) for d in range(QM_DIM)]
     feats.unpersist()
     return [float(v) for v in w]
 

@@ -484,7 +484,6 @@ def run_streaming_ingest_dedup(
     partition over the previously written one — silent data loss."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
         from pyspark.sql import Window
 
         fp = batch_df.withColumn(
@@ -496,19 +495,25 @@ def run_streaming_ingest_dedup(
             .filter(F.col("doc_id") == F.col("first_id"))
             .drop("first_id")
         )
-        # probe the store through Spark's own FS layer (works for s3/hdfs/
-        # local alike); a store that doesn't exist yet = first batch.
+        # probe the store through the Hadoop FS layer (works for s3/hdfs/
+        # local alike): a store directory that doesn't exist yet = first
+        # batch. Existence is the ONLY condition that may degrade to
+        # store=None — a store that exists but fails to read (e.g. a
+        # legacy flat layout missing the batch= partition column) must
+        # fail LOUDLY, not silently re-admit duplicates (r4 ADVICE).
         # basePath exposes the batch partition column so we can exclude
         # this batch's own (possibly crash-committed) partition — only
         # strictly earlier batches may veto a document.
-        try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             store = (
                 spark.read.option("basePath", store_dir)
                 .parquet(store_dir)
                 .filter(F.col("batch") < F.lit(batch_id))
                 .select("fingerprint")
             )
-        except AnalysisException:
+        else:
             store = None
         if store is not None:
             batch_kept = batch_kept.join(
