@@ -729,3 +729,145 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+# ------------------------------------------------------ SemDeDup (semantic)
+
+# Within-cluster cosine threshold for "semantic duplicate". On real
+# sentence embeddings SemDeDup uses tau ~0.95; the synthetic test
+# embeddings are near-orthogonal (max pairwise cosine 0.513 at sf0.01),
+# so the registered query pins 0.35 to exercise the drop path with ~100
+# candidate edges. The operator takes tau as a parameter.
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embedding-space near-dup
+    removal that token dedup cannot see (paraphrases share no shingles).
+
+    1. coarse-cluster the embeddings with the deterministic Lloyd fit
+       (``clustering.lloyd_fit`` — k-means is exactly the paper's
+       bucketing step);
+    2. candidate pairs ONLY within a cluster — O(sum n_b^2), never the
+       O(N^2) all-pairs, and the buckets shrink as k grows with the
+       corpus (k ~ sqrt(N) keeps per-bucket work flat at 100 TB; a
+       skewed bucket would be sub-split on a salted key);
+    3. a vector is DROPPED iff some same-cluster partner with cosine >
+       tau outranks it — rank = (centroid cosine DESC, vec_id ASC), i.e.
+       the centroid-nearest member of every duplicate neighborhood
+       survives. Greedy dominance instead of connected components keeps
+       the decision one join deep and totally ordered (replayable).
+
+    Returns (vec_id, cluster, cent_cos, kept). Reference: the reference
+    repo dedups on raw text only (``preprocessing.py:344-346``); this is
+    the embedding-space completion of that ladder.
+    """
+    from ..functions import vectors as V
+    from .clustering import lloyd_fit
+
+    assigned, centroids = lloyd_fit(spark, sf_dir)
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cluster long, cvec array<double>",
+    )
+    # per-vector centroid cosine = the survivorship priority; persisted:
+    # both pair sides and the final output scan it
+    cc = memo(
+        spark,
+        ("semdedup_cc", sf_dir, tau),
+        lambda: assigned.join(F.broadcast(cent), "cluster").select(
+            "vec_id",
+            "cluster",
+            "emb",
+            F.round(V.cosine(F.col("emb"), F.col("cvec")), 6).alias("cent_cos"),
+        ),
+        persist=True,
+    )
+    a = cc.select(
+        "cluster",
+        F.col("vec_id").alias("va"),
+        F.col("emb").alias("ea"),
+        F.col("cent_cos").alias("pa"),
+    )
+    b = cc.select(
+        "cluster",
+        F.col("vec_id").alias("vb"),
+        F.col("emb").alias("eb"),
+        F.col("cent_cos").alias("pb"),
+    )
+    # IVF-bucketed candidate edges: equi-join on cluster, cosine > tau.
+    # 6-dp rounding on BOTH the edge test and the priority comparison so
+    # the decision grid is identical across engines/partitionings.
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("va") != F.col("vb"))
+        .filter(F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > tau)
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            | ((F.col("pb") == F.col("pa")) & (F.col("vb") < F.col("va")))
+        )
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        cc.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "cent_cos",
+            F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
+def _sql_semdedup(tau: float) -> str:
+    """DuckDB twin: replays the Lloyd fit (unrolled CTEs), then the same
+    bucketed dominance test. ``c{iters-1}`` is the codebook the final
+    assignment used — identical to the centroid list Spark broadcasts."""
+    from .clustering import LLOYD_ITERS, LLOYD_K, _sql_lloyd
+
+    last_c = LLOYD_ITERS - 1
+    return f"""
+WITH {_sql_lloyd(LLOYD_K, LLOYD_ITERS)},
+memb AS (
+    SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS emb
+    FROM a{LLOYD_ITERS} a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+cden AS (
+    SELECT cluster, list(val ORDER BY dim) AS cvec
+    FROM c{last_c} GROUP BY cluster
+),
+cc AS (
+    SELECT m.vec_id, m.cluster, m.emb,
+           round(list_cosine_similarity(m.emb, c.cvec), 6) AS cent_cos
+    FROM memb m JOIN cden c USING (cluster)
+),
+dom AS (
+    SELECT DISTINCT a.vec_id
+    FROM cc a JOIN cc b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {tau}
+      AND (b.cent_cos > a.cent_cos
+           OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id))
+)
+SELECT c.vec_id, c.cluster, c.cent_cos,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM cc c LEFT JOIN dom d ON d.vec_id = c.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    sql=_sql_semdedup(SEMDEDUP_TAU),
+    tags=("dedup", "similarity", "ml", "scale"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table at tau={SEMDEDUP_TAU}: per
+    cluster of the deterministic Lloyd fit, drop every vector dominated
+    by a closer-to-centroid semantic duplicate. DuckDB replays the whole
+    chain — k-means training included — and the per-vector kept/dropped
+    decisions must hash-match."""
+    return semantic_dedup(spark, sf_dir)
