@@ -102,3 +102,41 @@ def test_pii_redact_leaves_no_digits(spark, sf_dir):
     for r in rows:
         assert not re.search(r"[0-9]", r["redacted"])
         assert r["n_redactions"] >= 1  # every props payload carries a number
+
+
+def test_mixture_sample_matches_plan_counts(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.curation import q_mixture_sample
+
+    plan = {
+        r["lang"]: r
+        for r in q_mixture_plan(spark, sf_dir).collect()
+    }
+    sampled = {
+        r["lang"]: r["n"]
+        for r in q_mixture_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # only (and all) plan languages appear
+    assert set(sampled) <= set(plan)
+    for lang, p in plan.items():
+        n_lang, rate, n_keep = p["n_docs"], p["keep_rate"], p["n_keep"]
+        got = sampled.get(lang, 0)
+        if rate >= 1.0:
+            # the binding language keeps everything — exact
+            assert got == n_lang == n_keep
+        else:
+            # Binomial(n_lang, rate): 4-sigma band around the target
+            sigma = (n_lang * rate * (1 - rate)) ** 0.5
+            assert abs(got - n_keep) <= max(5.0, 4 * sigma), (lang, got, n_keep)
+
+    # rerun-stability: the sample is a pure function of doc_id
+    again = {
+        r["lang"]: r["n"]
+        for r in q_mixture_sample(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == sampled

@@ -321,6 +321,54 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the shared plan CTE chain (ends in j + m) — reused by mixture_sample so
+# the sample provably draws against the SAME rates the plan publishes
+_SQL_MIX_PLAN = f"""
+counts AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+tw(lang, w) AS (VALUES {_SQL_MIX_VALUES}),
+j AS (SELECT counts.lang, n, w FROM counts JOIN tw USING (lang)),
+m AS (SELECT min(n / w) AS total_max FROM j),
+plan AS (
+    SELECT lang, round(w * total_max / n, 6) AS keep_rate,
+           CAST(floor(w * total_max) AS BIGINT) AS n_keep
+    FROM j CROSS JOIN m
+)"""
+
+
+@register(
+    "mixture_sample",
+    sql=f"""
+WITH {_SQL_MIX_PLAN}
+SELECT d.doc_id, d.lang
+FROM documents d JOIN plan p ON p.lang = d.lang
+WHERE {_md5_u32_sql("'mix|' || CAST(doc_id AS VARCHAR)")}
+      < floor(p.keep_rate * 4294967296)
+""",
+    tags=("curation", "sampling", "scale"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the mixture plan (r3/r4 VERDICT ask): keep a document
+    iff md5-uniform('mix|'||doc_id) < keep_rate(lang), with the per-lang
+    keep rates exactly as ``mixture_plan`` publishes them (same 6-dp
+    rounded value — the plan row and the sample predicate cannot drift
+    apart). The decision is a pure row-local predicate against a
+    broadcast K-row plan: no RNG state, rerun-/retry-/speculation-stable,
+    and per-language sampled counts concentrate on the plan's ``n_keep``
+    (Binomial(n_lang, keep_rate)). Languages outside the target mix drop
+    out via the inner join — exactly the plan's contract.
+
+    Scale shape: one K-row broadcast + a pushdown-friendly filter over
+    the scan; the only corpus-sized work is reading (doc_id, lang)."""
+    plan = q_mixture_plan(spark, sf_dir).select("lang", "keep_rate")
+    d = _docs(spark, sf_dir)
+    u = _md5_u32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(plan), "lang")
+        .filter(u < F.floor(F.col("keep_rate") * _U32))
+        .select("doc_id", "lang")
+    )
+
+
 # ----------------------------------------------------------- PII redaction
 
 _RE_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
