@@ -84,3 +84,58 @@ def test_bpe_encode_registered_query_shape(spark, sf_dir):
     m = B.q_bpe_merges(spark, sf_dir).collect()
     assert [r["rank"] for r in m] == list(range(1, len(m) + 1))
     assert all(r["merged"] == r["lhs"] + r["rhs"] for r in m)
+
+
+def test_bpe_token_counts_consistent_with_encode(spark, sf_dir):
+    """Per-doc BPE counts re-derive from the encoded vocabulary: summing
+    n_pieces over a doc's words (brute force in pandas) must equal the
+    distributed join's answer; token-less docs report zeros."""
+    from topic_modeling_ajin_spark.functions import text as TX
+    from topic_modeling_ajin_spark.sources import load_table
+
+    pieces = {
+        r["word"]: r["n_pieces"]
+        for r in B.q_bpe_encode(spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", TX.word_tokens("text").alias("toks"))
+        .collect()
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in B.q_bpe_token_counts(spark, sf_dir).collect()
+    }
+    assert set(got) == {r["doc_id"] for r in docs}
+    for r in docs:
+        n_words = len(r["toks"])
+        n_bpe = sum(pieces[w] for w in r["toks"])
+        assert got[r["doc_id"]] == (n_words, n_bpe), r["doc_id"]
+        assert n_bpe >= n_words  # a word is >= 1 piece
+
+
+def test_pack_sequences_bpe_invariant(spark, sf_dir):
+    """Packing invariant on BPE counts: the manifest equals a sequential
+    pandas replay — every document starts in the pack whose
+    [pack_id*B, (pack_id+1)*B) window contains its start offset, totals
+    conserve, and no pack holds more than B worth of START offsets (a
+    straddling doc's tokens count toward the pack where it begins)."""
+    lens = sorted(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in B.q_bpe_token_counts(spark, sf_dir).collect()
+    )
+    expected: dict[int, list] = {}
+    cum = 0
+    for doc_id, n in lens:
+        pack = (cum) // B.BPE_PACK_BUDGET
+        e = expected.setdefault(pack, [0, 0, doc_id, doc_id])
+        e[0] += 1
+        e[1] += n
+        e[3] = doc_id
+        cum += n
+    got = {
+        r["pack_id"]: [r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"]]
+        for r in B.q_pack_sequences_bpe(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(v[1] for v in got.values()) == sum(n for _, n in lens)

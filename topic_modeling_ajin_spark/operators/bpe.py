@@ -259,3 +259,135 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("seq").cast("long").alias("n_pieces"),
         F.array_join("seq", " ").alias("pieces"),
     )
+
+
+# ------------------------------------------- corpus-side BPE application
+
+BPE_PACK_BUDGET = 1024  # BPE pieces per training sequence (pieces >> words
+# at 12 merges: most words stay near char-split, so the budget scales up)
+
+# shared doc->word CTE for the corpus-side oracles
+_SQL_DOC_WORDS = r"""
+dw AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9가-힣]+'), w -> w <> '')) AS word
+    FROM documents
+)"""
+
+
+def _sql_bpe_doc_counts() -> str:
+    """CTE chain ending in ``lens`` (doc_id, n_words, n_bpe) over ALL
+    documents (token-less docs carry zeros)."""
+    return f"""
+{_sql_bpe_rounds(BPE_MERGES)},
+{_SQL_DOC_WORDS},
+agg AS (
+    SELECT dw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(s.seq)) AS BIGINT) AS n_bpe
+    FROM dw JOIN seq{BPE_MERGES} s ON s.word = dw.word
+    GROUP BY dw.doc_id
+),
+lens AS (
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)"""
+
+
+def bpe_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_bpe) for every document under the trained
+    merge table: explode doc words, join the encoded vocabulary
+    (word -> piece count), re-aggregate per doc. Memoized+persisted —
+    the counts query and the BPE packer both consume it.
+
+    Scale shape: the vocabulary side is |V| rows (bounded; broadcast here
+    — when a 100 TB corpus pushes |V| past broadcast size, the same plan
+    degrades to a shuffle join on the natural ``word`` key with the
+    vocab side already unique per key). The corpus side is the one
+    explode + one doc_id re-aggregate every tokenize pass pays."""
+    from ..functions import text as TX
+
+    def build() -> DataFrame:
+        _, seq = _bpe_fit(spark, sf_dir)
+        pieces = seq.select("word", F.size("seq").alias("n_pieces"))
+        words = _docs(spark, sf_dir).select(
+            "doc_id", F.explode(TX.word_tokens("text")).alias("word")
+        )
+        agg = (
+            words.join(F.broadcast(pieces), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_words"),
+                F.sum("n_pieces").alias("n_bpe"),
+            )
+        )
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+                F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_bpe"),
+            )
+        )
+
+    return memo(spark, ("bpe_doc_lengths", sf_dir), build, persist=True)
+
+
+@register(
+    "bpe_token_counts",
+    sql=f"""
+WITH {_sql_bpe_doc_counts()}
+SELECT doc_id, n_words, n_bpe AS n_bpe_tokens
+FROM lens
+""",
+    tags=("text_analysis", "tokenize", "bpe", "scale"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the CORPUS with the trained BPE merge table (r4 VERDICT
+    task 3): per document, word count and trained-tokenizer piece count —
+    the number that actually budgets training sequences. Every corpus
+    word is in the trained vocabulary by construction (same tokenizer,
+    same corpus), so the vocab join loses nothing; token-less documents
+    report zeros on both engines."""
+    d = bpe_doc_lengths(spark, sf_dir)
+    return d.select(
+        "doc_id", "n_words", F.col("n_bpe").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "pack_sequences_bpe",
+    sql=f"""
+WITH {_sql_bpe_doc_counts()},
+c AS (
+    SELECT doc_id, n_bpe AS n,
+           sum(n_bpe) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM lens
+)
+SELECT CAST(floor((cum - n) * 1.0 / {BPE_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+    tags=("curation", "tokenize", "bpe", "scale"),
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted on TRAINED-tokenizer tokens: the same
+    two-phase distributed prefix sum as ``pack_sequences`` (shared
+    ``pack_manifest`` helper — no global sort), but each document's cost
+    is its BPE piece count, i.e. what the training loop actually pays per
+    sequence of {BPE_PACK_BUDGET} pieces. Composes two oracle-checked
+    stages: the BPE fit/encode and the packing prefix sum."""
+    from .curation import pack_manifest
+
+    d = bpe_doc_lengths(spark, sf_dir).select(
+        "doc_id", F.col("n_bpe").alias("n")
+    )
+    return pack_manifest(d, BPE_PACK_BUDGET)

@@ -54,6 +54,45 @@ PACK_BUDGET = 256  # tokens per training sequence
 PACK_PARTS = 32  # prefix-sum parallelism (≈ executor count at scale)
 
 
+def pack_manifest(d: DataFrame, budget: int) -> DataFrame:
+    """Two-phase distributed prefix-sum packing over a (doc_id, n) token-
+    length table: documents fill ``budget``-token training sequences in
+    doc_id order (contiguous fill — a doc may straddle a boundary; its
+    pack is where it STARTS). Shared by the word-token and BPE-token
+    packers; see ``q_pack_sequences`` for the scale rationale (no global
+    sort; driver materializes exactly {PACK_PARTS} longs)."""
+    hi = d.agg(F.max("doc_id")).first()[0] or 0
+    stride = max(1, (int(hi) + PACK_PARTS) // PACK_PARTS)
+    d = d.withColumn("pid", (F.col("doc_id") / stride).cast("int"))
+    # phase 1: per-stride totals (PACK_PARTS rows) -> prefix offsets
+    totals = {r["pid"]: r["t"] for r in d.groupBy("pid").agg(F.sum("n").alias("t")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if not offsets:
+        offsets = {0: 0}  # empty corpus: create_map() would be untyped
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    # phase 2: local cumsum within each stride + broadcast offset
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    c = d.withColumn("cum", F.sum("n").over(w) + off[F.col("pid")])
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n")) * 1.0 / budget),
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 @register(
     "pack_sequences",
     sql=f"""
@@ -98,36 +137,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         persist=True,
     )
-    hi = d.agg(F.max("doc_id")).first()[0] or 0
-    stride = max(1, (int(hi) + PACK_PARTS) // PACK_PARTS)
-    d = d.withColumn("pid", (F.col("doc_id") / stride).cast("int"))
-    # phase 1: per-stride totals (PACK_PARTS rows) -> prefix offsets
-    totals = {r["pid"]: r["t"] for r in d.groupBy("pid").agg(F.sum("n").alias("t")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    if not offsets:
-        offsets = {0: 0}  # empty corpus: create_map() would be untyped
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    # phase 2: local cumsum within each stride + broadcast offset
-    w = Window.partitionBy("pid").orderBy("doc_id")
-    c = d.withColumn("cum", F.sum("n").over(w) + off[F.col("pid")])
-    return (
-        c.withColumn(
-            "pack_id",
-            F.floor((F.col("cum") - F.col("n")) * 1.0 / PACK_BUDGET),
-        )
-        .groupBy("pack_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-    )
+    return pack_manifest(d, PACK_BUDGET)
 
 
 # ------------------------------------------------------------- doc chunking
