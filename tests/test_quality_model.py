@@ -71,3 +71,40 @@ def test_corpus_score_contract(spark, sf_dir):
         assert 0.0 <= r["score"] <= 1.0
         assert r["predicted"] == (1 if r["score"] >= 0.5 else 0)
         assert r["teacher_label"] in (0, 1)
+
+
+def test_eval_heldout_never_influences_weights(spark, sf_dir):
+    """Flipping every held-out label leaves the train-split fit unchanged
+    — the eval's training path provably cannot see held-out rows — while
+    fitting on ALL rows yields different weights (the split is real)."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        SPLIT_BOUNDS,
+        _md5_u32,
+    )
+
+    feats = QM._features(spark, sf_dir)
+    pct = (
+        _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    train = SPLIT_BOUNDS[0]
+    w_a = QM.fit_quality_weights(feats.filter(pct < train))
+    flipped = feats.withColumn(
+        "y", F.when(pct >= train, 1 - F.col("y")).otherwise(F.col("y"))
+    )
+    w_b = QM.fit_quality_weights(flipped.filter(pct < train))
+    assert w_a == w_b
+    w_all = QM.fit_quality_weights(feats)
+    assert w_all != w_a
+
+
+def test_eval_confusion_is_consistent(spark, sf_dir):
+    row = QM.q_quality_model_eval(spark, sf_dir).first()
+    assert row["tp"] + row["fp"] + row["fn"] + row["tn"] == row["n_heldout"]
+    assert 0 <= row["precision_keep"] <= 1
+    assert 0 <= row["recall_keep"] <= 1
+    assert 0 <= row["accuracy"] <= 1
+    assert row["n_heldout"] > 0 and row["n_train"] > 0
+    # md5 80/10/10 split: held-out ~20% of the corpus
+    total = row["n_train"] + row["n_heldout"]
+    assert 0.1 <= row["n_heldout"] / total <= 0.3

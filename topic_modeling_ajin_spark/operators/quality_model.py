@@ -136,10 +136,30 @@ def _qm_fit(spark: SparkSession, sf_dir: str) -> list:
 # --------------------------------------------------------------- oracle
 
 
-def _sql_rounds(iters: int) -> str:
-    """Unrolled GD rounds over the MATERIALIZED feature table."""
+def _sql_rounds(iters: int, train_only: bool = False) -> str:
+    """Unrolled GD rounds over the MATERIALIZED feature table. With
+    ``train_only`` the gradient (and its normalizing count) sees ONLY the
+    md5 train split (the ``train_val_test_split`` assignment, pct <
+    {SPLIT_BOUNDS[0]}); margins/scores still cover every document so the
+    held-out rows can be scored downstream without ever influencing a
+    weight update."""
+    from .curation import SPLIT_BOUNDS, _md5_u32_sql
     from .dedup import _sql_quality_block
     from .text_analysis import _SQL_WORD_TOKS, MIN_KEEP_QUALITY
+
+    if train_only:
+        spl = f"""
+spl AS MATERIALIZED (
+    SELECT doc_id,
+           ({_md5_u32_sql("'split|' || CAST(doc_id AS VARCHAR)")}) % 100 AS pct
+    FROM documents
+),"""
+        nn_src = f"(SELECT doc_id FROM spl WHERE pct < {SPLIT_BOUNDS[0]})"
+        g_join = "JOIN spl s ON s.doc_id = f.doc_id"
+        g_where = f"WHERE s.pct < {SPLIT_BOUNDS[0]}"
+    else:
+        spl, g_join, g_where = "", "", ""
+        nn_src = "documents"
 
     parts = [
         f"""
@@ -164,7 +184,7 @@ feat AS MATERIALIZED (
     UNION ALL
     SELECT doc_id, {ENCODER_DIM + 3}, 1.0 FROM documents
 ),
-nn AS (SELECT count(*) AS c FROM documents),
+{spl}nn AS (SELECT count(*) AS c FROM {nn_src}),
 w0 AS (SELECT unnest(range(0, {QM_DIM})) AS dim, 0.0 AS wv)"""
     ]
     for t in range(1, iters + 2):
@@ -188,6 +208,8 @@ g{t} AS (
     FROM feat f
     JOIN p{t} p ON p.doc_id = f.doc_id
     JOIN lab l ON l.doc_id = f.doc_id
+    {g_join}
+    {g_where}
     GROUP BY f.dim
 ),
 w{t} AS MATERIALIZED (
@@ -253,4 +275,113 @@ def q_quality_model_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(d, round(v, 6)) for d, v in enumerate(w)],
         "dim long, weight double",
+    )
+
+
+# ------------------------------------------------------ held-out eval
+
+
+def _sql_eval() -> str:
+    from .curation import SPLIT_BOUNDS
+
+    return f"""
+WITH {_sql_rounds(QM_ITERS, train_only=True)},
+ev AS (
+    SELECT CASE WHEN l.y = 1 AND round(p.p, 6) >= 0.5 THEN 1 ELSE 0 END AS tp,
+           CASE WHEN l.y = 0 AND round(p.p, 6) >= 0.5 THEN 1 ELSE 0 END AS fp,
+           CASE WHEN l.y = 1 AND round(p.p, 6) <  0.5 THEN 1 ELSE 0 END AS fn,
+           CASE WHEN l.y = 0 AND round(p.p, 6) <  0.5 THEN 1 ELSE 0 END AS tn
+    FROM p{QM_ITERS + 1} p
+    JOIN lab l ON l.doc_id = p.doc_id
+    JOIN spl s ON s.doc_id = p.doc_id
+    WHERE s.pct >= {SPLIT_BOUNDS[0]}
+),
+conf AS (
+    SELECT CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+           CAST(sum(fn) AS BIGINT) AS fn, CAST(sum(tn) AS BIGINT) AS tn,
+           CAST(count(*) AS BIGINT) AS n_heldout
+    FROM ev
+)
+SELECT (SELECT CAST(c AS BIGINT) FROM nn) AS n_train,
+       n_heldout, tp, fp, fn, tn,
+       round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END, 6)
+           AS precision_keep,
+       round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END, 6)
+           AS recall_keep,
+       round((tp + tn) * 1.0 / n_heldout, 6) AS accuracy
+FROM conf
+"""
+
+
+def _qm_fit_train(spark: SparkSession, sf_dir: str) -> list:
+    """Weights trained on the md5 TRAIN split only (the
+    ``train_val_test_split`` assignment) — held-out docs never reach a
+    gradient."""
+    from .curation import SPLIT_BOUNDS, _md5_u32
+
+    def build() -> list:
+        feats = _features(spark, sf_dir)
+        pct = (
+            _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string")))
+            % 100
+        )
+        return fit_quality_weights(feats.filter(pct < SPLIT_BOUNDS[0]))
+
+    return memo(spark, ("qm_fit_train", sf_dir), build)
+
+
+@register(
+    "quality_model_eval",
+    sql=_sql_eval(),
+    tags=("text_analysis", "quality", "ml", "eval"),
+)
+def q_quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure the trained quality model (r4 VERDICT task 4): retrain on
+    the md5 train split only, score the held-out docs (val+test of
+    ``train_val_test_split``), report confusion counts and
+    precision/recall/accuracy vs the heuristic teacher — all
+    integer-count and ratio math, so DuckDB replays the train-restricted
+    fit AND the evaluation exactly. Scoring stays the broadcast-weights
+    column expression; the only new work over ``quality_model_score`` is
+    the split predicate (a row-local md5)."""
+    from .curation import SPLIT_BOUNDS, _md5_u32
+
+    w = _qm_fit_train(spark, sf_dir)
+    feats = _features(spark, sf_dir)
+    pct = (
+        _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    )
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    margin = F.aggregate(
+        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    held = feats.filter(pct >= SPLIT_BOUNDS[0]).select(
+        "y", (p >= 0.5).cast("int").alias("pred")
+    )
+    conf = held.agg(
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 0)).cast("long")).alias("tn"),
+        F.count("*").alias("n_heldout"),
+    )
+    n_train = feats.filter(pct < SPLIT_BOUNDS[0]).count()
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return conf.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        "n_heldout",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.when(tp + fp == 0, 0.0).otherwise(tp / (tp + fp)), 6
+        ).alias("precision_keep"),
+        F.round(
+            F.when(tp + fn == 0, 0.0).otherwise(tp / (tp + fn)), 6
+        ).alias("recall_keep"),
+        F.round((tp + tn) / F.col("n_heldout"), 6).alias("accuracy"),
     )
