@@ -633,3 +633,20 @@ def test_ivfpq_search_candidates_come_from_probed_lists(spark, sf_dir, registry)
         assert dists == sorted(dists)
         for r in rs:
             assert coarse_of[r["db_id"]] in probes[q]
+
+
+def test_textrank_driver_budget_guard(spark, sf_dir, registry, monkeypatch):
+    """An edge table over TEXTRANK_MAX_DRIVER_EDGES must refuse the
+    driver-side PageRank loop BEFORE collecting, naming the distributed
+    alternative."""
+    import pytest
+
+    from topic_modeling_ajin_spark import cache
+    from topic_modeling_ajin_spark.operators import text_analysis as TA
+
+    # drop the memoized edge table so the guarded path recomputes it
+    cache.clear_caches(spark)
+    monkeypatch.setattr(TA, "TEXTRANK_MAX_DRIVER_EDGES", 1)
+    with pytest.raises(ValueError, match="driver"):
+        TA.q_textrank_keywords(spark, sf_dir)
+    cache.clear_caches(spark)

@@ -875,6 +875,12 @@ TEXTRANK_ITERS = 4
 TEXTRANK_VOCAB = 200  # graph nodes: top-V words by frequency (bounded)
 TEXTRANK_TOP_K = 20
 _TR_ROUND = 6
+# Driver-side iteration budget (r3/r4 VERDICT ask): the PageRank loop
+# collects the edge list, which is bounded by TEXTRANK_VOCAB^2 directed
+# edges (40k at V=200 — trivially driver-sized). If someone raises
+# TEXTRANK_VOCAB past this cap, fail loudly BEFORE the collect instead of
+# silently materializing a multi-GB edge list on the driver.
+TEXTRANK_MAX_DRIVER_EDGES = 250_000
 
 
 def _sql_textrank() -> str:
@@ -1023,6 +1029,20 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     def round6(x: float) -> float:
         return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
 
+    # budget check BEFORE the collect: the count runs distributed (and
+    # warms the persisted edge cache the collect reuses). Beyond the cap,
+    # driver-side iteration is the wrong plan — refuse with the
+    # distributed alternative named rather than OOM the driver.
+    n_edges = und.count()
+    if n_edges > TEXTRANK_MAX_DRIVER_EDGES:
+        raise ValueError(
+            f"TextRank edge table has {n_edges} rows, over the driver "
+            f"budget TEXTRANK_MAX_DRIVER_EDGES={TEXTRANK_MAX_DRIVER_EDGES}."
+            " Lower TEXTRANK_VOCAB, or iterate distributed: keep pr as a"
+            " DataFrame and replay each round as the contribution join +"
+            " aggregate that _sql_textrank() spells out (join und on src,"
+            " sum pr*w/s per dst, damp, round), persisting pr per round."
+        )
     edges = sorted(
         ((r["src"], r["dst"], r["w"]) for r in und.collect())
     )
