@@ -98,3 +98,28 @@ def test_hash_embedding_splits_ascii_whitespace_only():
     # exactly the single-token embedding of the glued string
     assert glued == hash_embed_texts(["인공지능　모델".lower()])[0]
     assert sum(abs(x) for x in one_tok) > 0
+
+
+def test_hash_embedding_expr_bit_identical_to_kernel(spark, sf_dir):
+    """The pure-column-expression embedding must equal the mapInPandas
+    kernel BIT-FOR-BIT (integer accumulation is order-exact in float64;
+    the only float ops are the same divisions and sqrt)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+        hash_embedding_expr,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", hash_embedding_expr("text").alias("e")
+        ).collect()
+    }
+    rows = docs.collect()
+    expected = hash_embed_texts([r["text"] for r in rows])
+    for r, e in zip(rows, expected):
+        assert list(got[r["doc_id"]]) == list(e), r["doc_id"]

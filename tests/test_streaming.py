@@ -467,3 +467,108 @@ def test_streaming_ingest_dedup_survives_store_commit_crash(spark, tmp_path):
     # store still has exactly one row per distinct text (partition was
     # overwritten in place, not appended to)
     assert spark.read.parquet(store).count() == 2
+
+
+# weights where only the length feature (dim 16) and bias (dim 19) fire:
+# score = sigmoid(10*min(n_tokens/100,1) - 1) — ~0.73 for 20-token docs,
+# ~0.34 for 3-token docs, so min_quality_score=0.5 splits them cleanly
+_GATE_W = [0.0] * 16 + [10.0, 0.0, 0.0, -1.0]
+
+
+def test_streaming_ingest_quality_gate_matches_batch_twin(spark, tmp_path):
+    """Ingest gate + dedup must equal the batch twin: filter by the SAME
+    score expression, then min-doc_id fingerprint survivorship across all
+    input. Rejected docs never enter the store, so a later duplicate of a
+    rejected doc is admitted (asserted via doc 12)."""
+    import time
+
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+    from topic_modeling_ajin_spark.operators.quality_model import score_expr
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    other_long = " ".join(f"word{i}" for i in range(40))
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    batch_a = spark.createDataFrame(
+        [(1, long_text), (2, "too short"), (3, long_text)], schema
+    )
+    batch_b = spark.createDataFrame(
+        [(10, long_text),        # cross-batch dup of kept doc 1 -> dropped
+         (11, "also short"),     # below gate -> dropped
+         (12, other_long)],      # new long doc -> kept
+        schema,
+    )
+    batch_a.coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    batch_b.coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(batch_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        str(tmp_path / "store"),
+        out,
+        str(tmp_path / "ck"),
+        quality_weights=_GATE_W,
+        min_quality_score=0.5,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # batch twin over the union of both micro-batches
+    all_docs = batch_a.union(batch_b)
+    gated = all_docs.filter(score_expr(_GATE_W) >= 0.5)
+    fp = gated.withColumn("fp", H.fingerprint(TX.cleaned("text")))
+    twin = sorted(
+        r["keeper"]
+        for r in fp.groupBy("fp").agg(F.min("doc_id").alias("keeper")).collect()
+    )
+    assert kept == twin == [1, 12]
+
+
+def test_streaming_ingest_quality_gate_crash_replay_idempotent(spark, tmp_path):
+    """Crash-replay with the gate ON: batch 0's store partition committed
+    but the checkpoint lost — the replay re-applies the gate and still
+    emits the gated survivors (no silent loss, no gate/dedup interaction
+    on replay)."""
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+    from topic_modeling_ajin_spark.operators.quality_model import score_expr
+
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc")], schema
+    )
+    docs.coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    # half-committed state: the GATED batch's fingerprints already stored
+    docs.filter(score_expr(_GATE_W) >= 0.5).select(
+        H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{store}/batch=0")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        out,
+        str(tmp_path / "ck_fresh"),
+        quality_weights=_GATE_W,
+        min_quality_score=0.5,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1]  # gate dropped doc 2; replay kept doc 1
+    assert spark.read.parquet(store).count() == 1

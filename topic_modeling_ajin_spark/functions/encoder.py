@@ -187,3 +187,44 @@ hemb AS (
            CASE WHEN n.n > 0 THEN d.v / n.n ELSE 0.0 END AS v
     FROM hdense d JOIN hnorm n ON n.doc_id = d.doc_id
 )"""
+
+
+def hash_embedding_expr(text_col, dim: int = ENCODER_DIM):
+    """The hash embedding as a PURE COLUMN EXPRESSION — bit-identical to
+    ``hash_embed_texts`` (parity-tested), for call sites that need the
+    score inline with zero extra stages: the streaming ingest gate
+    filters each micro-batch with this expression, stateless and
+    shuffle-free.
+
+    Bit-exactness argument: the accumulated counts are integers (exact in
+    float64 in any summation order), so the only float ops are the same
+    v/n divisions and sqrt the kernel performs — identical IEEE results.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # ASCII \s split of the lowered text — Java regex \s is ASCII-only,
+    # matching the kernel's _WS_ASCII
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+    def base(t):
+        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+
+    def signed(t):
+        bd = F.floor(base(t) / dim).cast("bigint")
+        return F.when(bd % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("bigint"), dim),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda v, i: v + F.when((base(t) % dim) == i, signed(t)).otherwise(0),
+        ),
+    )
+    vf = F.transform(counts, lambda v: v.cast("double"))
+    n = F.sqrt(
+        F.aggregate(vf, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(vf, lambda x: F.when(n > 0, x / n).otherwise(x))

@@ -49,32 +49,57 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ features
 
 
+def feature_expr(text_col: str = "text") -> F.Column:
+    """The QM_DIM feature vector as ONE column expression over ``text``:
+    the hash embedding (``hash_embedding_expr`` — bit-identical to the
+    mapInPandas kernel, parity-tested) ++ 6-dp-rounded structural signals
+    ++ bias. Row-local and shuffle-free, so a streaming micro-batch can
+    score documents with zero extra stages."""
+    from ..functions.encoder import hash_embedding_expr
+    from ..operators.text_analysis import quality_exprs
+
+    e = quality_exprs(text_col)
+    length_feat = F.round(
+        F.least(e["n_tokens"] / F.lit(100.0), F.lit(1.0)), 6
+    )
+    return F.concat(
+        hash_embedding_expr(text_col),
+        F.array(
+            length_feat,
+            F.round(e["stop_ratio"], 6),
+            F.round(e["punct_ratio"], 6),
+            F.lit(1.0),
+        ),
+    )
+
+
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, feat array<double>[QM_DIM], y) — hash embedding ++
-    structural signals ++ bias, teacher label from the heuristic gate."""
-    from ..operators.encoding import _hash_embedded
-    from ..operators.text_analysis import MIN_KEEP_QUALITY, q_quality_score
+    structural signals ++ bias, teacher label from the heuristic gate.
+    One shuffle-free projection over the scan (the round-4 join of the
+    embedding kernel against the quality query is gone: both sides were
+    row-local expressions all along)."""
+    from ..operators.text_analysis import MIN_KEEP_QUALITY, quality_exprs
 
-    emb = _hash_embedded(spark, sf_dir)  # (doc_id, embedding[16])
-    q = q_quality_score(spark, sf_dir)  # rounded ratios + quality
-    length_feat = F.round(
-        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)), 6
-    )
-    return emb.join(q, "doc_id").select(
+    q = F.round(quality_exprs()["quality"], 6)
+    return _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat(
-            F.col("embedding"),
-            F.array(
-                length_feat,
-                F.col("stop_ratio"),
-                F.col("punct_ratio"),
-                F.lit(1.0),
-            ),
-        ).alias("feat"),
-        (F.col("quality") >= F.lit(MIN_KEEP_QUALITY))
-        .cast("int")
-        .alias("y"),
+        feature_expr().alias("feat"),
+        (q >= F.lit(MIN_KEEP_QUALITY)).cast("int").alias("y"),
     )
+
+
+def score_expr(weights: list, text_col: str = "text") -> F.Column:
+    """sigmoid(w . feat(text)) rounded to 6 dp — the trained gate as a
+    single broadcast-weights column expression (the shape that scores
+    100 TB, and that the streaming ingest gate applies per micro-batch)."""
+    w_lit = F.array(*[F.lit(float(v)) for v in weights])
+    margin = F.aggregate(
+        F.zip_with(feature_expr(text_col), w_lit, lambda x, wd: x * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
 
 
 # ------------------------------------------------------------- training

@@ -94,27 +94,47 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length saturation, stopword density (natural language has some),
     punctuation noise. Weights are fixed; the value is the *pipeline*:
     score 100 TB of text with zero Python in the loop."""
-    df = _docs(spark, sf_dir)
-    toks = TX.word_tokens("text")
+    return quality_stats(_docs(spark, sf_dir))
+
+
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The raw quality-signal column expressions over a ``text`` column —
+    the single definition every consumer (batch query, trained-model
+    features, streaming ingest gate) composes from."""
+    toks = TX.word_tokens(text_col)
     n_tokens = F.size(toks)
     stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_lit, w)))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    kept = F.length(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9가-힣 ]", ""))
+    kept = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9가-힣 ]", ""))
     punct_ratio = F.when(
-        F.length("text") > 0, (F.length("text") - kept) / F.length("text")
+        F.length(text_col) > 0, (F.length(text_col) - kept) / F.length(text_col)
     ).otherwise(0.0)
     quality = (
         0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
         + 0.25 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.25 * (1.0 - punct_ratio)
     )
+    return {
+        "n_tokens": n_tokens,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "quality": quality,
+    }
+
+
+def quality_stats(df: DataFrame) -> DataFrame:
+    """The quality-score projection over ANY (doc_id, text) DataFrame —
+    batch table or a streaming micro-batch: (doc_id, n_tokens,
+    stop_ratio, punct_ratio, quality), ratios 6-dp rounded. Pure column
+    expressions, shuffle-free."""
+    e = quality_exprs()
     return df.select(
         "doc_id",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(quality, 6).alias("quality"),
+        e["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(e["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(e["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(e["quality"], 6).alias("quality"),
     )
 
 

@@ -458,6 +458,8 @@ def run_streaming_ingest_dedup(
     store_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    quality_weights: list | None = None,
+    min_quality_score: float = 0.5,
 ) -> None:
     """Cross-batch document ingest dedup against a PERSISTENT fingerprint
     store — the streaming twin of the batch ``incremental_dedup`` query
@@ -465,6 +467,12 @@ def run_streaming_ingest_dedup(
     runs forever).
 
     Per micro-batch, inside ``foreachBatch``:
+    0. (optional quality gate, r4 VERDICT task 7) drop documents whose
+       trained-model score — ``quality_model.score_expr(weights)``, a
+       broadcast-weights row-local column expression, stateless and
+       shuffle-free — falls below ``min_quality_score``. Gated BEFORE
+       fingerprinting: rejected docs never enter the store, so a later
+       higher-quality duplicate of a rejected doc is still admitted;
     1. fingerprint the batch (16-byte md5 of the cleaned text — the same
        portable key as the batch operator, so the two paths agree);
     2. within-batch survivorship: deterministic min-``doc_id`` keeper;
@@ -486,6 +494,12 @@ def run_streaming_ingest_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
+        if quality_weights is not None:
+            from ..operators.quality_model import score_expr
+
+            batch_df = batch_df.filter(
+                score_expr(quality_weights) >= F.lit(min_quality_score)
+            )
         fp = batch_df.withColumn(
             "fingerprint", H.fingerprint(TX.cleaned("text"))
         )
