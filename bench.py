@@ -43,9 +43,14 @@ HEADLINE = (
     "pack_sequences",        # curation: greedy sequence packing
     "plsa_fold_in",          # serving path: broadcast-model inference
     "textrank_keywords",     # iterative graph analytics (PageRank)
+    "bpe_encode",            # BPE merge training + vocab segmentation
+    "quality_model_score",   # trained-gate scoring (broadcast weights)
+    "semantic_dedup",        # SemDeDup: cluster-bucketed cosine dominance
 )
 
-N_RUNS = 3  # timed runs per query; the reported figure is the median
+# n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
+# swing ±30% under run-order/contention luck; 5 samples tighten the median
+N_RUNS = 5  # timed runs per query; the reported figure is the median
 
 
 def main() -> None:
