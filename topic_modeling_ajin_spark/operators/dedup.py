@@ -773,8 +773,12 @@ def semantic_dedup(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cluster long, cvec array<double>",
     )
-    # per-vector centroid cosine = the survivorship priority; persisted:
-    # both pair sides and the final output scan it
+    # per-vector centroid cosine = the survivorship priority, plus the
+    # vector's own L2 norm so the pair stage pays ONE aggregate (the dot)
+    # per candidate instead of recomputing both norms per pair (3x fewer
+    # array folds on the quadratic stage; numerically identical — cosine
+    # is dot/(norm_a*norm_b) either way). Persisted: both pair sides and
+    # the final output scan it.
     cc = memo(
         spark,
         ("semdedup_cc", sf_dir, tau),
@@ -782,6 +786,7 @@ def semantic_dedup(
             "vec_id",
             "cluster",
             "emb",
+            V.norm(F.col("emb")).alias("nrm"),
             F.round(V.cosine(F.col("emb"), F.col("cvec")), 6).alias("cent_cos"),
         ),
         persist=True,
@@ -790,21 +795,24 @@ def semantic_dedup(
         "cluster",
         F.col("vec_id").alias("va"),
         F.col("emb").alias("ea"),
+        F.col("nrm").alias("na"),
         F.col("cent_cos").alias("pa"),
     )
     b = cc.select(
         "cluster",
         F.col("vec_id").alias("vb"),
         F.col("emb").alias("eb"),
+        F.col("nrm").alias("nb"),
         F.col("cent_cos").alias("pb"),
     )
     # IVF-bucketed candidate edges: equi-join on cluster, cosine > tau.
     # 6-dp rounding on BOTH the edge test and the priority comparison so
     # the decision grid is identical across engines/partitionings.
+    pair_cos = V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     dominated = (
         a.join(b, "cluster")
         .filter(F.col("va") != F.col("vb"))
-        .filter(F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > tau)
+        .filter(F.round(pair_cos, 6) > tau)
         .filter(
             (F.col("pb") > F.col("pa"))
             | ((F.col("pb") == F.col("pa")) & (F.col("vb") < F.col("va")))
