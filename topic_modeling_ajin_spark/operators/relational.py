@@ -623,6 +623,70 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_stock",
+    sql="""
+WITH natsupp AS (
+    SELECT s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+),
+val AS (
+    SELECT l.l_partkey AS ps_partkey, sum(l.l_extendedprice) AS v
+    FROM lineitem l
+    JOIN natsupp ns ON l.l_suppkey = ns.s_suppkey
+    GROUP BY l.l_partkey
+),
+tot AS (SELECT sum(v) AS total FROM val)
+SELECT val.ps_partkey, round(val.v, 2) AS stock_value
+FROM val, tot
+WHERE round(val.v, 2) > round(0.001 * tot.total, 2)
+ORDER BY stock_value DESC, ps_partkey
+""",
+    tags=("relational", "join"),
+)
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock; no partsupp table, so a part's
+    stock value ≈ total extended price supplied for it by one nation's
+    suppliers): grouped value per part HAVING value above a fixed fraction
+    of the nation-wide total — the classic scalar-subquery-vs-groups query.
+
+    Scale plan: the nation's supplier keys are a broadcast (constant-sized
+    dim chain), so lineitem shuffles ONCE on l_partkey for the grouped sum;
+    `val` is memo-persisted (parts-sized, never lineitem-sized) because both
+    the group list and the scalar total consume it — Spark's ReuseExchange
+    does NOT fire across the crossJoin sides, so without the persist the
+    lineitem scan+shuffle would run twice. The total re-aggregates cached
+    `val` (a tiny shuffle over |parts| rows) and joins back as a broadcast
+    1-row scalar. Both compare sides round to 2dp so the threshold grid is
+    identical across engines/partitionings."""
+    from ..cache import memo
+
+    def build_val() -> DataFrame:
+        n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+        s = load_table(spark, sf_dir, "supplier").join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        l = load_table(spark, sf_dir, "lineitem")
+        return (
+            l.join(
+                F.broadcast(s.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey")
+            )
+            .groupBy(F.col("l_partkey").alias("ps_partkey"))
+            .agg(F.sum("l_extendedprice").alias("v"))
+        )
+
+    val = memo(spark, ("q11_val", sf_dir), build_val, persist=True)
+    tot = val.agg(F.round(0.001 * F.sum("v"), 2).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.round(F.col("v"), 2) > F.col("threshold"))
+        .select("ps_partkey", F.round(F.col("v"), 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), F.asc("ps_partkey"))
+    )
+
+
+@register(
     "q4_priority_count",
     sql="""
 SELECT o.o_orderpriority, count(*) AS order_count
