@@ -527,3 +527,50 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# the recall harness composes the two registered oracles verbatim — one
+# source of truth for both the search and its evaluation
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "ivf_recall_eval",
+    sql=f"""
+WITH bf AS ({_REG["ann_cosine_topk"].sql}),
+iv AS ({_REG["ivf_cosine_topk"].sql})
+SELECT bf.query_id,
+       count(iv.neighbor_id) AS n_hits,
+       round(count(iv.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM bf
+LEFT JOIN iv ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+""",
+    tags=("similarity", "ann", "eval"),
+)
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: per-query recall@k of the IVF path against the
+    exact brute-force top-k — the evaluation every production ANN index
+    ships with (FAISS-style recall@k).
+
+    Both inputs are the already-registered, individually exact-oracled
+    queries; this composes their results with a tiny (n_queries × k)-row
+    left join + rollup, so the eval costs nothing beyond the two searches
+    it grades. At 100 TB the brute-force side runs on a sampled query set
+    (it is the ground truth, not the serving path)."""
+    bf = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = (
+        q_ivf_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(iv, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
