@@ -361,6 +361,54 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_fertility",
+    sql=f"""
+WITH {_sql_bpe_doc_counts()}
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.n_words) AS BIGINT) AS n_words,
+       CAST(sum(l.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(CASE WHEN sum(l.n_words) > 0
+                  THEN sum(l.n_bpe) * 1.0 / sum(l.n_words)
+                  ELSE 0 END, 6) AS fertility
+FROM lens l
+JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+    tags=("text_analysis", "tokenize", "bpe", "eval"),
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — mean trained-BPE pieces per word,
+    THE standard multilingual tokenizer-quality metric (a language whose
+    fertility is far above the corpus mean is under-served by the learned
+    merges and will train slower per byte).
+
+    Reuses the memoized (doc_id, n_words, n_bpe) table, so the metric is
+    one broadcast-ish join to the doc->lang projection plus a
+    languages-sized rollup; the ratio is integer-sum arithmetic, exact on
+    both engines."""
+    lens = bpe_doc_lengths(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        lens.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.round(
+                F.when(
+                    F.sum("n_words") > 0, F.sum("n_bpe") / F.sum("n_words")
+                ).otherwise(0.0),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "pack_sequences_bpe",
     sql=f"""
 WITH {_sql_bpe_doc_counts()},
