@@ -86,6 +86,14 @@ SELECTED = (
         "per-doc normalizations, co-partitioned on doc_id.",
     ),
     (
+        "q11_important_stock",
+        "Scalar-vs-groups (TPC-H Q11 shape): the part-sized value table "
+        "is memo-persisted (`InMemoryTableScan` on BOTH crossJoin sides "
+        "— ReuseExchange alone does not fire across them, so without the "
+        "persist lineitem would scan+shuffle twice); the 1-row threshold "
+        "enters as `BroadcastNestedLoopJoin`.",
+    ),
+    (
         "cms_word_counts",
         "Count-min sketch: the corpus-sized aggregation is CONSTANT-width "
         "— map-side partial combine compresses every task to <= "
