@@ -223,6 +223,13 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir, registry):
     assert recall >= 0.5, recall  # nprobe=2/16 cells on random-ish vectors
     # every IVF hit must carry the exact cosine: spot-check subset relation
     assert len(ivf) <= len(brute)
+    # the first-class recall harness must agree with this ad-hoc definition
+    ev = registry["ivf_recall_eval"].fn(spark, sf_dir).collect()
+    assert sum(r["n_hits"] for r in ev) == len(ivf & brute)
+    for r in ev:
+        hits = sum(1 for (q, n) in brute & ivf if q == r["query_id"])
+        assert r["n_hits"] == hits
+        assert abs(r["recall_at_k"] - hits / 5) < 1e-6
 
 
 def test_lloyd_kmeans_partitions_corpus(spark, sf_dir, registry):
