@@ -257,3 +257,58 @@ def test_reference_derived_columns_cell_exact(spark):
         ).alias("m"),
     ).collect()[0]
     assert (bad["tc"], bad["cl"], bad["y"], bad["m"]) == (0, 0, 0, 0)
+
+
+def test_xlsx_datasource_matches_driver_reader(spark, tmp_path):
+    """The registered Spark-4 Python DataSource (`format("xlsx")`) must
+    return exactly what the driver-side `read_xlsx` returns for the same
+    sheet — one parse core, two execution sites."""
+    import pandas as pd
+
+    from topic_modeling_ajin_spark.sources import XlsxDataSource, export_excel
+    from topic_modeling_ajin_spark.sources.io import read_xlsx
+
+    path = str(tmp_path / "wb.xlsx")
+    export_excel(
+        {
+            "단어빈도": pd.DataFrame({"단어": ["모델", "콘텐츠"], "빈도수": [845, 736]}),
+            "stats": pd.DataFrame({"metric": ["mean_len"], "value": [146.46]}),
+        },
+        path,
+    )
+    spark.dataSource.register(XlsxDataSource)
+
+    ds1 = spark.read.format("xlsx").load(path)
+    drv1 = read_xlsx(spark, path, sheet=1)
+    assert ds1.columns == drv1.columns
+    assert sorted(map(tuple, ds1.collect())) == sorted(map(tuple, drv1.collect()))
+
+    ds2 = spark.read.format("xlsx").option("sheet", "2").load(path)
+    (r2,) = ds2.collect()
+    assert r2["metric"] == "mean_len" and float(r2["value"]) == 146.46
+
+
+def test_xlsx_datasource_all_sheets_union(spark, tmp_path):
+    """sheets=all: one input partition per worksheet, union-by-header
+    schema, `_sheet` carries the sheet display name."""
+    import pandas as pd
+
+    from topic_modeling_ajin_spark.sources import XlsxDataSource, export_excel
+
+    path = str(tmp_path / "multi.xlsx")
+    export_excel(
+        {
+            "a": pd.DataFrame({"k": ["x", "y"], "va": [1, 2]}),
+            "b": pd.DataFrame({"k": ["z"], "vb": [9]}),
+        },
+        path,
+    )
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").option("sheets", "all").load(path)
+    assert df.columns[0] == "_sheet"
+    assert set(df.columns) == {"_sheet", "k", "va", "vb"}
+    assert df.rdd.getNumPartitions() == 2  # one per worksheet
+    rows = {(r["_sheet"], r["k"]): (r["va"], r["vb"]) for r in df.collect()}
+    assert rows[("a", "x")] == ("1", None)
+    assert rows[("b", "z")] == (None, "9")
+    assert len(rows) == 3

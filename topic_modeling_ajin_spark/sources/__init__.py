@@ -10,9 +10,11 @@ from .io import (
     write_xlsx,
 )
 from .tables import TABLE_NAMES, load_table, load_tables, parallelized, register_views
+from .xlsx_source import XlsxDataSource
 
 __all__ = [
     "TABLE_NAMES",
+    "XlsxDataSource",
     "export_excel",
     "load_model",
     "load_table",

@@ -226,17 +226,33 @@ def read_xlsx(spark: SparkSession, path: str, sheet: int = 1) -> DataFrame:
     Driver-side parse by design: Excel is an ingest/export edge format for
     human-sized workbooks, not a 100 TB columnar source — the first thing a
     real pipeline does is land it in Parquet (``write_parquet``)."""
-    import re
     import zipfile
+
+    z = zipfile.ZipFile(path)
+    rows = _xlsx_sheet_cells(z, _resolve_sheet_part(z, sheet))
+    if not rows:
+        raise ValueError(f"empty worksheet in {path}")
+    header_cells, data = rows[0], rows[1:]
+    cols, names = _xlsx_columns(header_cells, data)
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in data], names
+    )
+
+
+def _xlsx_sheet_cells(z, part: str) -> list[dict[str, str | None]]:
+    """Parse one worksheet part into per-row {column-letter: value} dicts
+    (sharedStrings and inlineStr storage both supported). The shared parse
+    core of ``read_xlsx`` (driver-side) and the registered ``xlsx``
+    Python DataSource (executor-side)."""
+    import re
     from xml.etree import ElementTree as ET
 
-    m = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
-    z = zipfile.ZipFile(path)
+    m = "{" + _XLSX_NS + "}"
     shared: list[str] = []
     if "xl/sharedStrings.xml" in z.namelist():
         for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(m + "si"):
             shared.append("".join(t.text or "" for t in si.iter(m + "t")))
-    root = ET.fromstring(z.read(_resolve_sheet_part(z, sheet)))
+    root = ET.fromstring(z.read(part))
     rows: list[dict[str, str | None]] = []
     for row in root.iter(m + "row"):
         cells: dict[str, str | None] = {}
@@ -254,45 +270,62 @@ def read_xlsx(spark: SparkSession, path: str, sheet: int = 1) -> DataFrame:
                 )
             cells[col] = val
         rows.append(cells)
-    if not rows:
-        raise ValueError(f"empty worksheet in {path}")
-    header_cells, data = rows[0], rows[1:]
-    # Column set = union over ALL rows, not just the header: a data cell in
-    # a column with a blank header must surface (named by its letter), not
-    # silently drop.
+    return rows
+
+
+def _xlsx_columns(
+    header_cells: dict[str, str | None], data: list[dict[str, str | None]]
+) -> tuple[list[str], list[str]]:
+    """(column letters, surfaced names) for a parsed sheet. Column set =
+    union over ALL rows, not just the header: a data cell in a column with
+    a blank header must surface (named by its letter), not silently drop."""
     all_cols: set[str] = set(header_cells)
     for r in data:
         all_cols.update(r)
     cols = sorted(all_cols, key=lambda c: (len(c), c))
     names = [header_cells.get(c) or c for c in cols]
-    return spark.createDataFrame(
-        [tuple(r.get(c) for c in cols) for r in data], names
-    )
+    return cols, names
+
+
+def _xlsx_sheets(z) -> list[tuple[str, str]]:
+    """(display name, worksheet part) for every sheet, in workbook order,
+    resolved through ``xl/workbook.xml``'s sheet list and its relationship
+    targets instead of assuming parts are named ``sheet{n}.xml`` — writers
+    are free to number parts arbitrarily. Falls back to the physical names
+    for minimal zips without rels."""
+    from xml.etree import ElementTree as ET
+
+    m = "{" + _XLSX_NS + "}"
+    rns = "{" + _REL_NS + "}"
+    pr = "{" + _PKG_REL_NS + "}"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {
+            r.get("Id"): r.get("Target") for r in rels.iter(pr + "Relationship")
+        }
+        out: list[tuple[str, str]] = []
+        for i, sh in enumerate(wb.iter(m + "sheet")):
+            target = targets[sh.get(rns + "id")]
+            if target.startswith("/"):  # package-absolute target
+                part = target.lstrip("/")
+            else:
+                part = target if target.startswith("xl/") else "xl/" + target
+            out.append((sh.get("name") or f"Sheet{i + 1}", part))
+        if not out:
+            raise KeyError("no sheets")
+        return out
+    except (KeyError, IndexError, StopIteration, ET.ParseError):
+        return [
+            (n.rsplit("/", 1)[-1].removesuffix(".xml"), n)
+            for n in sorted(z.namelist())
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        ]
 
 
 def _resolve_sheet_part(z, sheet: int) -> str:
-    """Resolve the n-th worksheet (1-based, workbook order) through
-    ``xl/workbook.xml``'s sheet list and its relationship targets, instead
-    of assuming the physical part is named ``sheet{n}.xml`` — writers are
-    free to number parts arbitrarily. Falls back to the physical name for
-    minimal zips without rels."""
-    from xml.etree import ElementTree as ET
-
-    m = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
-    rns = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
-    pr = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    """Worksheet part of the n-th sheet (1-based, workbook order)."""
     try:
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
-        sheets = list(wb.iter(m + "sheet"))
-        rid = sheets[sheet - 1].get(rns + "id")
-        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
-        target = next(
-            r.get("Target")
-            for r in rels.iter(pr + "Relationship")
-            if r.get("Id") == rid
-        )
-        if target.startswith("/"):  # package-absolute target
-            return target.lstrip("/")
-        return target if target.startswith("xl/") else "xl/" + target
-    except (KeyError, IndexError, StopIteration, ET.ParseError):
+        return _xlsx_sheets(z)[sheet - 1][1]
+    except IndexError:
         return f"xl/worksheets/sheet{sheet}.xml"
