@@ -147,3 +147,61 @@ def test_fuzzy_pairs_find_planted_typos(spark):
         ("filter", "fitter"),
         ("배치저리", "배치처리"),
     }
+
+
+def test_ngram_lm_perplexity_matches_brute_force(spark, sf_dir):
+    """Pin the bigram-LM semantics with a hand-computed replay on the
+    first docs: Laplace (cab+1)/(ctx+V), per-doc mean log-prob, ppl =
+    exp(-mean)."""
+    import math
+    import re
+
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        _docs,
+        q_ngram_lm_perplexity,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in q_ngram_lm_perplexity(spark, sf_dir).collect()
+    }
+
+    docs = {
+        r["doc_id"]: [
+            w
+            for w in re.split(r"[^a-z0-9가-힣]+", (r["text"] or "").lower())
+            if w
+        ]
+        for r in _docs(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    bigrams = Counter()
+    ctx = Counter()
+    vocab = set()
+    for toks in docs.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+            ctx[a] += 1
+    V = len(vocab)
+
+    checked = 0
+    for doc_id, toks in sorted(docs.items()):
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert doc_id not in got  # <2 tokens => absent by definition
+            continue
+        ll = sum(
+            math.log((bigrams[p] + 1) / (ctx[p[0]] + V)) for p in pairs
+        )
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert abs(r["avg_logp"] - ll / len(pairs)) < 1e-5
+        assert abs(r["perplexity"] - math.exp(-ll / len(pairs))) < 1e-4 * max(
+            1.0, r["perplexity"]
+        )
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 10

@@ -1424,3 +1424,122 @@ def fuzzy_pairs_from_vocab(vocab: DataFrame) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("word_a", "word_b") == 1)
+
+
+# ------------------------------------------------- n-gram LM perplexity
+
+LM_ADD_K = 1  # Laplace smoothing: (cab + 1) / (ctx + V) is pure-integer
+
+
+def _doc_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, a, b) adjacent-token pairs for every document — memoized
+    and persisted because the LM trains on it AND scores with it (two
+    consumers, one corpus-sized explode)."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir)
+        toks = d.select("doc_id", TX.word_tokens("text").alias("toks"))
+        return (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.filter(
+                        F.transform(
+                            "toks",
+                            lambda t, i: F.when(
+                                i < F.size("toks") - 1,
+                                F.struct(
+                                    t.alias("a"),
+                                    F.element_at("toks", i + 2).alias("b"),
+                                ),
+                            ),
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.a", "p.b")
+        )
+
+    return memo(spark, ("doc_bigram_pairs", sf_dir), build, persist=True)
+
+
+@register(
+    "ngram_lm_perplexity",
+    sql=f"""
+WITH t AS ({_SQL_WORD_TOKS}),
+pair AS (
+    SELECT doc_id,
+           split_part(bigram, ' ', 1) AS a,
+           split_part(bigram, ' ', 2) AS b
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t
+    )
+),
+bmodel AS (SELECT a, b, count(*) AS cab FROM pair GROUP BY a, b),
+ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bmodel GROUP BY a),
+vocab AS (
+    SELECT count(DISTINCT word) AS v
+    FROM (SELECT unnest(toks) AS word FROM t)
+),
+model AS (
+    SELECT m.a, m.b, ln((m.cab + {LM_ADD_K}) * 1.0 / (c.ca + vb.v)) AS logp
+    FROM bmodel m JOIN ctx c ON c.a = m.a CROSS JOIN vocab vb
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(md.logp) / count(*), 6) AS avg_logp,
+       round(exp(-sum(md.logp) / count(*)), 6) AS perplexity
+FROM pair p JOIN model md ON md.a = p.a AND md.b = p.b
+GROUP BY p.doc_id
+""",
+    tags=("text_analysis", "quality", "curation", "scale"),
+)
+def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality signal (the CCNet/Gopher curation pillar the
+    heuristic gate and the trained classifier don't cover): train a
+    Laplace-smoothed bigram LM on the corpus itself, then score each doc's
+    per-bigram average log-prob and perplexity. High perplexity = text
+    unlike the corpus (noise, wrong language, garbled encoding); docs with
+    fewer than 2 tokens emit no bigrams and are absent by definition.
+
+    Scale shape: the model is vocabulary-bounded — context totals and the
+    vocab scalar fold INTO the (a, b) model table (model-sized joins), so
+    per-pair log-probs are precomputed once and scoring is ONE shuffle
+    join of the memoized pair table against the model on its natural
+    (a, b) key plus a doc_id rollup. Laplace (+1) keeps every probability
+    a ratio of integers, so both engines compute ln() of identical
+    doubles; the only fp nondeterminism is the per-doc summation order,
+    absorbed by the 6-dp rounds."""
+    pairs = _doc_bigram_pairs(spark, sf_dir)
+    bmodel = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ctx = bmodel.groupBy("a").agg(F.sum("cab").alias("ca"))
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(F.explode(TX.word_tokens("text")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    model = (
+        bmodel.join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.log(
+                (F.col("cab") + F.lit(LM_ADD_K)) / (F.col("ca") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        pairs.join(model, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count("*"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.sum("logp") / F.count("*")), 6).alias("perplexity"),
+        )
+    )
