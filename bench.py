@@ -46,6 +46,7 @@ HEADLINE = (
     "bpe_encode",            # BPE merge training + vocab segmentation
     "quality_model_score",   # trained-gate scoring (broadcast weights)
     "semantic_dedup",        # SemDeDup: cluster-bucketed cosine dominance
+    "ngram_lm_perplexity",   # bigram-LM quality scoring (model-fold join)
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
