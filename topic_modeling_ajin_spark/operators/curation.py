@@ -582,3 +582,77 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# ------------------------------------------- end-to-end corpus manifest
+
+# the manifest composes four registered oracles verbatim (the
+# ivf_recall_eval pattern): one source of truth for each gate AND for
+# the end-to-end pipeline that chains them. The source modules are
+# imported EXPLICITLY so their registrations exist even when this module
+# is imported directly (e.g. by tests) rather than through load_all's
+# fixed order; none of them imports curation at module level, so no
+# cycle.
+from ..registry import REGISTRY as _REG  # noqa: E402
+from . import bpe as _bpe_mod  # noqa: E402,F401
+from . import dedup as _dedup_mod  # noqa: E402,F401
+from . import text_analysis as _ta_mod  # noqa: E402,F401
+
+
+@register(
+    "training_corpus_manifest",
+    sql=f"""
+WITH fr AS ({_REG["curation_filter_report"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+fp AS ({_REG["fingerprint_dedup"].sql}),
+mix AS ({_REG["mixture_sample"].sql}),
+bpec AS ({_REG["bpe_token_counts"].sql})
+SELECT fr.doc_id, fr.lang, fr.quality, bpec.n_bpe_tokens
+FROM fr
+JOIN fp ON fp.keeper = fr.doc_id
+JOIN mix ON mix.doc_id = fr.doc_id
+JOIN bpec ON bpec.doc_id = fr.doc_id
+LEFT JOIN ndd ON ndd.discard_doc_id = fr.doc_id
+WHERE fr.keep AND ndd.discard_doc_id IS NULL
+ORDER BY fr.doc_id
+""",
+    tags=("curation", "scale", "flagship"),
+)
+def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-set build as ONE query — the reason the
+    individual gates exist: a document ships iff it (1) passes the
+    Gopher/C4 rule stack, (2) is the exact-dedup keeper of its
+    fingerprint group, (3) is not a near-dup discard, and (4) survives
+    the temperature mixture sampling; the surviving rows carry the
+    trained-BPE token count that budgets sequence packing.
+
+    Every stage is an already-registered, individually exact-oracled
+    query (composed verbatim — the `ivf_recall_eval` pattern), so the
+    manifest adds only doc-keyed joins: the filter report and exact-dedup
+    keeper table are doc-sized and co-partition on doc_id under AQE, the
+    near-dup discard list is tiny (broadcast anti-join), and the BPE
+    count table is memoized from the packing path. At 100 TB this is the
+    one plan a data engineer actually runs; everything upstream of it is
+    its lineage."""
+    from .dedup import q_fingerprint_dedup, q_near_dup_discard
+    from .text_analysis import q_curation_filter_report
+
+    from .bpe import q_bpe_token_counts
+
+    fr = q_curation_filter_report(spark, sf_dir).filter(F.col("keep"))
+    keepers = q_fingerprint_dedup(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id")
+    )
+    discard = q_near_dup_discard(spark, sf_dir).select(
+        F.col("discard_doc_id").alias("doc_id")
+    )
+    mix = q_mixture_sample(spark, sf_dir).select("doc_id")
+    bpec = q_bpe_token_counts(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    return (
+        fr.select("doc_id", "lang", "quality")
+        .join(keepers, "doc_id")
+        .join(mix, "doc_id")
+        .join(F.broadcast(discard), "doc_id", "left_anti")
+        .join(bpec, "doc_id")
+        .orderBy("doc_id")
+    )
