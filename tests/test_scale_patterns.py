@@ -125,3 +125,32 @@ def test_plsa_fold_in_broadcasts_model(spark, sf_dir):
     # one broadcast of phi per fold-in round
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q11_plan_reuses_persisted_value_table(spark, sf_dir):
+    """q11's part-sized value table must feed BOTH crossJoin sides from the
+    persisted cache (ReuseExchange does not fire across them), and the
+    1-row threshold must enter as a broadcast — never a shuffled join."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    df = load_all()["q11_important_stock"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan
+    # lineitem must be scanned at most once (the persisted subtree);
+    # a second scan means the memo-persist regressed
+    assert plan.count("file:") <= plan.count("InMemoryTableScan") + 4
+
+
+def test_manifest_discard_side_broadcasts(spark, sf_dir):
+    """The near-dup discard list is tiny: the manifest's anti-join must
+    broadcast it, not shuffle the doc-sized survivor stream."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    df = load_all()["training_corpus_manifest"].fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    ), plan[:800]
