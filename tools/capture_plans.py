@@ -94,6 +94,21 @@ SELECTED = (
         "enters as `BroadcastNestedLoopJoin`.",
     ),
     (
+        "ngram_lm_perplexity",
+        "Bigram-LM scoring: context totals and the vocab scalar fold "
+        "INTO the vocabulary-bounded model table (model-sized joins, "
+        "vocab as a 1-row broadcast), so the corpus pays one shuffle "
+        "join of the persisted pair table against the model's natural "
+        "(a, b) key plus the doc_id rollup.",
+    ),
+    (
+        "training_corpus_manifest",
+        "End-to-end corpus build: every gate is a doc-keyed join "
+        "(co-partitioned under AQE); the tiny near-dup discard list "
+        "enters as a BROADCAST anti-join, so no survivor-stream shuffle "
+        "is spent on it.",
+    ),
+    (
         "cms_word_counts",
         "Count-min sketch: the corpus-sized aggregation is CONSTANT-width "
         "— map-side partial combine compresses every task to <= "
