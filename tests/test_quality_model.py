@@ -108,3 +108,34 @@ def test_eval_confusion_is_consistent(spark, sf_dir):
     # md5 80/10/10 split: held-out ~20% of the corpus
     total = row["n_train"] + row["n_heldout"]
     assert 0.1 <= row["n_heldout"] / total <= 0.3
+
+
+def test_score_expr_null_text_scores_as_empty(spark):
+    """NULL text must score exactly like '' (the kernel's (t or '')),
+    never NULL — a NULL score would silently drop the row at the
+    streaming gate's `score >= threshold` filter (r5 review)."""
+    import topic_modeling_ajin_spark.operators.quality_model as QM
+
+    w = [0.1] * QM.QM_DIM
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some ordinary text here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", QM.score_expr(w).alias("s")
+        ).collect()
+    }
+    assert rows[1] is not None
+    assert rows[1] == rows[2]
+    assert rows[3] is not None
+
+
+def test_score_expr_rejects_wrong_weight_count(spark):
+    import pytest
+
+    import topic_modeling_ajin_spark.operators.quality_model as QM
+
+    with pytest.raises(ValueError, match="QM_DIM"):
+        QM.score_expr([0.1] * (QM.QM_DIM - 4))

@@ -312,3 +312,24 @@ def test_xlsx_datasource_all_sheets_union(spark, tmp_path):
     assert rows[("a", "x")] == ("1", None)
     assert rows[("b", "z")] == (None, "9")
     assert len(rows) == 3
+
+
+def test_xlsx_datasource_rejects_duplicate_headers(spark, tmp_path):
+    """Duplicate header names fail at PLANNING with the read_xlsx
+    workaround named: Arrow refuses duplicate field names on the
+    DataSource read path, and name-keyed assembly would silently serve
+    the first column's values for both (r5 review). read_xlsx (positional)
+    still handles them."""
+    import pytest
+
+    from topic_modeling_ajin_spark.sources import XlsxDataSource
+    from topic_modeling_ajin_spark.sources.io import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "dup.xlsx")
+    write_xlsx({"s": [["x", "x"], ["1", "2"]]}, path)
+    spark.dataSource.register(XlsxDataSource)
+    with pytest.raises(Exception, match="duplicate header"):
+        spark.read.format("xlsx").load(path).collect()
+    drv = read_xlsx(spark, path)
+    assert drv.columns == ["x", "x"]
+    assert [tuple(r) for r in drv.collect()] == [("1", "2")]

@@ -54,7 +54,14 @@ def _get_encoder():
             # OSError/RuntimeError from native torch libs, and the
             # contract is "any environment that cannot actually encode
             # falls back to hash" — crashing every executor batch on a
-            # half-broken optional dependency is worse (r4 ADVICE)
+            # half-broken optional dependency is worse (r4 ADVICE).
+            # Known trade-off (r5 review): a TRANSIENT load failure on
+            # one executor (network/disk) stickies that worker to 16-dim
+            # hash vectors while healthy workers emit sbert vectors —
+            # mixed spaces in one column. Deployments that cannot accept
+            # that should bake the model into the image (load can then
+            # only fail deterministically) or pre-assert encoder_kind()
+            # on every executor before the job.
             _ENCODER = None
             _ENCODER_KIND = "hash"
     return _ENCODER, _ENCODER_KIND
@@ -203,6 +210,11 @@ def hash_embedding_expr(text_col, dim: int = ENCODER_DIM):
     from pyspark.sql import functions as F
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # NULL text = empty text, matching the kernel's (t or '') and the
+    # oracle's zero-densified grid — without the coalesce, NULL would
+    # propagate through the whole fold and a NULL score would silently
+    # drop the row at the streaming quality gate (r5 review)
+    c = F.coalesce(c, F.lit(""))
     # ASCII \s split of the lowered text — Java regex \s is ASCII-only,
     # matching the kernel's _WS_ASCII
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")

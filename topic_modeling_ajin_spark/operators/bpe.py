@@ -266,13 +266,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PACK_BUDGET = 1024  # BPE pieces per training sequence (pieces >> words
 # at 12 merges: most words stay near char-split, so the budget scales up)
 
-# shared doc->word CTE for the corpus-side oracles
-_SQL_DOC_WORDS = r"""
+# shared doc->word CTE for the corpus-side oracles — derived from the
+# ONE pinned tokenizer fragment (text_analysis._SQL_WORD_TOKS) so a
+# tokenizer change cannot silently leave the BPE oracles on an old split
+# (r5 review)
+from .text_analysis import _SQL_WORD_TOKS as _SQL_TOKS  # noqa: E402
+
+_SQL_DOC_WORDS = f"""
 dw AS (
-    SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(text),
-                 '[^a-z0-9가-힣]+'), w -> w <> '')) AS word
-    FROM documents
+    SELECT doc_id, unnest(toks) AS word
+    FROM ({_SQL_TOKS})
 )"""
 
 

@@ -607,7 +607,7 @@ ndd AS ({_REG["near_dup_discard"].sql}),
 fp AS ({_REG["fingerprint_dedup"].sql}),
 mix AS ({_REG["mixture_sample"].sql}),
 bpec AS ({_REG["bpe_token_counts"].sql})
-SELECT fr.doc_id, fr.lang, fr.quality, bpec.n_bpe_tokens
+SELECT fr.doc_id, mix.lang, fr.quality, bpec.n_bpe_tokens
 FROM fr
 JOIN fp ON fp.keeper = fr.doc_id
 JOIN mix ON mix.doc_id = fr.doc_id
@@ -646,13 +646,19 @@ def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     discard = q_near_dup_discard(spark, sf_dir).select(
         F.col("discard_doc_id").alias("doc_id")
     )
-    mix = q_mixture_sample(spark, sf_dir).select("doc_id")
+    # lang comes from the MIXTURE side: that is documents.lang, the very
+    # column the sampler's keep_rate keyed on — the filter report's lang
+    # is a heuristic PREDICTION, and reporting it here would make
+    # per-language manifest counts irreconcilable with mixture_plan's
+    # expected n_keep (r5 review)
+    mix = q_mixture_sample(spark, sf_dir).select("doc_id", "lang")
     bpec = q_bpe_token_counts(spark, sf_dir).select("doc_id", "n_bpe_tokens")
     return (
-        fr.select("doc_id", "lang", "quality")
+        fr.select("doc_id", "quality")
         .join(keepers, "doc_id")
         .join(mix, "doc_id")
         .join(F.broadcast(discard), "doc_id", "left_anti")
         .join(bpec, "doc_id")
+        .select("doc_id", "lang", "quality", "n_bpe_tokens")
         .orderBy("doc_id")
     )

@@ -779,9 +779,11 @@ def semantic_dedup(
     # array folds on the quadratic stage; numerically identical — cosine
     # is dot/(norm_a*norm_b) either way). Persisted: both pair sides and
     # the final output scan it.
+    # keyed WITHOUT tau: the cached table (cluster, norm, centroid
+    # cosine) is tau-independent, so every tau shares one persisted copy
     cc = memo(
         spark,
-        ("semdedup_cc", sf_dir, tau),
+        ("semdedup_cc", sf_dir),
         lambda: assigned.join(F.broadcast(cent), "cluster").select(
             "vec_id",
             "cluster",

@@ -92,7 +92,17 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def score_expr(weights: list, text_col: str = "text") -> F.Column:
     """sigmoid(w . feat(text)) rounded to 6 dp — the trained gate as a
     single broadcast-weights column expression (the shape that scores
-    100 TB, and that the streaming ingest gate applies per micro-batch)."""
+    100 TB, and that the streaming ingest gate applies per micro-batch).
+
+    The weight count is validated up front: zip_with NULL-pads a length
+    mismatch, which would make every score NULL and the streaming gate's
+    ``score >= threshold`` silently drop 100% of documents (r5 review)."""
+    if len(weights) != QM_DIM:
+        raise ValueError(
+            f"score_expr needs exactly QM_DIM={QM_DIM} weights, got "
+            f"{len(weights)} — a mismatched vector would NULL-pad through "
+            "zip_with and score every document NULL"
+        )
     w_lit = F.array(*[F.lit(float(v)) for v in weights])
     margin = F.aggregate(
         F.zip_with(feature_expr(text_col), w_lit, lambda x, wd: x * wd),

@@ -97,18 +97,31 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_stats(_docs(spark, sf_dir))
 
 
-def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+def quality_exprs(
+    text_col: str = "text", toks: Column | None = None
+) -> dict[str, Column]:
     """The raw quality-signal column expressions over a ``text`` column —
     the single definition every consumer (batch query, trained-model
-    features, streaming ingest gate) composes from."""
-    toks = TX.word_tokens(text_col)
+    features, streaming ingest gate) composes from.
+
+    NULL text is treated as empty (crawls deliver NULLs; without the
+    coalesce, NULL would ride through size()/length() into a NULL
+    quality/feature/score that silently drops the row at the streaming
+    gate — r5 review).
+
+    ``toks`` lets a caller that has already staged the token array (the
+    curation filter report shares it with the repetition grams) reuse it
+    instead of re-deriving — the FORMULAS still live only here."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    if toks is None:
+        toks = TX.word_tokens(txt)
     n_tokens = F.size(toks)
     stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_lit, w)))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    kept = F.length(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9가-힣 ]", ""))
+    kept = F.length(F.regexp_replace(F.lower(txt), r"[^a-z0-9가-힣 ]", ""))
     punct_ratio = F.when(
-        F.length(text_col) > 0, (F.length(text_col) - kept) / F.length(text_col)
+        F.length(txt) > 0, (F.length(txt) - kept) / F.length(txt)
     ).otherwise(0.0)
     quality = (
         0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
@@ -737,28 +750,24 @@ def q_curation_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         H.token_ngrams(F.col("toks"), REPETITION_NGRAM).alias("grams"),
     )
-    n_tokens = F.size("toks")
     n_grams = F.size("grams")
     n_uniq = F.size(F.array_distinct("grams"))
     dup = F.when(n_grams > 0, (n_grams - n_uniq) * 1.0 / n_grams).otherwise(0.0)
-    stop_lit = F.array(*[F.lit(s) for s in TX.ENGLISH_STOPWORDS])
-    n_stop = F.size(F.filter(F.col("toks"), lambda w: F.array_contains(stop_lit, w)))
-    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    kept_chars = F.length(
-        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9가-힣 ]", "")
+    # the length/stopword/punct/quality formulas come from quality_exprs
+    # — ONE definition shared with the heuristic query, the trained
+    # model's features, and the streaming gate (r5 review); the staged
+    # token array is passed in so the scan stays single-pass
+    e = quality_exprs("text", toks=F.col("toks"))
+    n_tokens, stop_ratio, punct_ratio, quality = (
+        e["n_tokens"],
+        e["stop_ratio"],
+        e["punct_ratio"],
+        e["quality"],
     )
-    punct_ratio = F.when(
-        F.length("text") > 0, (F.length("text") - kept_chars) / F.length("text")
-    ).otherwise(0.0)
     hangul = F.length(F.regexp_replace(F.col("text"), r"[^가-힣]", ""))
     hangul_ratio = F.when(
         F.length("text") > 0, hangul / F.length("text")
     ).otherwise(0.0)
-    quality = (
-        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-        + 0.25 * F.least(stop_ratio * 5, F.lit(1.0))
-        + 0.25 * (1.0 - punct_ratio)
-    )
     predicted = (
         F.when(hangul_ratio > 0.3, "ko")
         .when(stop_ratio >= 0.05, "en")

@@ -316,9 +316,18 @@ def _xlsx_sheets(z) -> list[tuple[str, str]]:
             raise KeyError("no sheets")
         return out
     except (KeyError, IndexError, StopIteration, ET.ParseError):
+        import re
+
+        def sheet_no(name: str) -> tuple[int, str]:
+            # numeric sort, NOT lexicographic: sheet10.xml must follow
+            # sheet9.xml, or `sheet=2` on a rels-less 10+-sheet workbook
+            # would resolve sheet10.xml (r5 review)
+            m2 = re.search(r"sheet(\d+)\.xml$", name)
+            return (int(m2.group(1)) if m2 else 1 << 30, name)
+
         return [
             (n.rsplit("/", 1)[-1].removesuffix(".xml"), n)
-            for n in sorted(z.namelist())
+            for n in sorted(z.namelist(), key=sheet_no)
             if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
         ]
 

@@ -54,8 +54,12 @@ class XlsxDataSource(DataSource):
         return path
 
     def schema(self) -> StructType:
-        # driver-side peek: workbook metadata + headers only decide the
-        # schema; row data is parsed executor-side in the reader
+        # driver-side planning parse: the union-over-ALL-rows column rule
+        # (a data cell under a blank header must surface) means schema
+        # inference walks every row once on the driver; executors then
+        # re-parse only their own sheet. Acceptable for the human-sized
+        # workbooks xlsx is for — pass an explicit .schema(...) to skip
+        # the planning parse entirely
         with zipfile.ZipFile(self._path()) as z:
             if self.options.get("sheets", "").lower() == "all":
                 fields = [StructField(_SHEET_COL, StringType())]
@@ -70,6 +74,18 @@ class XlsxDataSource(DataSource):
             names = _sheet_schema_names(z, _resolve_sheet_part(z, sheet))
             if not names:
                 raise ValueError(f"empty worksheet in {self._path()}")
+            if len(set(names)) != len(names):
+                # Arrow refuses duplicate field names on the DataSource
+                # read path (batch/schema mismatch at VectorLoader), and
+                # name-keyed row assembly would silently serve the first
+                # column's values for every duplicate — fail at PLANNING
+                # with the workaround named (r5 review)
+                raise ValueError(
+                    f"duplicate header names {sorted(names)} in "
+                    f"{self._path()} — rename the columns, or use "
+                    "sources.io.read_xlsx (positional, supports "
+                    "duplicate headers)"
+                )
             return StructType([StructField(n, StringType()) for n in names])
 
     def reader(self, schema: StructType) -> "XlsxReader":
@@ -100,9 +116,21 @@ class XlsxReader(DataSourceReader):
             return
         header, data = rows[0], rows[1:]
         cols, names = _xlsx_columns(header, data)
+        if not self.all_sheets and names == self.field_names:
+            # single-sheet: the schema was built positionally from this
+            # very sheet, so align by POSITION — name-keyed mapping would
+            # collapse duplicate headers onto the first column and
+            # diverge from read_xlsx (r5 review)
+            for r in data:
+                yield tuple(r.get(c) for c in cols)
+            return
+        # sheets=all (or a sheet whose shape changed since planning):
+        # align by header name; within one sheet a duplicated header
+        # serves its FIRST column (the union schema has one field per
+        # name by construction)
         by_name: dict[str, str] = {}
         for col, name in zip(cols, names):
-            by_name.setdefault(name, col)  # first letter wins on dup headers
+            by_name.setdefault(name, col)
         want = self.field_names
         for r in data:
             out = []
