@@ -123,3 +123,23 @@ def test_hash_embedding_expr_bit_identical_to_kernel(spark, sf_dir):
     expected = hash_embed_texts([r["text"] for r in rows])
     for r, e in zip(rows, expected):
         assert list(got[r["doc_id"]]) == list(e), r["doc_id"]
+
+
+def test_hash_embedding_expr_null_text_equals_kernel_empty(spark):
+    """NULL text through the pure expression must equal the kernel's
+    (t or '') zero vector — not a NULL embedding (r5 review)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+        hash_embedding_expr,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "")], "id long, text string")
+    rows = {
+        r["id"]: r["e"]
+        for r in df.select("id", hash_embedding_expr("text").alias("e")).collect()
+    }
+    kernel = hash_embed_texts([""])[0]
+    assert rows[1] is not None
+    assert list(rows[1]) == list(rows[2]) == [float(x) for x in kernel]

@@ -333,3 +333,33 @@ def test_xlsx_datasource_rejects_duplicate_headers(spark, tmp_path):
     drv = read_xlsx(spark, path)
     assert drv.columns == ["x", "x"]
     assert [tuple(r) for r in drv.collect()] == [("1", "2")]
+
+
+def test_xlsx_rels_less_fallback_sheet_order(spark, tmp_path):
+    """A minimal xlsx with NO workbook rels and 11 sheets: sheet indexing
+    must be numeric (sheet2 is the second sheet), not lexicographic
+    (which would resolve sheet10) (r5 review)."""
+    import zipfile
+
+    from topic_modeling_ajin_spark.sources.io import read_xlsx
+
+    path = str(tmp_path / "norels.xlsx")
+    sheet_xml = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>col</t></is></c></row>'
+        '<row r="2"><c r="A1" t="inlineStr"><is><t>{v}</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        for i in range(1, 12):
+            z.writestr(
+                f"xl/worksheets/sheet{i}.xml", sheet_xml.replace("{v}", f"s{i}")
+            )
+    s2 = read_xlsx(spark, path, sheet=2)
+    (r,) = s2.collect()
+    assert r["col"] == "s2"
+    s11 = read_xlsx(spark, path, sheet=11)
+    (r11,) = s11.collect()
+    assert r11["col"] == "s11"
