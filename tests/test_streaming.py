@@ -491,7 +491,10 @@ def test_streaming_ingest_quality_gate_matches_batch_twin(spark, tmp_path):
     schema = "doc_id long, text string"
     staging = str(tmp_path / "in")
     batch_a = spark.createDataFrame(
-        [(1, long_text), (2, "too short"), (3, long_text)], schema
+        # doc 4: NULL text — must be SCORED like empty text (sigmoid(-1)
+        # ≈ 0.27, below the gate) rather than silently NULL-dropped; the
+        # batch twin must agree on it (r5 review)
+        [(1, long_text), (2, "too short"), (3, long_text), (4, None)], schema
     )
     batch_b = spark.createDataFrame(
         [(10, long_text),        # cross-batch dup of kept doc 1 -> dropped
