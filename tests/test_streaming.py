@@ -575,3 +575,66 @@ def test_streaming_ingest_quality_gate_crash_replay_idempotent(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1]  # gate dropped doc 2; replay kept doc 1
     assert spark.read.parquet(store).count() == 1
+
+
+def test_streaming_ingest_store_crashed_first_write_self_heals(spark, tmp_path):
+    """A first-batch store write that died BEFORE its commit leaves only
+    batch=0/_temporary behind. The store probe must treat that as an
+    EMPTY store (no committed batch= data files) so the replay's
+    idempotent overwrite self-heals — not read the dir and wedge every
+    replay on 'unable to infer schema' (r5 advice)."""
+    import os
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "self heal doc one"), (2, "self heal doc two")], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    # the crash artifact: a batch dir holding only the committer's temp dir
+    os.makedirs(f"{store}/batch=0/_temporary/0", exist_ok=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark, stream, store, out, str(tmp_path / "ck")
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]
+    assert spark.read.parquet(store).count() == 2
+
+
+def test_streaming_ingest_store_foreign_layout_fails_loudly(spark, tmp_path):
+    """A store path that exists but holds non-partition entries (legacy
+    flat layout, or simply the wrong directory) must raise — silently
+    treating it as empty would re-admit every previously seen document."""
+    import pytest as _pytest
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    docs = spark.createDataFrame([(1, "foreign layout doc")], schema)
+    docs.coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    # legacy flat store: fingerprints at the root, no batch= partitions
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+
+    docs.select(
+        H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+    ).write.mode("overwrite").parquet(store)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _pytest.raises(Exception, match="batch="):
+        ST.run_streaming_ingest_dedup(
+            spark, stream, store, str(tmp_path / "corpus"), str(tmp_path / "ck")
+        )

@@ -49,21 +49,34 @@ def _get_encoder():
 
             _ENCODER = SentenceTransformer(ENCODER_MODEL)
             _ENCODER_KIND = "sbert"
-        except Exception:
-            # Exception, not just ImportError: a degraded install raises
-            # OSError/RuntimeError from native torch libs, and the
-            # contract is "any environment that cannot actually encode
-            # falls back to hash" — crashing every executor batch on a
-            # half-broken optional dependency is worse (r4 ADVICE).
-            # Known trade-off (r5 review): a TRANSIENT load failure on
-            # one executor (network/disk) stickies that worker to 16-dim
-            # hash vectors while healthy workers emit sbert vectors —
-            # mixed spaces in one column. Deployments that cannot accept
-            # that should bake the model into the image (load can then
-            # only fail deterministically) or pre-assert encoder_kind()
-            # on every executor before the job.
+        except ImportError:
+            # package genuinely absent — deterministic per environment, so
+            # the fallback is safe to CACHE: every worker answers 'hash'
+            # and the output column is one consistent embedding space.
             _ENCODER = None
             _ENCODER_KIND = "hash"
+        except Exception as e:  # noqa: BLE001
+            # package present but the MODEL LOAD failed (network/disk/
+            # native-lib hiccup). Unlike ImportError this can be
+            # TRANSIENT and per-worker: caching 'hash' here would sticky
+            # this worker to 16-dim hash vectors while healthy workers
+            # emit 384-dim sbert vectors — silently mixing embedding
+            # spaces in one column (r5 advice). So: fall back for THIS
+            # batch only (don't cache → next batch retries the load) and
+            # warn loudly to the executor log so the mixed-space risk is
+            # detectable instead of silent.
+            import sys
+
+            print(
+                "topic_modeling_ajin_spark.encoder: sentence_transformers "
+                f"is installed but the model load failed ({type(e).__name__}: "
+                f"{e}); falling back to hash embeddings for this batch and "
+                "retrying on the next. If any batch succeeded elsewhere, "
+                "this job's embedding column MIXES spaces — re-run it.",
+                file=sys.stderr,
+                flush=True,
+            )
+            return None, "hash"
     return _ENCODER, _ENCODER_KIND
 
 

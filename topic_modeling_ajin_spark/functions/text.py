@@ -74,8 +74,14 @@ def tokens(col: Column | str) -> Column:
 def word_tokens(col: Column | str) -> Column:
     """BPE-ish word tokenize: split on any non-alphanumeric run. The scale
     analogue of the reference's regex fallback tokenizer
-    (``preprocessing.py:266-277``) for non-Korean corpora."""
+    (``preprocessing.py:266-277``) for non-Korean corpora.
+
+    NULL text tokenizes to the EMPTY array, not NULL — crawls deliver
+    NULLs, and the quality/curation consumers treat a NULL document as an
+    empty one (the oracle SQL ``_SQL_WORD_TOKS`` coalesces identically, so
+    the cross-engine contract holds on NULL inputs too — r5 advice)."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
     return F.array_remove(F.split(F.lower(c), r"[^a-z0-9가-힣]+"), "")
 
 

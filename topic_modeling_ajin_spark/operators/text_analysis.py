@@ -23,10 +23,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.ENGLISH_STOPWORDS) + "]"
 
-# word tokens: split on non-alnum runs (shared SQL fragment)
+# word tokens: split on non-alnum runs (shared SQL fragment).
+# NULL text is coalesced to '' BOTH for the token array and the forwarded
+# text column, so every length(text)/toks consumer treats a NULL document
+# as an empty one — matching the Spark side (TX.word_tokens coalesces, and
+# quality_exprs coalesces its text) on exactly the input class crawls
+# deliver (r5 advice: without this, DuckDB's NULL-ignoring least() scored
+# a NULL-text doc 0.75 while Spark scored 0.25).
 _SQL_WORD_TOKS = r"""
-SELECT doc_id, lang, n_chars, text,
-       list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+SELECT doc_id, lang, n_chars, coalesce(text, '') AS text,
+       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
 FROM documents
 """
 

@@ -521,12 +521,52 @@ def run_streaming_ingest_dedup(
         jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
-            store = (
-                spark.read.option("basePath", store_dir)
-                .parquet(store_dir)
-                .filter(F.col("batch") < F.lit(batch_id))
-                .select("fingerprint")
-            )
+            # existence alone is not enough: a write that died BEFORE its
+            # commit leaves only a _temporary dir behind, and reading that
+            # fails ("unable to infer schema") on every replay — wedging
+            # the stream permanently (r5 advice). A committed batch always
+            # materializes a batch=<id> partition dir, so: batch= children
+            # → real store; only _temporary/_SUCCESS droppings → empty
+            # store (the idempotent overwrite self-heals); anything else
+            # → malformed/legacy layout, fail loudly.
+            # a crashed write leaves batch=<id>/_temporary/... with no
+            # data files, so the batch= dir alone doesn't prove a commit —
+            # a batch counts as committed only if it holds at least one
+            # data file (committers write part-* then _SUCCESS; _temporary
+            # never holds committed parts at this level). The listing is
+            # one RPC per batch dir — store partition count, not data size.
+            statuses = list(fs.listStatus(jpath))
+            children = [s.getPath().getName() for s in statuses]
+            committed = [
+                s.getPath().getName()
+                for s in statuses
+                if s.getPath().getName().startswith("batch=")
+                and s.isDirectory()
+                and any(
+                    not f.getPath().getName().startswith(("_", "."))
+                    for f in fs.listStatus(s.getPath())
+                )
+            ]
+            stray = [
+                c for c in children if not c.startswith(("batch=", "_", "."))
+            ]
+            if stray:
+                raise ValueError(
+                    f"fingerprint store at {store_dir} exists but holds "
+                    f"non-partition entries {stray[:5]} instead of batch=* "
+                    "dirs — legacy or foreign layout; refusing to treat it "
+                    "as empty (that would silently re-admit every "
+                    "previously seen document)"
+                )
+            if committed:
+                store = (
+                    spark.read.option("basePath", store_dir)
+                    .parquet(store_dir)
+                    .filter(F.col("batch") < F.lit(batch_id))
+                    .select("fingerprint")
+                )
+            else:
+                store = None
         else:
             store = None
         if store is not None:
