@@ -79,3 +79,54 @@ def test_semdedup_matches_bruteforce_and_never_crosses_clusters(spark, sf_dir):
             and (-prio[u][0], prio[u][1]) < (-prio[v][0], prio[v][1])
         ]
         assert partners, f"dropped vec {v} has no same-cluster dominator"
+
+
+def test_semdedup_default_k_is_sqrt_n(spark, sf_dir):
+    """Operator default (k=None) derives k = sqrt(N) from one count over
+    the persisted points table (r5 verdict: fixed k=10 makes the pair
+    stage O(N^2/10) at 100x data). Verified structurally: every emitted
+    cluster id is one of the sqrt(N) Lloyd seeds, and with k > 10 the fit
+    genuinely differs from the pinned registered configuration."""
+    import math
+
+    from topic_modeling_ajin_spark.operators.clustering import _points
+    from topic_modeling_ajin_spark.operators.dedup import (
+        semantic_dedup,
+        semdedup_default_k,
+    )
+
+    n = _points(spark, sf_dir).count()
+    want_k = semdedup_default_k(n)
+    assert want_k == max(2, math.isqrt(n)) > 10
+
+    out = semantic_dedup(spark, sf_dir)  # k=None -> sqrt(N)
+    clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+    # seeds are the first-k vec_ids, so ids live in [0, want_k)
+    assert clusters <= set(range(want_k))
+    assert len(clusters) > 10  # finer than the pinned k=10 fit
+
+
+def test_semdedup_hot_cluster_refuses_loudly(spark, tmp_path):
+    """A degenerate corpus (every embedding identical) lands in ONE Lloyd
+    cluster; the quadratic stage must refuse with the per-cluster pair
+    budget named — BEFORE the pair join runs — rather than silently
+    detonating at scale."""
+    import pytest
+
+    from topic_modeling_ajin_spark.operators.dedup import semantic_dedup
+
+    d = str(tmp_path / "skew")
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    with pytest.raises(ValueError, match="max_pairs_per_cluster"):
+        semantic_dedup(spark, d, k=6, max_pairs_per_cluster=100)
+
+    # the same corpus passes once the budget admits the 40-member bucket
+    out = semantic_dedup(spark, d, k=6, max_pairs_per_cluster=40 * 39)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    # identical vectors: cosine 1.0 > tau, centroid-cosine ties everywhere
+    # -> the lowest vec_id survives, everything else is dropped
+    assert got[0] == 1 and sum(got.values()) == 1

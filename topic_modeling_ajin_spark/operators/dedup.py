@@ -740,9 +740,33 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate edges. The operator takes tau as a parameter.
 SEMDEDUP_TAU = 0.35
 
+# Per-cluster candidate-pair budget for the quadratic within-cluster
+# stage. k ~ sqrt(N) keeps E[n_b] ~ sqrt(N) so E[n_b^2] ~ N — linear total
+# work — but k-means makes no per-bucket guarantee on skewed data, so the
+# bound is ENFORCED, not assumed: a cluster whose pair count exceeds the
+# budget refuses loudly (the TextRank-guard pattern) and names the fixes.
+# A salted sub-split is NOT a fix here: splitting a similarity bucket
+# drops cross-shard pairs, silently under-deduplicating — the honest
+# scale levers are a larger k (finer buckets) or a within-cluster
+# pre-bucketing by sign-LSH (embedding_near_dup), both semantics-visible.
+SEMDEDUP_MAX_PAIRS_PER_CLUSTER = 4_000_000
+
+
+def semdedup_default_k(n: int) -> int:
+    """sqrt(N) bucket count (at least 2): E[bucket] = sqrt(N), so the
+    within-cluster quadratic stage totals O(N) expected pair work."""
+    import math
+
+    return max(2, math.isqrt(max(n, 0)))
+
 
 def semantic_dedup(
-    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = SEMDEDUP_TAU,
+    k: int | None = None,
+    iters: int | None = None,
+    max_pairs_per_cluster: int = SEMDEDUP_MAX_PAIRS_PER_CLUSTER,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): embedding-space near-dup
@@ -764,11 +788,38 @@ def semantic_dedup(
     Returns (vec_id, cluster, cent_cos, kept). Reference: the reference
     repo dedups on raw text only (``preprocessing.py:344-346``); this is
     the embedding-space completion of that ladder.
+
+    ``k`` defaults to sqrt(N) (one count over the persisted points table
+    — r5 verdict: a FIXED k makes the pair stage O(N^2/k) at 100x data);
+    the registered query pins k for its static DuckDB oracle. Before the
+    quadratic stage runs, per-cluster sizes (a k-row aggregate) are
+    checked against ``max_pairs_per_cluster`` — a hot cluster fails
+    loudly instead of detonating the pair join.
     """
     from ..functions import vectors as V
-    from .clustering import lloyd_fit
+    from .clustering import LLOYD_ITERS, _points, lloyd_fit
 
-    assigned, centroids = lloyd_fit(spark, sf_dir)
+    if iters is None:
+        iters = LLOYD_ITERS
+    if k is None:
+        k = semdedup_default_k(_points(spark, sf_dir).count())
+    assigned, centroids = lloyd_fit(spark, sf_dir, k=k, iters=iters)
+    # hot-cluster guard: sizes are a k-row aggregate over the assignment
+    # (map-side combined, model-sized collect — the TextRank discipline:
+    # count BEFORE the quadratic stage, never after it detonates)
+    worst = assigned.groupBy("cluster").count().agg(
+        F.max("count").alias("mx")
+    ).collect()[0]["mx"] or 0
+    if worst * (worst - 1) > max_pairs_per_cluster:
+        raise ValueError(
+            f"semantic_dedup: largest cluster has {worst} members -> "
+            f"{worst * (worst - 1)} candidate pairs, over the per-cluster "
+            f"budget max_pairs_per_cluster={max_pairs_per_cluster}. Raise "
+            "k (finer coarse buckets; default is sqrt(N)), pre-bucket the "
+            "hot cluster with sign-LSH (embedding_near_dup) before the "
+            "cosine test, or raise the budget if the executors can hold "
+            "the pair join."
+        )
     cent = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cluster long, cvec array<double>",
@@ -783,7 +834,7 @@ def semantic_dedup(
     # cosine) is tau-independent, so every tau shares one persisted copy
     cc = memo(
         spark,
-        ("semdedup_cc", sf_dir),
+        ("semdedup_cc", sf_dir, k, iters),
         lambda: assigned.join(F.broadcast(cent), "cluster").select(
             "vec_id",
             "cluster",
@@ -879,5 +930,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster of the deterministic Lloyd fit, drop every vector dominated
     by a closer-to-centroid semantic duplicate. DuckDB replays the whole
     chain — k-means training included — and the per-vector kept/dropped
-    decisions must hash-match."""
-    return semantic_dedup(spark, sf_dir)
+    decisions must hash-match. k/iters are PINNED here (the static oracle
+    unrolls exactly this fit); the operator itself defaults k to
+    sqrt(N)."""
+    from .clustering import LLOYD_ITERS, LLOYD_K
+
+    return semantic_dedup(spark, sf_dir, k=LLOYD_K, iters=LLOYD_ITERS)
