@@ -140,3 +140,68 @@ def test_mixture_sample_matches_plan_counts(spark, sf_dir):
         .collect()
     }
     assert again == sampled
+
+
+def test_manifest_ships_only_semdedup_keepers(spark, sf_dir):
+    """r5 verdict task 1 pin: every shipped doc_id must be kept=1 in
+    semantic_dedup — the manifest may not ship a paraphrase duplicate —
+    and the gate must actually bite (at least one doc that passes every
+    OTHER gate is dropped by the semantic one)."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_training_corpus_manifest,
+    )
+    from topic_modeling_ajin_spark.operators.dedup import q_semantic_dedup
+
+    sem = {
+        r["vec_id"]: r["kept"]
+        for r in q_semantic_dedup(spark, sf_dir).collect()
+    }
+    shipped = [
+        r["doc_id"] for r in q_training_corpus_manifest(spark, sf_dir).collect()
+    ]
+    assert shipped and all(sem[d] == 1 for d in shipped)
+
+
+def test_strict_manifest_is_boilerplate_free_subset(spark, sf_dir):
+    """The strict variant = base manifest minus doc_boilerplate-flagged
+    docs, nothing else."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_doc_boilerplate,
+        q_training_corpus_manifest,
+        q_training_corpus_manifest_strict,
+    )
+
+    base = {r["doc_id"] for r in q_training_corpus_manifest(spark, sf_dir).collect()}
+    strict = {
+        r["doc_id"]
+        for r in q_training_corpus_manifest_strict(spark, sf_dir).collect()
+    }
+    flagged = {
+        r["doc_id"]
+        for r in q_doc_boilerplate(spark, sf_dir).filter("flagged").collect()
+    }
+    assert strict == base - flagged
+
+
+def test_doc_boilerplate_counts_match_chunk_table(spark, sf_dir):
+    """shared_ratio is n_shared/n_chunks over the memoized chunk table;
+    n_shared counts occurrences of cross-document chunks."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        _doc_chunk_hashes,
+        q_chunk_dedup,
+        q_doc_boilerplate,
+    )
+
+    ch = _doc_chunk_hashes(spark, sf_dir).collect()
+    off = {r["chunk_md5"] for r in q_chunk_dedup(spark, sf_dir).collect()}
+    want_chunks: dict[int, int] = {}
+    want_shared: dict[int, int] = {}
+    for r in ch:
+        want_chunks[r["doc_id"]] = want_chunks.get(r["doc_id"], 0) + 1
+        if r["chunk_md5"] in off:
+            want_shared[r["doc_id"]] = want_shared.get(r["doc_id"], 0) + 1
+    got = q_doc_boilerplate(spark, sf_dir).collect()
+    assert {r["doc_id"]: r["n_chunks"] for r in got} == want_chunks
+    assert {r["doc_id"]: r["n_shared"] for r in got} == {
+        d: want_shared.get(d, 0) for d in want_chunks
+    }

@@ -528,6 +528,33 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_chunk_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_md5) for every {CHUNK_SIZE}-token stride-{CHUNK_STRIDE}
+    window — the long-form chunk table chunk_dedup, doc_boilerplate, and
+    the strict manifest all aggregate. Memoized+persisted: the chunk text
+    is hashed exactly once per document per session."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir).select(
+            "doc_id", TX.word_tokens("text").alias("toks")
+        ).filter(F.size("toks") > 0)
+        starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda s: F.md5(
+                        F.array_join(F.slice("toks", s + 1, CHUNK_SIZE), " ")
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+
+    return memo(spark, ("doc_chunk_hashes", sf_dir), build, persist=True)
+
+
 @register(
     "chunk_dedup",
     sql=f"""
@@ -559,23 +586,8 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer never reach 0.8 Jaccard). The shuffle key is the 16-byte chunk
     md5 — chunk text never moves — and the HAVING prunes to the
     cross-document offenders a cleaner would strip."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", TX.word_tokens("text").alias("toks")
-    ).filter(F.size("toks") > 0)
-    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
-    ch = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.md5(
-                    F.array_join(F.slice("toks", s + 1, CHUNK_SIZE), " ")
-                ),
-            )
-        ).alias("chunk_md5"),
-    )
     return (
-        ch.groupBy("chunk_md5")
+        _doc_chunk_hashes(spark, sf_dir).groupBy("chunk_md5")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
@@ -599,6 +611,72 @@ from . import bpe as _bpe_mod  # noqa: E402,F401
 from . import dedup as _dedup_mod  # noqa: E402,F401
 from . import text_analysis as _ta_mod  # noqa: E402,F401
 
+# ------------------------------------------- doc-level boilerplate gate
+
+# a document is boilerplate-dominated when MORE than this share of its
+# chunks recur verbatim in other documents (navigation bars, footers,
+# license blocks) — the doc-level decision chunk_dedup's chunk-level
+# offender list feeds
+BOILERPLATE_MAX_RATIO = 0.5
+
+
+@register(
+    "doc_boilerplate",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+nz AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
+st AS (
+    SELECT doc_id, toks, unnest(generate_series(0, length(toks) - 1, {CHUNK_STRIDE})) AS s
+    FROM nz
+),
+ch AS (
+    SELECT doc_id,
+           md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_SIZE}), ' ')) AS chunk_md5
+    FROM st
+),
+off AS ({_REG["chunk_dedup"].sql})
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN o.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN o.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS shared_ratio,
+       CASE WHEN sum(CASE WHEN o.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) > {BOILERPLATE_MAX_RATIO}
+            THEN true ELSE false END AS flagged
+FROM ch c LEFT JOIN off o ON o.chunk_md5 = c.chunk_md5
+GROUP BY c.doc_id
+""",
+    tags=("curation", "dedup", "scale"),
+)
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level boilerplate verdict: the share of a document's chunks
+    that appear verbatim in OTHER documents (``chunk_dedup``'s offender
+    list, composed verbatim), flagged above {BOILERPLATE_MAX_RATIO}. Two
+    aggregations over the memoized chunk table — the offender set is
+    vocabulary-of-chunks sized and joins back on the 16-byte md5 key, so
+    chunk text never shuffles. This is the doc-granularity decision the
+    strict manifest gates on; a finer cleaner would instead STRIP the
+    offending chunks (``chunk_documents`` + anti-join on the same key)."""
+    ch = _doc_chunk_hashes(spark, sf_dir)
+    off = q_chunk_dedup(spark, sf_dir).select("chunk_md5", F.lit(1).alias("hit"))
+    n_shared = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    per = (
+        ch.join(off, "chunk_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            n_shared.cast("bigint").alias("n_shared"),
+        )
+    )
+    ratio = F.col("n_shared") / F.col("n_chunks")
+    return per.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared",
+        F.round(ratio, 6).alias("shared_ratio"),
+        (ratio > BOILERPLATE_MAX_RATIO).alias("flagged"),
+    )
+
 
 @register(
     "training_corpus_manifest",
@@ -607,12 +685,14 @@ WITH fr AS ({_REG["curation_filter_report"].sql}),
 ndd AS ({_REG["near_dup_discard"].sql}),
 fp AS ({_REG["fingerprint_dedup"].sql}),
 mix AS ({_REG["mixture_sample"].sql}),
-bpec AS ({_REG["bpe_token_counts"].sql})
+bpec AS ({_REG["bpe_token_counts"].sql}),
+sem AS (SELECT vec_id FROM ({_REG["semantic_dedup"].sql}) WHERE kept = 1)
 SELECT fr.doc_id, mix.lang, fr.quality, bpec.n_bpe_tokens
 FROM fr
 JOIN fp ON fp.keeper = fr.doc_id
 JOIN mix ON mix.doc_id = fr.doc_id
 JOIN bpec ON bpec.doc_id = fr.doc_id
+JOIN sem ON sem.vec_id = fr.doc_id
 LEFT JOIN ndd ON ndd.discard_doc_id = fr.doc_id
 WHERE fr.keep AND ndd.discard_doc_id IS NULL
 ORDER BY fr.doc_id
@@ -623,19 +703,31 @@ def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-set build as ONE query — the reason the
     individual gates exist: a document ships iff it (1) passes the
     Gopher/C4 rule stack, (2) is the exact-dedup keeper of its
-    fingerprint group, (3) is not a near-dup discard, and (4) survives
-    the temperature mixture sampling; the surviving rows carry the
-    trained-BPE token count that budgets sequence packing.
+    fingerprint group, (3) is not a near-dup discard, (4) survives
+    SemDeDup (r5 verdict: without the semantic gate the capstone shipped
+    exactly the paraphrase duplicates ``semantic_dedup`` was built to
+    stop), and (5) survives the temperature mixture sampling; the
+    surviving rows carry the trained-BPE token count that budgets
+    sequence packing.
 
     Every stage is an already-registered, individually exact-oracled
     query (composed verbatim — the `ivf_recall_eval` pattern), so the
-    manifest adds only doc-keyed joins: the filter report and exact-dedup
-    keeper table are doc-sized and co-partition on doc_id under AQE, the
-    near-dup discard list is tiny (broadcast anti-join), and the BPE
-    count table is memoized from the packing path. At 100 TB this is the
-    one plan a data engineer actually runs; everything upstream of it is
-    its lineage."""
-    from .dedup import q_fingerprint_dedup, q_near_dup_discard
+    manifest adds only doc-keyed joins: the filter report, exact-dedup
+    keeper table, and SemDeDup keep set are doc-sized and co-partition on
+    doc_id under AQE, the near-dup discard list is tiny (broadcast
+    anti-join), and the BPE count table is memoized from the packing
+    path. At 100 TB this is the one plan a data engineer actually runs;
+    everything upstream of it is its lineage (or is materialized per
+    stage by ``run_curation_pipeline``)."""
+    return _manifest(spark, sf_dir, strict=False)
+
+
+def _manifest(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
+    from .dedup import (
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+        q_semantic_dedup,
+    )
     from .text_analysis import q_curation_filter_report
 
     from .bpe import q_bpe_token_counts
@@ -654,12 +746,52 @@ def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expected n_keep (r5 review)
     mix = q_mixture_sample(spark, sf_dir).select("doc_id", "lang")
     bpec = q_bpe_token_counts(spark, sf_dir).select("doc_id", "n_bpe_tokens")
-    return (
+    # vec_id IS doc_id for the synthetic corpus (topics.py:39 precedent)
+    sem = (
+        q_semantic_dedup(spark, sf_dir)
+        .filter(F.col("kept") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    out = (
         fr.select("doc_id", "quality")
         .join(keepers, "doc_id")
         .join(mix, "doc_id")
         .join(F.broadcast(discard), "doc_id", "left_anti")
+        .join(sem, "doc_id")
         .join(bpec, "doc_id")
-        .select("doc_id", "lang", "quality", "n_bpe_tokens")
-        .orderBy("doc_id")
     )
+    if strict:
+        flagged = (
+            q_doc_boilerplate(spark, sf_dir)
+            .filter(F.col("flagged"))
+            .select("doc_id")
+        )
+        out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return out.select("doc_id", "lang", "quality", "n_bpe_tokens").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "training_corpus_manifest_strict",
+    sql=f"""
+WITH base AS ({_REG["training_corpus_manifest"].sql}),
+bp AS ({_REG["doc_boilerplate"].sql})
+SELECT base.doc_id, base.lang, base.quality, base.n_bpe_tokens
+FROM base
+LEFT JOIN bp ON bp.doc_id = base.doc_id
+WHERE bp.flagged IS NULL OR NOT bp.flagged
+ORDER BY base.doc_id
+""",
+    tags=("curation", "scale"),
+)
+def q_training_corpus_manifest_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest with the chunk-level boilerplate gate added: a doc
+    additionally must NOT be boilerplate-dominated per
+    ``doc_boilerplate`` (> {BOILERPLATE_MAX_RATIO} of its chunks recur in
+    other documents). Registered separately from the base manifest
+    because the right production response to boilerplate is often to
+    STRIP the chunks rather than drop the document — the strict variant
+    is for corpora where whole-doc drop is the policy. The flagged list
+    is corpus-outlier sized: a broadcast anti-join."""
+    return _manifest(spark, sf_dir, strict=True)
