@@ -205,3 +205,37 @@ def test_doc_boilerplate_counts_match_chunk_table(spark, sf_dir):
     assert {r["doc_id"]: r["n_shared"] for r in got} == {
         d: want_shared.get(d, 0) for d in want_chunks
     }
+
+
+def test_staged_pipeline_matches_one_query_manifest(spark, sf_dir, tmp_path):
+    """run_curation_pipeline (each gate materialized to parquet, manifest
+    = joins over the stage tables) must be row-for-row identical to the
+    one-query training_corpus_manifest — same docs, same carried
+    columns. Also pins that every stage table actually landed on disk."""
+    import os
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        CURATION_STAGES,
+        q_training_corpus_manifest,
+        q_training_corpus_manifest_strict,
+        run_curation_pipeline,
+    )
+
+    out = str(tmp_path / "pipe")
+    staged = run_curation_pipeline(spark, sf_dir, out, strict=True)
+    got = [tuple(r) for r in staged.collect()]
+    want = [
+        tuple(r) for r in q_training_corpus_manifest_strict(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) > 0
+    for stage in CURATION_STAGES:
+        assert os.path.isdir(f"{out}/{stage}"), stage
+
+    # non-strict skips materializing the boilerplate gate
+    out2 = str(tmp_path / "pipe2")
+    staged2 = run_curation_pipeline(spark, sf_dir, out2)
+    want2 = [
+        tuple(r) for r in q_training_corpus_manifest(spark, sf_dir).collect()
+    ]
+    assert [tuple(r) for r in staged2.collect()] == want2
+    assert not os.path.exists(f"{out2}/doc_boilerplate")

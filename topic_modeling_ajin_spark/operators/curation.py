@@ -795,3 +795,78 @@ def q_training_corpus_manifest_strict(spark: SparkSession, sf_dir: str) -> DataF
     is for corpora where whole-doc drop is the policy. The flagged list
     is corpus-outlier sized: a broadcast anti-join."""
     return _manifest(spark, sf_dir, strict=True)
+
+
+# --------------------------------------- staged (materialized) pipeline
+
+# gate name -> the registered query that produces its verdict table.
+# Resolved lazily inside run_curation_pipeline so module import order
+# stays flexible.
+CURATION_STAGES: tuple[str, ...] = (
+    "curation_filter_report",
+    "fingerprint_dedup",
+    "near_dup_discard",
+    "semantic_dedup",
+    "mixture_sample",
+    "bpe_token_counts",
+    "doc_boilerplate",
+)
+
+
+def run_curation_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str, strict: bool = False
+) -> DataFrame:
+    """The 100 TB shape of ``training_corpus_manifest``: run each gate as
+    its own job, WRITE its verdict table to parquet, and build the
+    manifest as joins over the materialized tables (r5 verdict: the
+    one-query manifest is the right logical object, but its pinned
+    physical plan re-derives every gate inside one 124k-line Catalyst
+    tree — a real run materializes stages so each gate is retryable,
+    auditable, and reusable by other consumers).
+
+    Stage tables land at ``{out_dir}/{stage}``; the manifest at
+    ``{out_dir}/manifest``. Returns the manifest DataFrame read BACK from
+    its parquet (so the caller consumes exactly what was shipped). Parity
+    with the one-query manifest is pinned by
+    ``tests/test_curation.py::test_staged_pipeline_matches_one_query_manifest``.
+    """
+    from ..registry import load_all
+    from ..sources.io import write_parquet
+
+    reg = load_all()
+    for stage in CURATION_STAGES:
+        if stage == "doc_boilerplate" and not strict:
+            continue
+        write_parquet(reg[stage].fn(spark, sf_dir), f"{out_dir}/{stage}")
+
+    def t(stage: str) -> DataFrame:
+        return spark.read.parquet(f"{out_dir}/{stage}")
+
+    fr = t("curation_filter_report").filter(F.col("keep"))
+    keepers = t("fingerprint_dedup").select(F.col("keeper").alias("doc_id"))
+    discard = t("near_dup_discard").select(
+        F.col("discard_doc_id").alias("doc_id")
+    )
+    sem = (
+        t("semantic_dedup")
+        .filter(F.col("kept") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    mix = t("mixture_sample").select("doc_id", "lang")
+    bpec = t("bpe_token_counts").select("doc_id", "n_bpe_tokens")
+    out = (
+        fr.select("doc_id", "quality")
+        .join(keepers, "doc_id")
+        .join(mix, "doc_id")
+        .join(F.broadcast(discard), "doc_id", "left_anti")
+        .join(sem, "doc_id")
+        .join(bpec, "doc_id")
+    )
+    if strict:
+        flagged = t("doc_boilerplate").filter(F.col("flagged")).select("doc_id")
+        out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
+    write_parquet(
+        out.select("doc_id", "lang", "quality", "n_bpe_tokens"),
+        f"{out_dir}/manifest",
+    )
+    return spark.read.parquet(f"{out_dir}/manifest").orderBy("doc_id")
