@@ -139,3 +139,17 @@ def test_score_expr_rejects_wrong_weight_count(spark):
 
     with pytest.raises(ValueError, match="QM_DIM"):
         QM.score_expr([0.1] * (QM.QM_DIM - 4))
+
+
+def test_qm_gradient_plan_has_no_generate(spark, sf_dir):
+    """r4/r5 verdict: the per-round gradient must not posexplode the
+    feature array (20x row inflation + doc*dim shuffle); the in-row
+    QM_DIM-column aggregate keeps the plan Generate-free and map-side
+    partial-aggregated."""
+    feats = QM._features(spark, sf_dir)
+    g = QM.gradient_frame(feats, [0.0] * QM.QM_DIM)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan[:1200]
+    assert "HashAggregate" in plan
+    row = g.collect()[0]
+    assert len(row) == QM.QM_DIM

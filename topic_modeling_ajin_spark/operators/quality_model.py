@@ -136,28 +136,37 @@ def fit_quality_weights(feats: DataFrame, iters: int = QM_ITERS) -> list:
     n = feats.count()
     w = [0.0] * QM_DIM
     for _ in range(iters):
-        w_lit = F.array(*[F.lit(float(v)) for v in w])
-        margin = F.aggregate(
-            F.zip_with("feat", w_lit, lambda x, wd: x * wd),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-        g = (
-            feats.select(
-                ((p - F.col("y")) ).alias("err"),
-                F.posexplode("feat").alias("dim", "x"),
-            )
-            .groupBy("dim")
-            .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
-            .collect()
-        )
-        grad = [0.0] * QM_DIM
-        for r in g:
-            grad[r["dim"]] = r["g"] / n
+        g = gradient_frame(feats, w).collect()[0]
+        grad = [g[f"g{d}"] / n for d in range(QM_DIM)]
         w = [round_w(w[d] - QM_LR * grad[d]) for d in range(QM_DIM)]
     feats.unpersist()
     return [float(v) for v in w]
+
+
+def gradient_frame(feats: DataFrame, w: list) -> DataFrame:
+    """One GD round's per-dim gradient sums as a 1-row, QM_DIM-column
+    aggregate: err = sigmoid(w.x) - y is staged once per row, then each
+    dim is ``sum(err * feat[d])`` — QM_DIM parallel aggregate buffers
+    over the SAME scan, partial-aggregated map-side. No
+    ``posexplode``/Generate (r4+r5 verdict: the exploded form inflated
+    every row 20x and shuffled doc*dim rows just to regroup by dim; this
+    shuffles exactly QM_DIM partial sums per partition). Summation-order
+    ulp drift vs the exploded form is absorbed by the per-round
+    {QM_W_ROUND}-dp HALF_UP weight rounding — the invariant that already
+    makes the DuckDB replay exact."""
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    margin = F.aggregate(
+        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feats.select((p - F.col("y")).alias("err"), "feat").agg(
+        *[
+            F.sum(F.col("feat")[d] * F.col("err")).alias(f"g{d}")
+            for d in range(QM_DIM)
+        ]
+    )
 
 
 def _qm_fit(spark: SparkSession, sf_dir: str) -> list:
