@@ -153,3 +153,25 @@ def test_qm_gradient_plan_has_no_generate(spark, sf_dir):
     assert "HashAggregate" in plan
     row = g.collect()[0]
     assert len(row) == QM.QM_DIM
+
+
+def test_quality_panel_covers_all_docs_and_signals_agree(spark, sf_dir):
+    """Panel covers every document (LEFT on the LM side); the trained
+    model distills the heuristic, so their rank correlation must be
+    strongly positive; all rhos lie in [-1, 1]."""
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        q_quality_panel,
+        q_quality_panel_agreement,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    panel = q_quality_panel(spark, sf_dir)
+    assert panel.count() == n_docs
+    a = q_quality_panel_agreement(spark, sf_dir).collect()[0]
+    rhos = (
+        a["rho_heuristic_model"], a["rho_heuristic_lm"], a["rho_model_lm"]
+    )
+    assert all(-1.0 <= r <= 1.0 for r in rhos)
+    assert a["rho_heuristic_model"] > 0.5
+    assert a["n_docs"] <= n_docs

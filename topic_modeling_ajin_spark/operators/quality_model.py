@@ -429,3 +429,145 @@ def q_quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_keep"),
         F.round((tp + tn) / F.col("n_heldout"), 6).alias("accuracy"),
     )
+
+
+# ------------------------------------------- three-signal quality panel
+
+# the three registered quality signals this module's panel composes
+# verbatim; importing text_analysis here guarantees their registrations
+# exist even when this module is imported directly (load_all-order
+# independence — the curation.py pattern)
+from ..registry import REGISTRY as _REG  # noqa: E402
+from . import text_analysis as _ta_mod  # noqa: E402,F401
+
+
+@register(
+    "quality_panel",
+    sql=f"""
+WITH qs AS ({_REG["quality_score"].sql}),
+ms AS ({_REG["quality_model_score"].sql}),
+lm AS ({_REG["ngram_lm_perplexity"].sql})
+SELECT qs.doc_id, qs.quality, ms.score AS model_score, lm.perplexity
+FROM qs
+JOIN ms ON ms.doc_id = qs.doc_id
+LEFT JOIN lm ON lm.doc_id = qs.doc_id
+""",
+    tags=("text_analysis", "quality", "curation", "scale"),
+)
+def q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-tier quality stack side by side, per document: heuristic
+    rule score (``quality_score``), trained-classifier probability
+    (``quality_model_score``), and corpus-LM perplexity
+    (``ngram_lm_perplexity``) — the report a curation engineer reads
+    before picking thresholds. All three are registered exact-oracle
+    queries composed verbatim; the panel adds only doc-keyed joins
+    (LEFT on the LM side: docs with <2 tokens emit no bigrams and carry
+    NULL perplexity rather than vanishing from the report)."""
+    from .text_analysis import q_ngram_lm_perplexity, q_quality_score
+
+    qs = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    ms = q_quality_model_score(spark, sf_dir).select(
+        "doc_id", F.col("score").alias("model_score")
+    )
+    lm = q_ngram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    return qs.join(ms, "doc_id").join(lm, "doc_id", "left")
+
+
+@register(
+    "quality_panel_agreement",
+    sql=f"""
+WITH p AS ({_REG["quality_panel"].sql}),
+c AS (
+    SELECT quality, model_score, perplexity FROM p
+    WHERE perplexity IS NOT NULL
+),
+r AS (
+    SELECT
+        rank() OVER (ORDER BY quality)
+          + (count(*) OVER (PARTITION BY quality) - 1) / 2.0 AS rq,
+        rank() OVER (ORDER BY model_score)
+          + (count(*) OVER (PARTITION BY model_score) - 1) / 2.0 AS rm,
+        rank() OVER (ORDER BY perplexity)
+          + (count(*) OVER (PARTITION BY perplexity) - 1) / 2.0 AS rp
+    FROM c
+),
+s AS (
+    SELECT count(*) AS n,
+           sum(rq) AS sq, sum(rm) AS sm, sum(rp) AS sp,
+           sum(rq * rq) AS sqq, sum(rm * rm) AS smm, sum(rp * rp) AS spp,
+           sum(rq * rm) AS sqm, sum(rq * rp) AS sqp, sum(rm * rp) AS smp
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round((n * sqm - sq * sm)
+             / sqrt((n * sqq - sq * sq) * (n * smm - sm * sm)), 6) AS rho_heuristic_model,
+       round((n * sqp - sq * sp)
+             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS rho_heuristic_lm,
+       round((n * smp - sm * sp)
+             / sqrt((n * smm - sm * sm) * (n * spp - sp * sp)), 6) AS rho_model_lm
+FROM s
+""",
+    tags=("text_analysis", "quality", "stats"),
+)
+def q_quality_panel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation between the three quality
+    signals over complete cases (perplexity non-NULL): do the heuristic,
+    the trained model, and the LM agree on which documents are good?
+    (Expect heuristic-model strongly positive — the model distills the
+    heuristic — and the LM signal near-independent; a strong LM
+    correlation would mean perplexity adds nothing to the panel.)
+
+    Exactness: Spearman = Pearson on FRACTIONAL ranks, computed in
+    closed form from sums. Ranks are k or k+0.5 (rank() + (ties-1)/2) —
+    exactly representable binary fractions, so every sum is exact and
+    ORDER-INDEPENDENT in fp (no summation-order drift to absorb); the
+    only rounding is the final 6-dp on the structure-free
+    division/sqrt, identical on both engines.
+
+    Scale note: the rank windows are global-ORDER-BY (one-partition)
+    windows — fine for a report query over per-doc scalars, but at
+    100 TB you'd range-partition the sort or bin the scores first; the
+    panel itself (the per-doc join) is the part that must scale, and
+    does."""
+    from pyspark.sql import Window
+
+    p = q_quality_panel(spark, sf_dir).filter(F.col("perplexity").isNotNull())
+
+    def frac_rank(col: str) -> F.Column:
+        return (
+            F.rank().over(Window.orderBy(col))
+            + (F.count("*").over(Window.partitionBy(col)) - 1) / 2.0
+        )
+
+    r = p.select(
+        frac_rank("quality").alias("rq"),
+        frac_rank("model_score").alias("rm"),
+        frac_rank("perplexity").alias("rp"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rq").alias("sq"),
+        F.sum("rm").alias("sm"),
+        F.sum("rp").alias("sp"),
+        F.sum(F.col("rq") * F.col("rq")).alias("sqq"),
+        F.sum(F.col("rm") * F.col("rm")).alias("smm"),
+        F.sum(F.col("rp") * F.col("rp")).alias("spp"),
+        F.sum(F.col("rq") * F.col("rm")).alias("sqm"),
+        F.sum(F.col("rq") * F.col("rp")).alias("sqp"),
+        F.sum(F.col("rm") * F.col("rp")).alias("smp"),
+    )
+    n, sq, sm, sp = (F.col(c) for c in ("n", "sq", "sm", "sp"))
+    sqq, smm, spp = (F.col(c) for c in ("sqq", "smm", "spp"))
+    sqm, sqp, smp = (F.col(c) for c in ("sqm", "sqp", "smp"))
+    return s.select(
+        n.cast("bigint").alias("n_docs"),
+        F.round(
+            (n * sqm - sq * sm) / F.sqrt((n * sqq - sq * sq) * (n * smm - sm * sm)), 6
+        ).alias("rho_heuristic_model"),
+        F.round(
+            (n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6
+        ).alias("rho_heuristic_lm"),
+        F.round(
+            (n * smp - sm * sp) / F.sqrt((n * smm - sm * sm) * (n * spp - sp * sp)), 6
+        ).alias("rho_model_lm"),
+    )
