@@ -47,6 +47,8 @@ HEADLINE = (
     "quality_model_score",   # trained-gate scoring (broadcast weights)
     "semantic_dedup",        # SemDeDup: cluster-bucketed cosine dominance
     "ngram_lm_perplexity",   # bigram-LM quality scoring (model-fold join)
+    "quality_panel",         # three-signal per-doc quality report
+    "training_corpus_manifest",  # capstone: the full curation gate chain
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still

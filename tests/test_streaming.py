@@ -638,3 +638,155 @@ def test_streaming_ingest_store_foreign_layout_fails_loudly(spark, tmp_path):
         ST.run_streaming_ingest_dedup(
             spark, stream, store, str(tmp_path / "corpus"), str(tmp_path / "ck")
         )
+
+
+def _py_simhash(text: str) -> int | None:
+    """Test replay of the 16-bit simhash bit math (md5 first-4-hex votes)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9가-힣]+", (text or "").lower()) if t]
+    if not toks:
+        return None
+    votes = [0] * 16
+    for w in toks:
+        v = int(hashlib.md5(w.encode()).hexdigest()[:4], 16)
+        for b in range(16):
+            votes[b] += 1 if (v >> b) & 1 else -1
+    return sum((1 << b) for b in range(16) if votes[b] > 0)
+
+
+def test_simhash_expr_matches_batch_kernel(spark, sf_dir, registry):
+    """The row-local simhash expression the streaming gate uses must be
+    bit-identical to the batch simhash16 aggregate kernel over the real
+    corpus (token-less docs excluded on both sides)."""
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+    from topic_modeling_ajin_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.word_tokens("text")
+    expr = (
+        docs.withColumn("_bh", H.token_bit_hashes(toks))
+        .filter(F.size("_bh") > 0)
+        .select(
+            "doc_id", H.simhash_from_hashes(F.col("_bh")).alias("simhash")
+        )
+    )
+    got = {r["doc_id"]: r["simhash"] for r in expr.collect()}
+    want = {
+        r["doc_id"]: r["simhash"]
+        for r in registry["simhash16"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_ingest_near_dup_gate(spark, tmp_path):
+    """Near-dup gate: a permuted-word copy (different fingerprint, SAME
+    simhash) is dropped cross-batch AND within-batch; its simhash still
+    lands in the store, so a third permutation in a later batch is also
+    dropped; unrelated docs pass. Verified against a full Python replay
+    of the banded Hamming rule."""
+    import time
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "totally different content about spark pipelines",
+        3: "zeta epsilon delta gamma beta alpha",   # permutation of 1 (same batch)
+        10: "epsilon zeta alpha beta delta gamma",  # permutation of 1 (later batch)
+        11: "yet another unrelated document body",
+        12: "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+    }
+    batch_a = spark.createDataFrame(
+        [(i, texts[i]) for i in (1, 2, 3)], schema
+    )
+    batch_b = spark.createDataFrame(
+        [(i, texts[i]) for i in (10, 11, 12)], schema
+    )
+    batch_a.coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    batch_b.coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark, stream, store, out, str(tmp_path / "ck"), near_dup_hamming=2
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # python replay: arrival order = doc_id order here; exact stage first
+    # (first fingerprint wins), then banded hamming <= 2 vs any EARLIER
+    # exact-stage survivor (dropped-or-shipped alike — the store keeps all)
+    import hashlib
+    import re
+
+    def fingerprint(t):
+        cleaned = re.sub(r"\s+", " ", re.sub(r"[^가-힣a-zA-Z0-9 ]", "", t.lower())).strip()
+        return hashlib.md5(cleaned.encode()).hexdigest()
+
+    seen_fp, exact_survivors = set(), []
+    for d in sorted(texts):
+        f = fingerprint(texts[d])
+        if f not in seen_fp:
+            seen_fp.add(f)
+            exact_survivors.append(d)
+    expect = []
+    for i, d in enumerate(exact_survivors):
+        sh = _py_simhash(texts[d])
+        dropped = False
+        for e in exact_survivors[:i]:
+            she = _py_simhash(texts[e])
+            band = (sh % 256 == she % 256) or (sh // 256 == she // 256)
+            if band and bin(sh ^ she).count("1") <= 2:
+                dropped = True
+                break
+        if not dropped:
+            expect.append(d)
+    assert kept == expect == [1, 2, 11]
+
+    # the store keeps every exact-stage survivor's simhash — including
+    # the near-dup-dropped docs 3 and 10
+    st = spark.read.parquet(store)
+    assert st.count() == len(exact_survivors) == 5
+    assert st.filter(F.col("simhash").isNull()).count() == 0
+
+
+def test_streaming_near_dup_requires_simhash_store(spark, tmp_path):
+    """Requesting the near-dup gate against a legacy fingerprint-only
+    store must fail loudly, not silently skip the check."""
+    import pytest as _pytest
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    docs = spark.createDataFrame([(1, "legacy store doc")], schema)
+    docs.coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+
+    docs.select(
+        H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{store}/batch=0")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _pytest.raises(Exception, match="simhash"):
+        ST.run_streaming_ingest_dedup(
+            spark,
+            stream,
+            store,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "ck"),
+            near_dup_hamming=2,
+        )

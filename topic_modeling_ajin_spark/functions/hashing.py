@@ -147,3 +147,43 @@ def fingerprint(col: Column | str) -> Column:
     key; the scale substitute for comparing full bodies)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c)
+
+
+def token_bit_hashes(tokens_col: Column) -> Column:
+    """Per-token 16-bit hash values (int array) — the md5-nibble hash the
+    SimHash kernel votes with (``text_analysis.q_simhash16``'s ``v``).
+    Stage this ONCE (its own select) before fanning out into the 16
+    per-bit folds of ``simhash_from_hashes``: higher-order functions are
+    CodegenFallback, and inlining would re-pay the md5 per bit."""
+    return F.transform(
+        tokens_col,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("int"),
+    )
+
+
+def simhash_from_hashes(hashes_col: Column, bits: int = 16) -> Column:
+    """SimHash over a staged token-hash array as a row-local column
+    expression — bit-identical to the ``q_simhash16`` aggregate kernel
+    (same hash, same ±1 votes, same >0 threshold; integer arithmetic
+    throughout, so there is nothing to round). The streaming ingest gate
+    uses this to fingerprint a micro-batch with zero extra shuffles; the
+    batch query keeps the explode+groupBy form, whose shuffle is the
+    right shape when the corpus — not a micro-batch — is the input.
+
+    An EMPTY hash array yields 0 (all votes tie to -1-free zero); callers
+    that need token-less rows excluded (the batch twin emits no row for
+    them) should wrap with ``when(size(toks) > 0, ...)``."""
+
+    # bind b via a closure factory, NOT a default arg: PySpark's
+    # _create_lambda dispatches HOF lambdas on their PARAMETER COUNT, so a
+    # `_b=b` default would make this a 3-arg lambda and hand `_b` a Column
+    def vote(b: int):
+        return lambda acc, v: acc + F.when(
+            F.shiftright(v, b).bitwiseAND(1) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0)
+    for b in range(bits):
+        s = F.aggregate(hashes_col, F.lit(0), vote(b))
+        out = out + F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out.cast("long")

@@ -839,6 +839,20 @@ def run_curation_pipeline(
             continue
         write_parquet(reg[stage].fn(spark, sf_dir), f"{out_dir}/{stage}")
 
+    write_parquet(
+        staged_manifest(spark, out_dir, strict=strict), f"{out_dir}/manifest"
+    )
+    return spark.read.parquet(f"{out_dir}/manifest").orderBy("doc_id")
+
+
+def staged_manifest(
+    spark: SparkSession, out_dir: str, strict: bool = False
+) -> DataFrame:
+    """The manifest as joins over ALREADY-MATERIALIZED stage tables
+    (written by ``run_curation_pipeline``) — the small plan the one-query
+    manifest's 124k-line tree collapses into once each gate is parquet:
+    six scans, five doc-keyed joins, two broadcast anti-joins."""
+
     def t(stage: str) -> DataFrame:
         return spark.read.parquet(f"{out_dir}/{stage}")
 
@@ -865,8 +879,4 @@ def run_curation_pipeline(
     if strict:
         flagged = t("doc_boilerplate").filter(F.col("flagged")).select("doc_id")
         out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
-    write_parquet(
-        out.select("doc_id", "lang", "quality", "n_bpe_tokens"),
-        f"{out_dir}/manifest",
-    )
-    return spark.read.parquet(f"{out_dir}/manifest").orderBy("doc_id")
+    return out.select("doc_id", "lang", "quality", "n_bpe_tokens")

@@ -460,6 +460,7 @@ def run_streaming_ingest_dedup(
     checkpoint_dir: str,
     quality_weights: list | None = None,
     min_quality_score: float = 0.5,
+    near_dup_hamming: int | None = None,
 ) -> None:
     """Cross-batch document ingest dedup against a PERSISTENT fingerprint
     store — the streaming twin of the batch ``incremental_dedup`` query
@@ -478,8 +479,25 @@ def run_streaming_ingest_dedup(
     2. within-batch survivorship: deterministic min-``doc_id`` keeper;
     3. cross-batch: left-anti join against the store — only fixed-width
        keys probe, never document bodies;
-    4. append survivors to the corpus sink and their fingerprints to the
-       store, which is what makes batch N+1 see batch N's documents.
+    3b. (optional near-dup gate, r5 VERDICT task 8) with
+       ``near_dup_hamming`` set, drop any exact-stage survivor whose
+       16-bit SimHash (row-local ``simhash_from_hashes`` expression,
+       bit-identical to the batch ``simhash16`` kernel) lies within the
+       given Hamming distance of an EARLIER document — a stored simhash
+       from a strictly earlier batch, or a lower-``doc_id`` survivor of
+       this batch. Candidates come from the same two byte-band equi-joins
+       as the batch ``simhash_near_dup`` query (never a similarity scan);
+       token-less docs carry NULL simhash and bypass the gate, exactly as
+       the batch twin emits no row for them. Near-dup-DROPPED docs still
+       store their (fingerprint, simhash): they were seen, and a later
+       copy must neither be re-admitted nor re-compared from scratch —
+       this is what makes the drop set equal the batch
+       ``simhash_near_dup``-pairs discard rule (doc_b of every pair)
+       under in-order arrival;
+    4. append survivors to the corpus sink and their fingerprints (+
+       simhashes — written unconditionally so any store can later serve
+       the near-dup gate) to the store, which is what makes batch N+1
+       see batch N's documents.
 
     State is the store itself — O(distinct fingerprints), 16 bytes each,
     partition-prunable parquet — not executor memory; restarts resume
@@ -500,8 +518,20 @@ def run_streaming_ingest_dedup(
             batch_df = batch_df.filter(
                 score_expr(quality_weights) >= F.lit(min_quality_score)
             )
-        fp = batch_df.withColumn(
-            "fingerprint", H.fingerprint(TX.cleaned("text"))
+        # fingerprint + simhash staged together: one pass over the text,
+        # token-hash array in its own select (HOFs are CodegenFallback —
+        # inlining would re-pay the md5 per simhash bit)
+        toks = TX.word_tokens(F.coalesce(F.col("text"), F.lit("")))
+        fp = (
+            batch_df.withColumn("fingerprint", H.fingerprint(TX.cleaned("text")))
+            .withColumn("_bh", H.token_bit_hashes(toks))
+            .withColumn(
+                "simhash",
+                F.when(
+                    F.size("_bh") > 0, H.simhash_from_hashes(F.col("_bh"))
+                ),
+            )
+            .drop("_bh")
         )
         keeper = Window.partitionBy("fingerprint")
         batch_kept = (
@@ -563,26 +593,78 @@ def run_streaming_ingest_dedup(
                     spark.read.option("basePath", store_dir)
                     .parquet(store_dir)
                     .filter(F.col("batch") < F.lit(batch_id))
-                    .select("fingerprint")
                 )
+                if near_dup_hamming is not None and "simhash" not in store.columns:
+                    raise ValueError(
+                        f"near-dup gate requested but the store at "
+                        f"{store_dir} has no simhash column (legacy "
+                        "fingerprint-only layout) — rebuild the store or "
+                        "run without near_dup_hamming; silently skipping "
+                        "the check would re-admit every near-duplicate"
+                    )
             else:
                 store = None
         else:
             store = None
         if store is not None:
             batch_kept = batch_kept.join(
-                store, "fingerprint", "left_anti"
+                store.select("fingerprint"), "fingerprint", "left_anti"
             )
         batch_kept = batch_kept.persist()
+        shipped = batch_kept
+        if near_dup_hamming is not None:
+            # earlier universe: lower-doc_id survivors of THIS batch
+            # (rank = doc_id) plus every stored simhash from strictly
+            # earlier batches (rank = -1, earlier than any doc_id). Two
+            # byte-band equi-joins — same candidate generation as the
+            # batch simhash_near_dup query; NULL simhash (token-less)
+            # never matches an equi-key.
+            def banded(df: DataFrame, rank_col) -> DataFrame:
+                return df.select(
+                    rank_col.alias("o_rank"),
+                    F.col("simhash").alias("o_sh"),
+                    (F.col("simhash") % 256).alias("o_blo"),
+                    (F.col("simhash") / 256).cast("long").alias("o_bhi"),
+                )
+
+            others = banded(batch_kept, F.col("doc_id"))
+            if store is not None:
+                others = others.union(
+                    banded(store, F.lit(-1).cast("long"))
+                )
+            me = batch_kept.select(
+                "doc_id",
+                "simhash",
+                (F.col("simhash") % 256).alias("blo"),
+                (F.col("simhash") / 256).cast("long").alias("bhi"),
+            )
+            lo = me.join(others, me["blo"] == others["o_blo"])
+            hi = me.join(others, me["bhi"] == others["o_bhi"])
+            drops = (
+                lo.unionByName(hi)
+                .filter(F.col("o_rank") < F.col("doc_id"))
+                .filter(
+                    F.bit_count(
+                        F.col("simhash").bitwiseXOR(F.col("o_sh"))
+                    )
+                    <= near_dup_hamming
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            shipped = batch_kept.join(drops, "doc_id", "left_anti")
         # both sinks overwrite this batch's own partition — a replayed
         # batch_id rewrites instead of appending duplicates (the same
-        # idempotency pattern as the refreshing topic-assign sink)
-        batch_kept.drop("fingerprint").write.mode("overwrite").parquet(
+        # idempotency pattern as the refreshing topic-assign sink).
+        # The STORE keeps every exact-stage survivor (near-dup-dropped
+        # included — see step 3b); only the corpus sink takes the
+        # near-dup-gated set.
+        shipped.drop("fingerprint", "simhash").write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
-        batch_kept.select("fingerprint").write.mode("overwrite").parquet(
-            f"{store_dir}/batch={batch_id}"
-        )
+        batch_kept.select("fingerprint", "simhash").write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/batch={batch_id}")
         batch_kept.unpersist()
 
     (
