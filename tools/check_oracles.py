@@ -95,6 +95,71 @@ def build_cache_rules(registry) -> list[dict]:
             ],
         }
     )
+
+    from topic_modeling_ajin_spark.operators import dedup, plsa
+
+    rules.append(
+        {
+            "id": "f_plsa",
+            "kind": "fragment",
+            "needle": plsa._sql_plsa(plsa.PLSA_ITERS),
+            "exports": [f"phi{plsa.PLSA_ITERS}", f"theta{plsa.PLSA_ITERS}"],
+        }
+    )
+    rules.append(
+        {
+            "id": "f_power_pca",
+            "kind": "fragment",
+            "needle": clustering._sql_power_pca(),
+            "exports": [
+                f"v{clustering.PCA_ITERS}",
+                f"n{clustering.PCA_ITERS}",
+                "cpts",
+            ],
+        }
+    )
+    rules.append(
+        {
+            "id": "f_pq",
+            "kind": "fragment",
+            "needle": clustering._sql_pq_ctes()[0],
+            "exports": ["pts"]
+            + [
+                f"a{clustering.PQ_ITERS}_s{m}"
+                for m in range(clustering.PQ_M)
+            ]
+            + [
+                f"c{clustering.PQ_ITERS - 1}_s{m}"
+                for m in range(clustering.PQ_M)
+            ],
+        }
+    )
+    rules.append(
+        {
+            "id": "f_ivfpq",
+            "kind": "fragment",
+            "needle": clustering._sql_ivfpq(),
+            "exports": ["pts", f"c{clustering.LLOYD_ITERS - 1}", "res"]
+            + [
+                f"ra{clustering.IVFPQ_ITERS}_r{m}"
+                for m in range(clustering.PQ_M)
+            ]
+            + [
+                f"rc{clustering.IVFPQ_ITERS - 1}_r{m}"
+                for m in range(clustering.PQ_M)
+            ],
+        }
+    )
+    rules.append(
+        {
+            "id": "f_cc",
+            "kind": "fragment",
+            "needle": (
+                f"{dedup._simhash_edges_sql()},\n{dedup._sql_cc(dedup.CC_STEPS)}"
+            ),
+            "exports": [f"l{dedup.CC_STEPS}", "t"],
+        }
+    )
     return rules
 
 
