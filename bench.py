@@ -49,6 +49,9 @@ HEADLINE = (
     "ngram_lm_perplexity",   # bigram-LM quality scoring (model-fold join)
     "quality_panel",         # three-signal per-doc quality report
     "training_corpus_manifest",  # capstone: the full curation gate chain
+    "dsir_select",           # DSIR importance resampling (hashed ngrams)
+    "source_js_divergence",  # pairwise source-distribution JSD matrix
+    "simplified_silhouette",  # O(N*K) cluster-quality metric
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still

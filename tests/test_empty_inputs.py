@@ -49,6 +49,10 @@ EMPTY_SAFE = (
     "event_trigram_sequences",
     "edit_distance_pairs",
     "source_distinctive_terms",
+    "domain_cap_sample",
+    "dsir_logweights",
+    "dsir_select",
+    "source_js_divergence",
 )
 # Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
 # NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ
@@ -87,6 +91,9 @@ NULL_TEXT_SAFE = (
     "pack_sequences",
     "train_val_test_split",
     "embed_documents",
+    "domain_cap_sample",
+    "dsir_logweights",
+    "source_js_divergence",
 )
 
 

@@ -55,6 +55,7 @@ def build_cache_rules(registry) -> list[dict]:
         "ann_cosine_topk",
         "ivf_cosine_topk",
         "training_corpus_manifest",
+        "dsir_logweights",
     ):
         spec = registry.get(name)
         if spec is not None and spec.sql is not None:

@@ -219,6 +219,80 @@ def q_lloyd_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simplified_silhouette",
+    sql=f"""
+WITH {_sql_lloyd(LLOYD_K, LLOYD_ITERS)},
+dist AS (
+    SELECT p.vec_id, c.cluster,
+           sqrt(sum((p.val - c.val) * (p.val - c.val))) AS d
+    FROM pts p JOIN c{LLOYD_ITERS - 1} c ON c.dim = p.dim
+    GROUP BY p.vec_id, c.cluster
+),
+s AS (
+    SELECT a.vec_id, a.cluster,
+           max(CASE WHEN d.cluster = a.cluster THEN d.d END) AS a_dist,
+           min(CASE WHEN d.cluster <> a.cluster THEN d.d END) AS b_dist
+    FROM dist d JOIN a{LLOYD_ITERS} a ON a.vec_id = d.vec_id
+    GROUP BY a.vec_id, a.cluster
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(CASE WHEN b_dist IS NULL OR greatest(a_dist, b_dist) <= 0
+                      THEN 0.0
+                      ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)
+                 END), 6) AS mean_silhouette
+FROM s
+GROUP BY cluster
+""",
+    tags=("topics", "ml", "cluster", "scale"),
+)
+def q_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean simplified silhouette over the deterministic
+    k-means: for each point, a = distance to its OWN centroid, b = the
+    nearest OTHER centroid, s = (b - a) / max(a, b). The simplified
+    variant (centroid distances instead of all-pairs point distances) is
+    the one that survives scale — classic silhouette is O(N^2); this is
+    O(N * K) in the same broadcast-closure kernel shape as the assignment
+    itself, with a K-bounded rollup as the only shuffle. The centroids are
+    the exact codebook the final assignment used, so DuckDB replays the
+    identical Lloyd chain and the 6-dp-rounded means hash-match (the only
+    fp nondeterminism is per-cluster summation order, absorbed by the
+    round — the established convention)."""
+    import numpy as np
+
+    assigned, centroids = lloyd_fit(spark, sf_dir)
+    ids = np.array([c for c, _ in centroids], dtype=np.int64)
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+            own = np.searchsorted(ids, pdf["cluster"].to_numpy())
+            n = len(pdf)
+            a = d[np.arange(n), own]
+            d_others = d.copy()
+            d_others[np.arange(n), own] = np.inf
+            b = d_others.min(axis=1)
+            hi = np.maximum(a, b)
+            with np.errstate(invalid="ignore"):
+                sil = np.where(np.isfinite(b) & (hi > 0), (b - a) / hi, 0.0)
+            out = pdf[["vec_id", "cluster"]].copy()
+            out["sil"] = sil
+            yield out
+
+    per_point = assigned.mapInPandas(
+        kernel, schema="vec_id long, cluster long, sil double"
+    )
+    return per_point.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("sil"), 6).alias("mean_silhouette"),
+    )
+
+
 # ------------------------------------------------- power-iteration PCA (M11)
 
 PCA_ITERS = 5

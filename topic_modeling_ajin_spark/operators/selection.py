@@ -1,0 +1,426 @@
+"""Data-selection operators: choosing WHICH documents feed a training run.
+
+Beyond-reference surface (the reference analyzes one fixed 5k-row crawl,
+``preprocessing.py:344-356``; at 100 TB the corpus is assembled, not
+given): per-domain caps (C4/RefinedWeb-style anti-domination), DSIR
+importance resampling (Xie et al., "Data Selection for Language Models
+via Importance Resampling", NeurIPS 2023 — hashed-ngram importance
+weights toward a target domain), and the pairwise source-level
+Jensen-Shannon divergence matrix a mixture designer reads before setting
+``mixture_plan`` rates.
+
+Everything is deterministic (md5-keyed hashing and Gumbel noise, no RNG
+state) so every op has an exact DuckDB oracle; all per-token math stays
+in column expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..registry import REGISTRY, register
+from ..sources import load_table, parallelized
+
+# importing text_analysis registers quality_score, whose SQL the domain-cap
+# oracle embeds verbatim (so the oracle-gate CTE cache reuses it)
+from . import text_analysis as TA
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelized(load_table(spark, sf_dir, "documents"))
+
+
+# shared tokenizer fragment (same split + NULL-text coalesce as
+# text_analysis._SQL_WORD_TOKS — one tokenizer definition per engine)
+_SQL_TOKS = r"""
+SELECT doc_id, lang, source,
+       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+FROM documents
+"""
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """DuckDB twin of ``F.conv(substring(md5(expr), 1, 8), 16, 10)``."""
+    h = f"md5({expr})"
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def _md5_u32(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+# ------------------------------------------------------------- domain caps
+
+DOMAIN_CAP = 15  # max docs shipped per source
+
+
+@register(
+    "domain_cap_sample",
+    sql=f"""
+WITH q AS (
+    SELECT m.doc_id, d.source, m.quality
+    FROM ({REGISTRY["quality_score"].sql}) m
+    JOIN documents d ON d.doc_id = m.doc_id
+),
+r AS (
+    SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id) AS rk
+    FROM q
+)
+SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {DOMAIN_CAP}
+""",
+    tags=("selection", "curation", "scale"),
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the C4/RefinedWeb anti-domination step: a
+    crawl where one site contributes half the corpus must not contribute
+    half the training set. Keeps the top-{DOMAIN_CAP} docs per source by
+    (quality DESC, doc_id) using the registered heuristic quality score,
+    so the cap prefers the best of each domain rather than a random
+    subset.
+
+    Scale shape: one quality projection (pure column expressions) and ONE
+    rank window partitioned by source. The window's per-domain sort is the
+    honest cost; a pathologically hot domain (half the corpus behind one
+    partition key) is the known skew case — there the two-phase variant
+    applies (per-salt top-{DOMAIN_CAP} first, then a {DOMAIN_CAP}·n_salts
+    re-rank), which composes from this same definition. Output is bounded
+    by {DOMAIN_CAP} x n_domains regardless of corpus size."""
+    e = TA.quality_exprs()
+    q = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.round(e["quality"], 6).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "quality", "rk")
+    )
+
+
+# --------------------------------------------- DSIR importance resampling
+
+DSIR_BUCKETS = 256  # hashed-ngram feature buckets (paper: 10k at web scale)
+DSIR_TARGET_LANG = "en"  # stand-in target domain: the English slice
+DSIR_SELECT_K = 100  # docs kept by the Gumbel top-k resample
+
+
+# (doc_id, lang, bucket): one row per unigram+bigram occurrence, hashed
+# into {DSIR_BUCKETS} md5 buckets. Shared by the weights and both corpus
+# distributions.
+_SQL_DSIR_FEATS = f"""
+SELECT doc_id, lang,
+       CAST(({_md5_u32_sql("f")}) % {DSIR_BUCKETS} AS BIGINT) AS bucket
+FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+               toks,
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+           )) AS f
+    FROM ({_SQL_TOKS})
+)
+"""
+
+_SQL_DSIR_LOGW = f"""
+WITH feats AS ({_SQL_DSIR_FEATS}),
+raw AS (SELECT bucket, count(*) AS craw FROM feats GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS ctgt FROM feats
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+tots AS (
+    SELECT (SELECT count(*) FROM feats) AS traw,
+           (SELECT count(*) FROM feats WHERE lang = '{DSIR_TARGET_LANG}') AS ttgt
+),
+w AS (
+    SELECT r.bucket,
+           ln((coalesce(t.ctgt, 0) + 1) * 1.0 / (tots.ttgt + {DSIR_BUCKETS}))
+         - ln((r.craw + 1) * 1.0 / (tots.traw + {DSIR_BUCKETS})) AS lw
+    FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket CROSS JOIN tots
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(w.lw), 6) AS log_w
+FROM feats f JOIN w ON w.bucket = f.bucket
+GROUP BY f.doc_id
+"""
+
+
+def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bucket) hashed-feature occurrences, memoized+persisted:
+    the raw distribution, the target distribution, and the per-doc scoring
+    join all rescan it."""
+    from ..cache import memo
+
+    def build():
+        d = _docs(spark, sf_dir)
+        toks = TX.word_tokens("text")
+        # guard: F.sequence(0, -1) would step DOWN to [0, -1], not empty
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array_repeat(F.lit(""), 0))
+        feats = F.concat(toks, bigrams)
+        return d.select(
+            "doc_id", "lang", F.explode(feats).alias("f")
+        ).select(
+            "doc_id", "lang", (_md5_u32(F.col("f")) % DSIR_BUCKETS).alias("bucket")
+        )
+
+    return memo(spark, ("dsir_feats", sf_dir), build, persist=True)
+
+
+def dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR log importance weight (unrounded): sum over the doc's
+    hashed-ngram occurrences of ln p_target(bucket) - ln p_raw(bucket),
+    both Laplace-smoothed over {DSIR_BUCKETS} buckets."""
+    feats = _dsir_feats(spark, sf_dir)
+    raw = feats.groupBy("bucket").agg(F.count("*").alias("craw"))
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ctgt"))
+    )
+    tots = feats.agg(
+        F.count("*").alias("traw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ttgt"),
+    )
+    # bucket-weight table: <= {DSIR_BUCKETS} rows, broadcast into scoring
+    w = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ctgt"), F.lit(0)) + 1)
+                    / (F.col("ttgt") + F.lit(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("craw") + 1) / (F.col("traw") + F.lit(DSIR_BUCKETS))
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lw").alias("log_w_raw"))
+    )
+
+
+@register(
+    "dsir_logweights",
+    sql=_SQL_DSIR_LOGW,
+    tags=("selection", "curation", "scale"),
+)
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights: how much more likely is
+    this document under the target domain's hashed-ngram distribution
+    than under the raw corpus's? The target here is the corpus's
+    '{DSIR_TARGET_LANG}' slice (the stand-in for "high-quality in-domain
+    text"); features are unigrams+bigrams md5-hashed into {DSIR_BUCKETS}
+    buckets, both distributions Laplace-smoothed so every probability is
+    a ratio of integers — both engines take ln() of identical doubles.
+
+    Scale shape: the feature table is the one corpus-scaled object (one
+    tokenize pass, memoized+persisted); the two distributions are
+    {DSIR_BUCKETS}-bounded map-side-combined counts; scoring is a
+    broadcast join of the {DSIR_BUCKETS}-row weight table + one doc_id
+    rollup. Nothing quadratic, nothing driver-side."""
+    d = dsir_logweights(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("n_feats").cast("bigint").alias("n_feats"),
+        F.round("log_w_raw", 6).alias("log_w"),
+    )
+
+
+@register(
+    "dsir_select",
+    sql=f"""
+WITH lw AS ({_SQL_DSIR_LOGW}),
+g AS (
+    SELECT doc_id, n_feats, log_w,
+           log_w - ln(-ln((({_md5_u32_sql("'dsir' || CAST(doc_id AS VARCHAR)")}) + 0.5)
+                          / 4294967296.0)) AS score
+    FROM lw
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+       doc_id, n_feats, log_w, round(score, 6) AS score
+FROM g
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {DSIR_SELECT_K}
+""",
+    tags=("selection", "curation", "scale"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step: Gumbel top-k over the importance weights —
+    equivalent to sampling {DSIR_SELECT_K} docs without replacement with
+    probability proportional to their importance weight. The Gumbel noise
+    is md5-derived from doc_id (u = (md5_u32 + 0.5) / 2^32, g = -ln(-ln u)),
+    so the draw is deterministic and both engines rank IDENTICAL doubles:
+    the 6-dp-rounded log_w plus a noise term computed from the same
+    integer hash.
+
+    Scale shape: the score is a column expression over the per-doc weight
+    rollup; the global top-k runs as TakeOrderedAndProject (orderBy+limit,
+    never a full sort), and only the {DSIR_SELECT_K} survivors pay the
+    single-partition rank window."""
+    lw = q_dsir_logweights(spark, sf_dir)
+    u = (
+        _md5_u32(F.concat(F.lit("dsir"), F.col("doc_id").cast("string")))
+        + 0.5
+    ) / F.lit(4294967296.0)
+    g = lw.withColumn("score", F.col("log_w") - F.log(-F.log(u)))
+    topk = g.orderBy(F.desc("score"), F.asc("doc_id")).limit(DSIR_SELECT_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "doc_id",
+        "n_feats",
+        "log_w",
+        F.round("score", 6).alias("score"),
+    )
+
+
+# ------------------------------------- pairwise source JS-divergence matrix
+
+JS_VOCAB = 500  # global vocabulary bound (renormalized per source)
+
+
+@register(
+    "source_js_divergence",
+    sql=f"""
+WITH tw AS (
+    SELECT source, word FROM (
+        SELECT source, unnest(toks) AS word FROM ({_SQL_TOKS})
+    ) WHERE length(word) >= 2
+),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS tot FROM tw GROUP BY word
+        ORDER BY tot DESC, word LIMIT {JS_VOCAB}
+    )
+),
+cw AS (
+    SELECT t.source, t.word, count(*) AS c
+    FROM tw t JOIN vocab v ON v.word = t.word
+    GROUP BY t.source, t.word
+),
+tots AS (SELECT source, sum(c) AS t FROM cw GROUP BY source),
+p AS (
+    SELECT cw.source, cw.word, cw.c * 1.0 / tots.t AS p
+    FROM cw JOIN tots ON tots.source = cw.source
+),
+shared AS (
+    SELECT a.source AS s1, b.source AS s2,
+           count(*) AS n_shared,
+           sum(a.p) AS spa, sum(b.p) AS spb,
+           sum(a.p * ln(2 * a.p / (a.p + b.p))) AS ka,
+           sum(b.p * ln(2 * b.p / (a.p + b.p))) AS kb
+    FROM p a JOIN p b ON b.word = a.word AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT x.source AS s1, y.source AS s2,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       round(0.5 * (coalesce(sh.ka, 0) + (1 - coalesce(sh.spa, 0)) * ln(2))
+           + 0.5 * (coalesce(sh.kb, 0) + (1 - coalesce(sh.spb, 0)) * ln(2)),
+             6) AS jsd
+FROM tots x JOIN tots y ON x.source < y.source
+LEFT JOIN shared sh ON sh.s1 = x.source AND sh.s2 = y.source
+""",
+    tags=("selection", "drift", "scale"),
+)
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source word
+    distributions — the matrix a mixture designer reads before setting
+    ``mixture_plan`` rates (two sources with JSD ~ 0 are redundant; a
+    source far from every other adds coverage). Distributions are over
+    the global top-{JS_VOCAB} vocabulary, renormalized per source; words
+    one source lacks contribute their missing mass at the ln 2 ceiling
+    (the closed form of the zero-side KL terms), so no dense vocab x
+    source materialization and no full outer join.
+
+    Scale shape: ONE map-side-combined (source, word) count is the only
+    corpus-scaled pass (memoized+persisted — the global vocab and the
+    per-source distributions both derive from it); everything after is
+    bounded by {JS_VOCAB} x n_sources (the per-pair stage is the inherent
+    O(V * S^2) of a pairwise matrix, like the topic-similarity matrix —
+    at thousands of sources you shard the pair grid, not this plan).
+    Sums of p*ln(ratio-of-integer-ratios) with the 6-dp round absorbing
+    summation order, the established cross-engine convention."""
+    from ..cache import memo
+
+    swc = memo(
+        spark,
+        ("source_word_counts", sf_dir),
+        lambda: _docs(spark, sf_dir)
+        .select("source", F.explode(TX.word_tokens("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c")),
+        persist=True,
+    )
+    vocab = (
+        swc.groupBy("word")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("word"))
+        .limit(JS_VOCAB)
+        .select("word")
+    )
+    cw = swc.join(F.broadcast(vocab), "word")
+    tots = cw.groupBy("source").agg(F.sum("c").alias("t"))
+    p = cw.join(tots, "source").select(
+        "source", "word", (F.col("c") / F.col("t")).alias("p")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(pa).alias("spa"),
+            F.sum(pb).alias("spb"),
+            F.sum(pa * F.log(2 * pa / (pa + pb))).alias("ka"),
+            F.sum(pb * F.log(2 * pb / (pa + pb))).alias("kb"),
+        )
+    )
+    x, y = tots.alias("x"), tots.alias("y")
+    base = x.join(y, F.col("x.source") < F.col("y.source")).select(
+        F.col("x.source").alias("s1"), F.col("y.source").alias("s2")
+    )
+    ln2 = math.log(2.0)
+    z = F.lit(0.0)
+    return base.join(shared, ["s1", "s2"], "left").select(
+        "s1",
+        "s2",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(
+            0.5 * (F.coalesce(F.col("ka"), z) + (1 - F.coalesce(F.col("spa"), z)) * ln2)
+            + 0.5
+            * (F.coalesce(F.col("kb"), z) + (1 - F.coalesce(F.col("spb"), z)) * ln2),
+            6,
+        ).alias("jsd"),
+    )
