@@ -53,6 +53,8 @@ EMPTY_SAFE = (
     "dsir_logweights",
     "dsir_select",
     "source_js_divergence",
+    "ccnet_ppl_buckets",
+    "mixture_temperature_plan",
 )
 # Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
 # NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ

@@ -880,3 +880,54 @@ def staged_manifest(
         flagged = t("doc_boilerplate").filter(F.col("flagged")).select("doc_id")
         out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
     return out.select("doc_id", "lang", "quality", "n_bpe_tokens")
+
+
+# ------------------------------------- temperature-scaled mixture shares
+
+MIX_TEMPERATURE = 2.0  # share ∝ n^(1/T); T=2 is the common multilingual pick
+
+
+@register(
+    "mixture_temperature_plan",
+    sql="""
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n) AS tn, sum(sqrt(n)) AS ts FROM counts)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       round(n / tn, 6) AS natural_share,
+       round(sqrt(n) / ts, 6) AS temp_share,
+       round((sqrt(n) / ts) / (n / tn), 6) AS upsample_factor
+FROM counts CROSS JOIN tot
+""",
+    tags=("curation",),
+)
+def q_mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture shares (share ∝ n^(1/T), T={MIX_TEMPERATURE}):
+    the standard multilingual rebalance — low-resource languages are
+    upsampled toward (not onto) parity, high-resource ones damped, without
+    the hard per-language targets ``mixture_plan`` pins. The output is the
+    per-language natural share, temperature share, and the upsample
+    factor a sampler applies.
+
+    n^(1/2) is written as sqrt(n) in BOTH engines — sqrt is IEEE
+    correctly-rounded, pow(x, 0.5) need not be, and cross-engine
+    exactness rides on that. One language-bounded aggregate; nothing
+    corpus-scaled after the count."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    tots = counts.agg(
+        F.sum("n").alias("tn"), F.sum(F.sqrt("n")).alias("ts")
+    )
+    nat = F.col("n") / F.col("tn")
+    tmp = F.sqrt("n") / F.col("ts")
+    return counts.crossJoin(F.broadcast(tots)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 6).alias("upsample_factor"),
+    )

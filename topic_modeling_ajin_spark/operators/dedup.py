@@ -936,3 +936,63 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .clustering import LLOYD_ITERS, LLOYD_K
 
     return semantic_dedup(spark, sf_dir, k=LLOYD_K, iters=LLOYD_ITERS)
+
+
+# --------------------------------------------------- LSH recall evaluation
+
+
+def _lsh_recall_sql() -> str:
+    from ..registry import REGISTRY
+
+    gt = REGISTRY["ngram_jaccard_pairs"].sql
+    lsh = REGISTRY["minhash_lsh_pairs"].sql
+    return f"""
+WITH gt AS ({gt}),
+lsh AS ({lsh}),
+j AS (
+    SELECT g.doc_a AS g_a, l.doc_a AS l_a
+    FROM gt g FULL JOIN lsh l
+      ON l.doc_a = g.doc_a AND l.doc_b = g.doc_b
+)
+SELECT CAST(count(g_a) AS BIGINT) AS n_true_pairs,
+       CAST(count(l_a) AS BIGINT) AS n_lsh_pairs,
+       CAST(sum(CASE WHEN g_a IS NOT NULL AND l_a IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CASE WHEN count(g_a) > 0
+                  THEN sum(CASE WHEN g_a IS NOT NULL AND l_a IS NOT NULL
+                                THEN 1 ELSE 0 END) * 1.0 / count(g_a)
+                  ELSE 0 END, 6) AS recall
+FROM j
+"""
+
+
+@register("lsh_recall_eval", sql=_lsh_recall_sql(), tags=("dedup", "eval"))
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality harness: recall of the banded MinHash-LSH candidate
+    pipeline against the exact all-pairs shingle-Jaccard ground truth —
+    the twin of ``ivf_recall_eval`` for the dedup ladder (every production
+    LSH deployment publishes this number when tuning bands x rows).
+    Precision is 1.0 by construction (LSH candidates are exact-verified
+    before emission), so the one number that can degrade is recall; the
+    hot-bucket guard's documented recall trade shows up here.
+
+    Both inputs are the already-registered, individually exact-oracled
+    queries; the eval is one full outer join on the (doc_a, doc_b) pair
+    key + a single-row rollup, so it costs nothing beyond the two
+    pipelines it grades. At 100 TB the exact side runs on a sampled
+    partition (it is the ground truth, not the serving path)."""
+    gt = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    j = gt.withColumn("g", F.lit(1)).join(
+        lsh.withColumn("l", F.lit(1)), ["doc_a", "doc_b"], "full"
+    )
+    hit = F.when(F.col("g").isNotNull() & F.col("l").isNotNull(), 1).otherwise(0)
+    n_true = F.count("g")
+    return j.agg(
+        n_true.cast("bigint").alias("n_true_pairs"),
+        F.count("l").cast("bigint").alias("n_lsh_pairs"),
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        F.round(
+            F.when(n_true > 0, F.sum(hit) / n_true).otherwise(0.0), 6
+        ).alias("recall"),
+    )

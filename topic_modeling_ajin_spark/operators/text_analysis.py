@@ -1558,3 +1558,76 @@ def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.sum("logp") / F.count("*")), 6).alias("perplexity"),
         )
     )
+
+
+# ------------------------------------- CCNet-style perplexity bucketing
+
+
+def _ccnet_sql() -> str:
+    from ..registry import REGISTRY
+
+    ppl = REGISTRY["ngram_lm_perplexity"].sql
+    lid = REGISTRY["langid_heuristic"].sql
+    return f"""
+WITH ppl AS ({ppl}),
+lid AS ({lid}),
+j AS (
+    SELECT lid.predicted AS lang_pred, p.doc_id, p.perplexity
+    FROM ppl p JOIN lid ON lid.doc_id = p.doc_id
+),
+t AS (
+    SELECT lang_pred, perplexity,
+           ntile(3) OVER (PARTITION BY lang_pred
+                          ORDER BY perplexity, doc_id) AS tercile
+    FROM j
+)
+SELECT lang_pred,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(perplexity), 6) AS mean_ppl,
+       round(max(perplexity), 6) AS max_ppl
+FROM t GROUP BY lang_pred, bucket
+"""
+
+
+@register(
+    "ccnet_ppl_buckets",
+    sql=_ccnet_sql(),
+    tags=("text_analysis", "quality", "curation"),
+)
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per predicted language, rank docs
+    by LM perplexity and cut into terciles — 'head' (most corpus-like) is
+    what CCNet ships to training, 'tail' is review-or-drop. Composes the
+    two registered, individually exact-oracled signals (the langid
+    heuristic and the bigram-LM perplexity); docs too short to emit a
+    bigram are absent from the LM signal and therefore unbucketed,
+    identically in both engines.
+
+    Scale shape: the join is doc-keyed; the ntile window partitions by
+    language — per-language sorts, the same partitioning CCNet shards
+    by in production. The rank key is the 6-dp-rounded perplexity (both
+    engines hold identical doubles) with doc_id tiebreak, so tercile
+    boundaries are deterministic."""
+    ppl = q_ngram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
+    lid = q_langid_heuristic(spark, sf_dir).select(
+        "doc_id", F.col("predicted").alias("lang_pred")
+    )
+    j = ppl.join(lid, "doc_id")
+    w = Window.partitionBy("lang_pred").orderBy("perplexity", "doc_id")
+    t = j.withColumn("tercile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        t.withColumn("bucket", bucket)
+        .groupBy("lang_pred", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("perplexity"), 6).alias("mean_ppl"),
+            F.round(F.max("perplexity"), 6).alias("max_ppl"),
+        )
+    )
