@@ -50,6 +50,7 @@ HEADLINE = (
     "quality_panel",         # three-signal per-doc quality report
     "training_corpus_manifest",  # capstone: the full curation gate chain
     "dsir_select",           # DSIR importance resampling (hashed ngrams)
+    "unigram_lm_vocab",      # unigram-LM tokenizer training (hard-EM)
     "source_js_divergence",  # pairwise source-distribution JSD matrix
     "simplified_silhouette",  # O(N*K) cluster-quality metric
 )

@@ -55,6 +55,8 @@ EMPTY_SAFE = (
     "source_js_divergence",
     "ccnet_ppl_buckets",
     "mixture_temperature_plan",
+    "unigram_lm_vocab",
+    "unigram_lm_segment",
 )
 # Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
 # NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ

@@ -151,6 +151,16 @@ def build_cache_rules(registry) -> list[dict]:
             ],
         }
     )
+    from topic_modeling_ajin_spark.operators import unigram_lm
+
+    rules.append(
+        {
+            "id": "f_unigram",
+            "kind": "fragment",
+            "needle": unigram_lm._sql_unigram(),
+            "exports": ["seg2", "p0set", "c2", "meta2"],
+        }
+    )
     rules.append(
         {
             "id": "f_cc",

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "topic_modeling_ajin_spark.operators.encoding",
     "topic_modeling_ajin_spark.operators.text_analysis",
     "topic_modeling_ajin_spark.operators.bpe",
+    "topic_modeling_ajin_spark.operators.unigram_lm",
     "topic_modeling_ajin_spark.operators.quality_model",
     "topic_modeling_ajin_spark.operators.topics",
     "topic_modeling_ajin_spark.operators.clustering",
