@@ -57,6 +57,8 @@ EMPTY_SAFE = (
     "mixture_temperature_plan",
     "unigram_lm_vocab",
     "unigram_lm_segment",
+    "unigram_token_counts",
+    "domain_cap_salted",
 )
 # Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
 # NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ

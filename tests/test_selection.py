@@ -212,3 +212,17 @@ def test_simplified_silhouette_matches_numpy(spark, sf_dir):
     for c, (n, tot) in sums.items():
         assert out[c]["n_members"] == n
         assert abs(out[c]["mean_silhouette"] - tot / n) < 1e-6
+
+
+def test_domain_cap_salted_parity(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.selection import (
+        q_domain_cap_salted,
+    )
+
+    base = sorted(
+        map(tuple, q_domain_cap_sample(spark, sf_dir).collect())
+    )
+    salted = sorted(
+        map(tuple, q_domain_cap_salted(spark, sf_dir).collect())
+    )
+    assert salted == base

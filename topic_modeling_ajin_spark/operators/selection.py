@@ -107,6 +107,61 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP_SALTS = 8  # phase-1 parallelism of the salted variant
+
+
+@register(
+    "domain_cap_salted",
+    sql=f"""
+WITH q AS (
+    SELECT m.doc_id, d.source, m.quality
+    FROM ({REGISTRY["quality_score"].sql}) m
+    JOIN documents d ON d.doc_id = m.doc_id
+),
+r AS (
+    SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality DESC, doc_id) AS rk
+    FROM q
+)
+SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {DOMAIN_CAP}
+""",
+    tags=("selection", "curation", "scale"),
+)
+def q_domain_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-domain-safe twin of ``domain_cap_sample``: identical output
+    (the oracle IS the single-window definition), different physical plan.
+    Phase 1 ranks within (source, doc_id % {DOMAIN_CAP_SALTS}) — a domain
+    holding half the corpus sorts as {DOMAIN_CAP_SALTS} bounded partitions
+    instead of one giant one — and keeps each salt-group's top-{DOMAIN_CAP}.
+    Phase 2 re-ranks only the survivors (<= {DOMAIN_CAP} x
+    {DOMAIN_CAP_SALTS} rows per source). Exact by dominance: every global
+    top-{DOMAIN_CAP} doc is also in its salt-group's top-{DOMAIN_CAP}, and
+    every doc ranked above a survivor survives too, so phase-2 ranks equal
+    the global ranks. Parity with the one-window variant is pinned in
+    tests."""
+    e = TA.quality_exprs()
+    q = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.round(e["quality"], 6).alias("quality")
+    )
+    salt = (F.col("doc_id") % DOMAIN_CAP_SALTS).alias("salt")
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    survivors = (
+        q.withColumn("salt", salt)
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= DOMAIN_CAP)
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "quality", "rk")
+    )
+
+
 # --------------------------------------------- DSIR importance resampling
 
 DSIR_BUCKETS = 256  # hashed-ngram feature buckets (paper: 10k at web scale)

@@ -420,3 +420,76 @@ def q_unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("n_pieces")) / F.sum("cnt"), 6
         ).alias("fertility"),
     )
+
+
+_SQL_UDW = r"""
+udw AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                  '[^a-z0-9가-힣]+'), w -> w <> '')) AS word
+    FROM documents
+)"""
+
+
+@register(
+    "unigram_token_counts",
+    sql=f"""
+WITH {_sql_unigram()},
+{_SQL_UDW},
+agg AS (
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN s.n_pieces IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skipped,
+           CAST(sum(coalesce(s.n_pieces, 0)) AS BIGINT) AS n_uni_tokens
+    FROM udw w LEFT JOIN seg2 s ON s.word = w.word
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_skipped, 0) AS BIGINT) AS n_skipped,
+       CAST(coalesce(a.n_uni_tokens, 0) AS BIGINT) AS n_uni_tokens
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+    tags=("tokenizer", "tokenize", "scale"),
+)
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the CORPUS with the trained unigram LM: per document, word
+    count and trained-piece count — the ``bpe_token_counts`` counterpart.
+    Unlike BPE, the unigram trainer caps words at {UNI_MAXW} chars, so
+    over-cap words are counted in ``n_skipped`` rather than silently
+    dropped (a real pipeline routes them to a byte-fallback); token-less
+    documents report zeros on both engines.
+
+    Scale shape: the segment table is |V| rows and broadcasts; the corpus
+    side pays one explode + one doc_id re-aggregate — the same plan as
+    every tokenize pass."""
+    from ..functions import text as TX
+
+    _final, seg = unigram_fit(spark, sf_dir)
+    pieces = seg.select("word", "n_pieces")
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(TX.word_tokens("text")).alias("word")
+    )
+    agg = (
+        words.join(F.broadcast(pieces), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.when(F.col("n_pieces").isNull(), 1).otherwise(0)
+            ).alias("n_skipped"),
+            F.sum(F.coalesce("n_pieces", F.lit(0))).alias("n_uni_tokens"),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_skipped", F.lit(0)).cast("long").alias("n_skipped"),
+            F.coalesce("n_uni_tokens", F.lit(0)).cast("long").alias("n_uni_tokens"),
+        )
+    )
