@@ -85,3 +85,33 @@ def test_mixture_temperature_plan_properties(spark, sf_dir):
     ts = sum(math.sqrt(r["n_docs"]) for r in rows)
     for r in rows:
         assert abs(r["temp_share"] - math.sqrt(r["n_docs"]) / ts) < 1e-6
+
+
+def test_semdedup_recall_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from topic_modeling_ajin_spark.operators.clustering import lloyd_fit
+    from topic_modeling_ajin_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        q_semdedup_recall_eval,
+    )
+
+    assigned, _ = lloyd_fit(spark, sf_dir)
+    rows = assigned.collect()
+    emb = {r["vec_id"]: np.array(r["emb"], dtype=np.float64) for r in rows}
+    cluster = {r["vec_id"]: r["cluster"] for r in rows}
+    ids = sorted(emb)
+    n_true = n_buck = 0
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1 :]:
+            a, b = emb[va], emb[vb]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if round(cos, 6) > SEMDEDUP_TAU:
+                n_true += 1
+                if cluster[va] == cluster[vb]:
+                    n_buck += 1
+    row = q_semdedup_recall_eval(spark, sf_dir).collect()[0]
+    assert row["n_true_pairs"] == n_true
+    assert row["n_bucketed_pairs"] == n_buck
+    expected = round(n_buck / n_true, 6) if n_true else 1.0
+    assert abs(row["recall"] - expected) < 1e-9

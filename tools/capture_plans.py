@@ -115,6 +115,28 @@ SELECTED = (
         "DEPTH x WIDTH cells before the exchange — and the bounded "
         "sketch broadcasts into the probe join.",
     ),
+    (
+        "dsir_select",
+        "DSIR resampling: the bucket-bounded weight table enters scoring "
+        "as a `BroadcastHashJoin`; the Gumbel top-k is "
+        "`TakeOrderedAndProject` (per-partition heaps), and only the "
+        "K survivors pay the single-partition rank window.",
+    ),
+    (
+        "source_js_divergence",
+        "Pairwise source JSD: ONE map-side-combined (source, word) count "
+        "is the only corpus-scaled exchange; the vocab cut broadcasts "
+        "back, and the pair self-join shuffles the vocab x sources table "
+        "on the word key — bounded regardless of corpus size.",
+    ),
+    (
+        "domain_cap_salted",
+        "Hot-domain-safe per-domain cap: phase 1 windows on "
+        "(source, salt) so no single domain forms one giant sort "
+        "partition; phase 2 re-ranks only cap x salts survivors. "
+        "`WindowGroupLimit` prunes both phases to their top-k before "
+        "the full window evaluates.",
+    ),
 )
 
 

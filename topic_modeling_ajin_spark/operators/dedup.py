@@ -996,3 +996,79 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_true > 0, F.sum(hit) / n_true).otherwise(0.0), 6
         ).alias("recall"),
     )
+
+
+def _semdedup_recall_sql() -> str:
+    from .clustering import LLOYD_ITERS, LLOYD_K, _sql_lloyd
+
+    return f"""
+WITH {_sql_lloyd(LLOYD_K, LLOYD_ITERS)},
+v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+),
+tp AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_TAU}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(CASE WHEN x.cluster = y.cluster THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bucketed_pairs,
+       round(CASE WHEN count(*) > 0
+                  THEN sum(CASE WHEN x.cluster = y.cluster
+                                THEN 1 ELSE 0 END) * 1.0 / count(*)
+                  ELSE 1.0 END, 6) AS recall
+FROM tp t
+JOIN a{LLOYD_ITERS} x ON x.vec_id = t.va
+JOIN a{LLOYD_ITERS} y ON y.vec_id = t.vb
+"""
+
+
+@register(
+    "semdedup_recall_eval",
+    sql=_semdedup_recall_sql(),
+    tags=("dedup", "similarity", "eval"),
+)
+def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup bucketing-recall harness: what fraction of ALL cosine >
+    tau pairs fall inside one coarse cluster — i.e. are even VISIBLE to
+    the cluster-bucketed dominance stage? This measures the recall cost
+    of the paper's k-means bucketing directly (the r5 verdict's concern
+    with k: too-coarse k wastes pair budget, too-fine k splits duplicate
+    neighborhoods and recall drops), completing the eval trio next to
+    ``ivf_recall_eval`` and ``lsh_recall_eval``.
+
+    The truth side is the brute-force all-pairs cosine — the GROUND
+    TRUTH, not a serving path: at 100 TB it runs on a sampled slice,
+    exactly like the ANN harness's exact side. Same 6-dp rounded cosine
+    grid as ``semantic_dedup`` itself, so the pair sets are the ones the
+    operator actually reasons about."""
+    from ..functions import vectors as V
+    from .clustering import _points, lloyd_assignments
+
+    pts = _points(spark, sf_dir)
+    a = pts.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = pts.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    tp = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(
+            F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > SEMDEDUP_TAU
+        )
+        .select("va", "vb")
+    )
+    asg = lloyd_assignments(spark, sf_dir).select("vec_id", "cluster")
+    j = (
+        tp.join(asg.select(F.col("vec_id").alias("va"), F.col("cluster").alias("ca")), "va")
+        .join(asg.select(F.col("vec_id").alias("vb"), F.col("cluster").alias("cb")), "vb")
+    )
+    same = F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        F.sum(same).cast("bigint").alias("n_bucketed_pairs"),
+        F.round(
+            F.when(F.count("*") > 0, F.sum(same) / F.count("*")).otherwise(1.0),
+            6,
+        ).alias("recall"),
+    )
