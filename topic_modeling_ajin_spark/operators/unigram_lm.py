@@ -493,3 +493,66 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_uni_tokens", F.lit(0)).cast("long").alias("n_uni_tokens"),
         )
     )
+
+
+def _tokenizer_compare_sql() -> str:
+    from ..registry import REGISTRY
+    from . import bpe as _bpe  # noqa: F401  (ensures bpe queries registered)
+
+    bpe_counts = REGISTRY["bpe_token_counts"].sql
+    uni_fert = REGISTRY["unigram_lm_fertility"].sql
+    return f"""
+WITH bt AS ({bpe_counts}),
+ut AS ({uni_fert})
+SELECT 'bpe' AS tokenizer,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+       round(CASE WHEN sum(n_words) > 0
+                  THEN sum(n_bpe_tokens) * 1.0 / sum(n_words)
+                  ELSE 0 END, 6) AS fertility
+FROM bt
+UNION ALL
+SELECT 'unigram' AS tokenizer,
+       n_words, n_pieces AS n_tokens, fertility
+FROM ut
+"""
+
+
+@register(
+    "tokenizer_compare",
+    sql=_tokenizer_compare_sql(),
+    tags=("tokenizer", "eval"),
+)
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level fertility of the two trained tokenizers side by side —
+    the table an engineer reads to pick the tokenizer (fewer pieces per
+    word = cheaper training sequences at the same vocab budget). Composes
+    the two registered training chains verbatim; note the unigram side
+    counts {UNI_MAXW}-capped words only (its trainer's documented word
+    policy), the BPE side counts every word."""
+    from .bpe import bpe_doc_lengths
+
+    bt = (
+        spark.createDataFrame([("bpe",)], "tokenizer string")
+        .crossJoin(
+            bpe_doc_lengths(spark, sf_dir)
+            .agg(
+                F.sum("n_words").cast("bigint").alias("n_words"),
+                F.sum("n_bpe").cast("bigint").alias("n_tokens"),
+                F.round(
+                    F.when(
+                        F.sum("n_words") > 0,
+                        F.sum("n_bpe") / F.sum("n_words"),
+                    ).otherwise(0.0),
+                    6,
+                ).alias("fertility"),
+            )
+        )
+    )
+    ut = q_unigram_lm_fertility(spark, sf_dir).select(
+        F.lit("unigram").alias("tokenizer"),
+        "n_words",
+        F.col("n_pieces").alias("n_tokens"),
+        "fertility",
+    )
+    return bt.union(ut)
