@@ -117,3 +117,25 @@ def test_unigram_fertility_consistent_with_segmentation(spark, sf_dir):
     assert abs(row["fertility"] - round(n_pieces / n_words, 6)) < 1e-9
     # a subword tokenizer never emits more pieces than characters
     assert all(r["n_pieces"] <= len(r["word"]) for r in seg)
+
+
+def test_tokenizer_compare_composes_both_chains(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.bpe import bpe_doc_lengths
+    from topic_modeling_ajin_spark.operators.unigram_lm import (
+        q_tokenizer_compare,
+    )
+
+    rows = {r["tokenizer"]: r for r in q_tokenizer_compare(spark, sf_dir).collect()}
+    assert set(rows) == {"bpe", "unigram"}
+    lens = bpe_doc_lengths(spark, sf_dir).collect()
+    n_words = sum(r["n_words"] for r in lens)
+    n_bpe = sum(r["n_bpe"] for r in lens)
+    assert rows["bpe"]["n_words"] == n_words
+    assert rows["bpe"]["n_tokens"] == n_bpe
+    fert = q_unigram_lm_fertility(spark, sf_dir).collect()[0]
+    assert rows["unigram"]["n_words"] == fert["n_words"]
+    assert rows["unigram"]["n_tokens"] == fert["n_pieces"]
+    # a trained subword tokenizer emits at least one piece per word
+    for r in rows.values():
+        assert r["n_tokens"] >= r["n_words"]
+        assert r["fertility"] >= 1.0
