@@ -59,6 +59,7 @@ EMPTY_SAFE = (
     "unigram_lm_segment",
     "unigram_token_counts",
     "domain_cap_salted",
+    "pack_sequences_unigram",
 )
 # Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
 # NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ

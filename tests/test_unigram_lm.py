@@ -139,3 +139,53 @@ def test_tokenizer_compare_composes_both_chains(spark, sf_dir):
     for r in rows.values():
         assert r["n_tokens"] >= r["n_words"]
         assert r["fertility"] >= 1.0
+
+
+# ------- Viterbi optimality: DP == exhaustive search (no Spark needed)
+
+
+def _all_segmentations(word, pieces):
+    if not word:
+        yield []
+        return
+    for l in range(1, min(UNI_MAXPIECE, len(word)) + 1):  # noqa: E741
+        head = word[:l]
+        if head in pieces:
+            for rest in _all_segmentations(word[l:], pieces):
+                yield [head] + rest
+
+
+def test_viterbi_is_optimal_exhaustively():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from topic_modeling_ajin_spark.operators.unigram_lm import viterbi_path
+
+    alphabet = "abc"
+    words = st.text(alphabet, min_size=1, max_size=7)
+    pieces_st = st.dictionaries(
+        st.text(alphabet, min_size=1, max_size=UNI_MAXPIECE),
+        st.floats(min_value=-12.0, max_value=-0.1),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(word=words, extra=pieces_st)
+    def check(word, extra):
+        # alphabet always present so every word is segmentable (the
+        # trainer's invariant); hypothesis adds arbitrary multi-char
+        # pieces with arbitrary log-probs on top
+        lps = {c: -1.0 for c in alphabet}
+        lps.update(extra)
+        got = viterbi_path(word, lps)
+        best = min(
+            (
+                (-sum(lps[p] for p in segm), " ".join(segm))
+                for segm in _all_segmentations(word, lps)
+            ),
+            key=lambda t: (t[0], t[1]),
+        )
+        assert got == best[1], (word, got, best)
+
+    check()

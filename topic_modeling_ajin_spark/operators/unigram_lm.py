@@ -116,42 +116,45 @@ def _seed_pieces(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, float
     return sorted((r["piece"], int(r["n"]), float(r["lp"])) for r in rows)
 
 
+def viterbi_path(word: str, pieces: dict[str, float]) -> str:
+    """Best segmentation of ``word`` under piece log-probs: minimize total
+    cost (sum of -lp), ties to the lexicographically-smallest segmentation
+    string. dp[j] = min over i in [j-{UNI_MAXPIECE}, j) with word[i:j] in
+    the inventory of (dp_cost[i] - lp, dp_seg[i] + ' ' + piece), compared
+    as the (cost, seg) tuple — the exact recursion the oracle unrolls per
+    position. Returns '' when the word is unsegmentable (cannot happen
+    for corpus words: the inventory contains their full alphabet)."""
+    L = len(word)
+    dp: list[tuple[float, str] | None] = [None] * (L + 1)
+    dp[0] = (0.0, "")
+    for j in range(1, L + 1):
+        best = None
+        for i in range(max(0, j - UNI_MAXPIECE), j):
+            if dp[i] is None:
+                continue
+            lp = pieces.get(word[i:j])
+            if lp is None:
+                continue
+            c, s = dp[i]
+            cand = (c - lp, word[i:j] if s == "" else s + " " + word[i:j])
+            if best is None or cand < best:
+                best = cand
+        dp[j] = best
+    return dp[L][1] if dp[L] is not None else ""
+
+
 def _viterbi_segment(vocab: DataFrame, pieces: dict[str, float]) -> DataFrame:
-    """(word, cnt, seg, n_pieces): per-word Viterbi under the broadcast
-    piece log-probs. dp[j] = min over i in [j-{UNI_MAXPIECE}, j) with
-    word[i:j] in the inventory of (dp_cost[i] - lp, dp_seg[i] + ' ' +
-    piece), compared as the (cost, seg) tuple — the exact recursion the
-    oracle unrolls per position."""
-    import pandas as pd
+    """(word, cnt, seg, n_pieces): per-word ``viterbi_path`` over the
+    vocab table, Arrow-batched with the piece log-probs in the closure."""
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            segs, nps = [], []
-            for word in pdf["word"]:
-                L = len(word)
-                dp: list[tuple[float, str] | None] = [None] * (L + 1)
-                dp[0] = (0.0, "")
-                for j in range(1, L + 1):
-                    best = None
-                    for i in range(max(0, j - UNI_MAXPIECE), j):
-                        if dp[i] is None:
-                            continue
-                        lp = pieces.get(word[i:j])
-                        if lp is None:
-                            continue
-                        c, s = dp[i]
-                        cand = (c - lp, word[i:j] if s == "" else s + " " + word[i:j])
-                        if best is None or cand < best:
-                            best = cand
-                    dp[j] = best
-                seg = dp[L][1] if dp[L] is not None else ""
-                segs.append(seg)
-                nps.append(len(seg.split(" ")) if seg else 0)
+            segs = [viterbi_path(w, pieces) for w in pdf["word"]]
             out = pdf[["word", "cnt"]].copy()
             out["seg"] = segs
-            out["n_pieces"] = nps
+            out["n_pieces"] = [len(s.split(" ")) if s else 0 for s in segs]
             yield out
 
     return vocab.mapInPandas(
@@ -556,3 +559,48 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fertility",
     )
     return bt.union(ut)
+
+
+# ------------------------------------------ packing on unigram tokens
+
+UNI_PACK_BUDGET = 1024  # unigram pieces per training sequence
+
+
+def _uni_pack_sql() -> str:
+    from ..registry import REGISTRY
+
+    counts = REGISTRY["unigram_token_counts"].sql
+    return f"""
+WITH t AS ({counts}),
+c AS (
+    SELECT doc_id, n_uni_tokens AS n,
+           sum(n_uni_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT CAST(floor((cum - n) * 1.0 / {UNI_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+"""
+
+
+@register(
+    "pack_sequences_unigram",
+    sql=_uni_pack_sql(),
+    tags=("curation", "tokenize", "tokenizer", "scale"),
+)
+def q_pack_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted on trained UNIGRAM pieces — the
+    ``pack_sequences_bpe`` counterpart, so a pipeline can compare packing
+    efficiency under either tokenizer before committing to one. Same
+    two-phase distributed prefix sum (shared ``pack_manifest`` — no
+    global sort); each document's cost is its unigram piece count from
+    the broadcast segment table."""
+    from .curation import pack_manifest
+
+    d = q_unigram_token_counts(spark, sf_dir).select(
+        "doc_id", F.col("n_uni_tokens").alias("n")
+    )
+    return pack_manifest(d, UNI_PACK_BUDGET)
