@@ -175,3 +175,27 @@ def test_quality_panel_covers_all_docs_and_signals_agree(spark, sf_dir):
     assert all(-1.0 <= r <= 1.0 for r in rhos)
     assert a["rho_heuristic_model"] > 0.5
     assert a["n_docs"] <= n_docs
+
+
+def test_agreement_rhos_null_on_zero_variance(spark, sf_dir, tmp_path):
+    """Every doc identical -> zero rank variance in all three signals ->
+    Spearman is undefined: the guarded rhos must be NULL (not NaN, which
+    DuckDB's float division would emit and hash-mismatch)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        q_quality_panel_agreement,
+    )
+
+    deg = tmp_path / "sf_degenerate"
+    deg.mkdir()
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("text", F.lit("the same short text in every document"))
+        .write.parquet(str(deg / "documents.parquet"))
+    )
+    row = q_quality_panel_agreement(spark, str(deg)).collect()[0]
+    assert row["n_docs"] > 0
+    assert row["rho_heuristic_model"] is None
+    assert row["rho_heuristic_lm"] is None
+    assert row["rho_model_lm"] is None

@@ -790,3 +790,47 @@ def test_streaming_near_dup_requires_simhash_store(spark, tmp_path):
             str(tmp_path / "ck"),
             near_dup_hamming=2,
         )
+
+
+def test_streaming_near_dup_detects_mixed_schema_store(spark, tmp_path):
+    """A store holding BOTH legacy (fingerprint-only) and current
+    (fingerprint+simhash) partitions must fail loudly naming the legacy
+    ones — plain schema inference samples ONE file, so without
+    mergeSchema the outcome would flip nondeterministically between an
+    error and silently reading legacy rows as simhash=NULL (which never
+    band-matches, re-admitting every pre-upgrade near-dup)."""
+    import pytest as _pytest
+
+    from topic_modeling_ajin_spark.functions import hashing as H
+    from topic_modeling_ajin_spark.functions import text as TX
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    docs = spark.createDataFrame([(1, "mixed store doc")], schema)
+    docs.coalesce(1).write.mode("append").parquet(staging)
+
+    store = str(tmp_path / "store")
+    fp = H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+    # batch=0: legacy layout (no simhash column)
+    docs.select(fp).write.mode("overwrite").parquet(f"{store}/batch=0")
+    # batch=1: current layout
+    from pyspark.sql import functions as F
+
+    docs.select(fp, F.lit(7).cast("long").alias("simhash")).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch=1")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _pytest.raises(Exception, match="batch=0"):
+        ST.run_streaming_ingest_dedup(
+            spark,
+            stream,
+            store,
+            str(tmp_path / "corpus"),
+            str(tmp_path / "ck"),
+            near_dup_hamming=2,
+        )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -167,7 +168,14 @@ def _render_plan(plan: str) -> str:
     lines = plan.splitlines()
     if len(lines) <= MAX_PLAN_LINES:
         return plan
-    counts = {op: plan.count(op) for op in _SHAPE_OPS}
+    # whole-token matches only: bare substring counting would fold every
+    # BroadcastExchange into "Exchange" and WindowGroupLimit into
+    # "Window", overstating exactly the shuffle/sort counts these
+    # summaries exist to evidence
+    counts = {
+        op: len(re.findall(rf"(?<![A-Za-z]){re.escape(op)}(?![A-Za-z])", plan))
+        for op in _SHAPE_OPS
+    }
     shape = ", ".join(f"{op}×{n}" for op, n in counts.items() if n)
     return (
         "\n".join(lines[:MAX_PLAN_LINES])

@@ -37,12 +37,20 @@ ENCODER_MODEL = "paraphrase-multilingual-MiniLM-L12-v2"  # sbert default
 
 _ENCODER = None
 _ENCODER_KIND: str | None = None
+_LOAD_FAILURES = 0
+# after this many consecutive non-ImportError load failures the worker
+# caches the hash fallback: a DETERMINISTIC breakage (e.g. OSError from a
+# half-installed torch at import time — which Python does NOT cache in
+# sys.modules) would otherwise re-pay a multi-second failed import plus a
+# warning on EVERY batch for the job's lifetime, while a genuinely
+# transient hiccup gets this many retries before the worker gives up
+_MAX_LOAD_RETRIES = 3
 
 
 def _get_encoder():
     """Per-executor lazy init (the ``morph.py`` pattern): first call in
     each Python worker pays the model load; later batches reuse it."""
-    global _ENCODER, _ENCODER_KIND
+    global _ENCODER, _ENCODER_KIND, _LOAD_FAILURES
     if _ENCODER_KIND is None:
         try:
             from sentence_transformers import SentenceTransformer
@@ -62,20 +70,33 @@ def _get_encoder():
             # this worker to 16-dim hash vectors while healthy workers
             # emit 384-dim sbert vectors — silently mixing embedding
             # spaces in one column (r5 advice). So: fall back for THIS
-            # batch only (don't cache → next batch retries the load) and
-            # warn loudly to the executor log so the mixed-space risk is
-            # detectable instead of silent.
+            # batch only (don't cache → next batch retries the load,
+            # up to {_MAX_LOAD_RETRIES} — then cache, because the
+            # failure is evidently deterministic and endless re-imports
+            # would tax every remaining batch) and warn loudly to the
+            # executor log so the mixed-space risk is detectable
+            # instead of silent.
             import sys
 
+            _LOAD_FAILURES += 1
+            give_up = _LOAD_FAILURES >= _MAX_LOAD_RETRIES
             print(
                 "topic_modeling_ajin_spark.encoder: sentence_transformers "
                 f"is installed but the model load failed ({type(e).__name__}: "
-                f"{e}); falling back to hash embeddings for this batch and "
-                "retrying on the next. If any batch succeeded elsewhere, "
-                "this job's embedding column MIXES spaces — re-run it.",
+                f"{e}); falling back to hash embeddings for this batch "
+                + (
+                    f"and giving up after {_LOAD_FAILURES} attempts."
+                    if give_up
+                    else "and retrying on the next."
+                )
+                + " If any batch succeeded elsewhere, this job's embedding "
+                "column MIXES spaces — re-run it.",
                 file=sys.stderr,
                 flush=True,
             )
+            if give_up:
+                _ENCODER = None
+                _ENCODER_KIND = "hash"
             return None, "hash"
     return _ENCODER, _ENCODER_KIND
 

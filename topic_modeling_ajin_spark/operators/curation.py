@@ -35,18 +35,12 @@ FROM documents
 """
 
 
-def _md5_u32_sql(expr: str) -> str:
-    """DuckDB twin of ``F.conv(substring(md5(expr), 1, 8), 16, 10)``:
-    nibble-parse the first 8 hex chars of md5 into a bigint in [0, 2^32)."""
-    h = f"md5({expr})"
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-
-
-def _md5_u32(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+# canonical md5-u32 pair lives in functions/hashing.py — one definition
+# per engine so the hash convention can never diverge between modules
+# (the generated SQL text is byte-identical, so registered oracles are
+# unchanged)
+from ..functions.hashing import md5_base32 as _md5_u32  # noqa: E402
+from ..functions.hashing import sql_md5_base32 as _md5_u32_sql  # noqa: E402
 
 
 # --------------------------------------------------------- sequence packing
@@ -885,6 +879,11 @@ def staged_manifest(
 # ------------------------------------- temperature-scaled mixture shares
 
 MIX_TEMPERATURE = 2.0  # share ∝ n^(1/T); T=2 is the common multilingual pick
+# T=2 is STRUCTURAL, not tunable here: both engines compute the share as
+# sqrt(n) — IEEE correctly-rounded, which pow(n, 1/T) is not, and the
+# cross-engine exactness of the oracle rides on that. A different T needs
+# a pow-based variant with its own rounding analysis.
+assert MIX_TEMPERATURE == 2.0, "mixture_temperature_plan hardcodes sqrt (T=2)"
 
 
 @register(

@@ -135,6 +135,12 @@ def fit_quality_weights(feats: DataFrame, iters: int = QM_ITERS) -> list:
     feats = feats.persist()
     n = feats.count()
     w = [0.0] * QM_DIM
+    if n == 0:
+        # empty corpus: the 1-row aggregate returns NULL sums — degrade
+        # to zero weights (the pre-r6 posexplode form's behavior, which
+        # downstream empty-input sweeps rely on) instead of a TypeError
+        feats.unpersist()
+        return w
     for _ in range(iters):
         g = gradient_frame(feats, w).collect()[0]
         grad = [g[f"g{d}"] / n for d in range(QM_DIM)]
@@ -499,12 +505,18 @@ s AS (
     FROM r
 )
 SELECT CAST(n AS BIGINT) AS n_docs,
-       round((n * sqm - sq * sm)
-             / sqrt((n * sqq - sq * sq) * (n * smm - sm * sm)), 6) AS rho_heuristic_model,
-       round((n * sqp - sq * sp)
-             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6) AS rho_heuristic_lm,
-       round((n * smp - sm * sp)
-             / sqrt((n * smm - sm * sm) * (n * spp - sp * sp)), 6) AS rho_model_lm
+       CASE WHEN (n * sqq - sq * sq) * (n * smm - sm * sm) > 0
+            THEN round((n * sqm - sq * sm)
+                 / sqrt((n * sqq - sq * sq) * (n * smm - sm * sm)), 6)
+       END AS rho_heuristic_model,
+       CASE WHEN (n * sqq - sq * sq) * (n * spp - sp * sp) > 0
+            THEN round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+       END AS rho_heuristic_lm,
+       CASE WHEN (n * smm - sm * sm) * (n * spp - sp * sp) > 0
+            THEN round((n * smp - sm * sp)
+                 / sqrt((n * smm - sm * sm) * (n * spp - sp * sp)), 6)
+       END AS rho_model_lm
 FROM s
 """,
     tags=("text_analysis", "quality", "stats"),
@@ -559,15 +571,24 @@ def q_quality_panel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sq, sm, sp = (F.col(c) for c in ("n", "sq", "sm", "sp"))
     sqq, smm, spp = (F.col(c) for c in ("sqq", "smm", "spp"))
     sqm, sqp, smp = (F.col(c) for c in ("sqm", "sqp", "smp"))
+
+    # a signal with zero rank variance (constant column, or n == 1) has
+    # no defined Spearman rho: emit NULL identically on both engines —
+    # unguarded, DuckDB's float division yields NaN where Spark yields
+    # NULL and the oracle hash would diverge on degenerate corpora
+    def rho(cov, var1, var2) -> F.Column:
+        denom2 = var1 * var2
+        return F.when(denom2 > 0, F.round(cov / F.sqrt(denom2), 6))
+
     return s.select(
         n.cast("bigint").alias("n_docs"),
-        F.round(
-            (n * sqm - sq * sm) / F.sqrt((n * sqq - sq * sq) * (n * smm - sm * sm)), 6
-        ).alias("rho_heuristic_model"),
-        F.round(
-            (n * sqp - sq * sp) / F.sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6
-        ).alias("rho_heuristic_lm"),
-        F.round(
-            (n * smp - sm * sp) / F.sqrt((n * smm - sm * sm) * (n * spp - sp * sp)), 6
-        ).alias("rho_model_lm"),
+        rho(n * sqm - sq * sm, n * sqq - sq * sq, n * smm - sm * sm).alias(
+            "rho_heuristic_model"
+        ),
+        rho(n * sqp - sq * sp, n * sqq - sq * sq, n * spp - sp * sp).alias(
+            "rho_heuristic_lm"
+        ),
+        rho(n * smp - sm * sp, n * smm - sm * sm, n * spp - sp * sp).alias(
+            "rho_model_lm"
+        ),
     )

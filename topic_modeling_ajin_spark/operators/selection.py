@@ -43,17 +43,10 @@ FROM documents
 """
 
 
-def _md5_u32_sql(expr: str) -> str:
-    """DuckDB twin of ``F.conv(substring(md5(expr), 1, 8), 16, 10)``."""
-    h = f"md5({expr})"
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-
-
-def _md5_u32(col) -> F.Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+# canonical md5-u32 pair lives in functions/hashing.py — one definition
+# per engine so the hash convention can never diverge between modules
+from ..functions.hashing import md5_base32 as _md5_u32  # noqa: E402
+from ..functions.hashing import sql_md5_base32 as _md5_u32_sql  # noqa: E402
 
 
 # ------------------------------------------------------------- domain caps

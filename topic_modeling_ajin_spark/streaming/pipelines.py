@@ -589,19 +589,37 @@ def run_streaming_ingest_dedup(
                     "previously seen document)"
                 )
             if committed:
+                # mergeSchema: without it Spark infers the store schema
+                # from ONE sampled data file, so a store holding a mix of
+                # legacy (fingerprint-only) and current (with simhash)
+                # batches nondeterministically either errors or silently
+                # reads legacy rows as simhash=NULL — and NULL never
+                # band-matches, re-admitting every pre-upgrade near-dup.
+                # The merged schema is stable; the per-batch-dir check
+                # below then names the legacy partitions explicitly.
                 store = (
                     spark.read.option("basePath", store_dir)
+                    .option("mergeSchema", "true")
                     .parquet(store_dir)
                     .filter(F.col("batch") < F.lit(batch_id))
                 )
-                if near_dup_hamming is not None and "simhash" not in store.columns:
-                    raise ValueError(
-                        f"near-dup gate requested but the store at "
-                        f"{store_dir} has no simhash column (legacy "
-                        "fingerprint-only layout) — rebuild the store or "
-                        "run without near_dup_hamming; silently skipping "
-                        "the check would re-admit every near-duplicate"
-                    )
+                if near_dup_hamming is not None:
+                    legacy = [
+                        c
+                        for c in committed
+                        if "simhash"
+                        not in spark.read.parquet(f"{store_dir}/{c}").columns
+                    ]
+                    if legacy or "simhash" not in store.columns:
+                        raise ValueError(
+                            f"near-dup gate requested but the store at "
+                            f"{store_dir} has partitions without a "
+                            f"simhash column {sorted(legacy)[:5]} (legacy "
+                            "fingerprint-only layout) — rebuild the store "
+                            "or run without near_dup_hamming; silently "
+                            "skipping the check would re-admit every "
+                            "near-duplicate"
+                        )
             else:
                 store = None
         else:
