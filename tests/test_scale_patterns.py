@@ -154,3 +154,45 @@ def test_manifest_discard_side_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti" in plan and "BroadcastExchange" in plan
     ), plan[:800]
+
+
+def test_manifest_scans_persisted_filter_report(spark, sf_dir):
+    """The round-6 perf fix pinned: the manifest's keep-filter must read
+    the persisted verdict table (InMemoryTableScan), not re-inline the
+    staged token/ngram expression tree into the filter — losing the
+    persist cost 113 s of 139 at sf0.1."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_training_corpus_manifest,
+    )
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_curation_filter_report,
+    )
+
+    q_curation_filter_report(spark, sf_dir)  # builds + registers the memo
+    df = q_training_corpus_manifest(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_dsir_select_topk_and_broadcast_weights(spark, sf_dir):
+    """DSIR resampling's global top-k must be TakeOrderedAndProject
+    (per-partition heaps) and the bucket-weight table must broadcast —
+    never a corpus-wide sort or a shuffled join on the weight side."""
+    from topic_modeling_ajin_spark.operators.selection import q_dsir_select
+
+    df = q_dsir_select(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_js_divergence_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary cut re-enters the per-source counts as a broadcast
+    join; the only corpus-scaled exchange is the (source, word) count."""
+    from topic_modeling_ajin_spark.operators.selection import (
+        q_source_js_divergence,
+    )
+
+    df = q_source_js_divergence(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
