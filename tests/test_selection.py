@@ -226,3 +226,31 @@ def test_domain_cap_salted_parity(spark, sf_dir):
         map(tuple, q_domain_cap_salted(spark, sf_dir).collect())
     )
     assert salted == base
+
+
+def test_curated_dsir_select_is_topk_within_manifest(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_training_corpus_manifest,
+    )
+    from topic_modeling_ajin_spark.operators.selection import (
+        q_curated_dsir_select,
+    )
+
+    curated = {r["doc_id"] for r in q_training_corpus_manifest(spark, sf_dir).collect()}
+    lw = {
+        r["doc_id"]: r["log_w"]
+        for r in q_dsir_logweights(spark, sf_dir).collect()
+        if r["doc_id"] in curated
+    }
+    scored = sorted(
+        (
+            -(w - math.log(-math.log((_md5_u32(f"dsir{d}") + 0.5) / 4294967296.0))),
+            d,
+        )
+        for d, w in lw.items()
+    )
+    expected = [d for _, d in scored[: min(DSIR_SELECT_K, len(scored))]]
+    out = q_curated_dsir_select(spark, sf_dir).orderBy("rk").collect()
+    assert [r["doc_id"] for r in out] == expected
+    assert all(r["doc_id"] in curated for r in out)
+    assert [r["rk"] for r in out] == list(range(1, len(out) + 1))

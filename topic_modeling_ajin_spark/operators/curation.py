@@ -930,3 +930,18 @@ def q_mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tmp, 6).alias("temp_share"),
         F.round(tmp / nat, 6).alias("upsample_factor"),
     )
+
+
+# registered here (not in selection.py): the oracle composes the manifest
+# SQL, which only exists once this module's registrations have run
+def _register_curated_dsir() -> None:
+    from .selection import _curated_dsir_sql, q_curated_dsir_select
+
+    register(
+        "curated_dsir_select",
+        sql=_curated_dsir_sql(),
+        tags=("selection", "curation", "scale"),
+    )(q_curated_dsir_select)
+
+
+_register_curated_dsir()

@@ -472,3 +472,58 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd"),
     )
+
+
+def _curated_dsir_sql() -> str:
+    # late-bound: the manifest registers in curation.py, which imports
+    # after this module in load_all order — so resolve at call time and
+    # register this query from curation.py's module tail instead of here
+    from ..registry import REGISTRY
+
+    lw = REGISTRY["dsir_logweights"].sql
+    manifest = REGISTRY["training_corpus_manifest"].sql
+    return f"""
+WITH lw AS ({lw}),
+m AS ({manifest}),
+g AS (
+    SELECT m.doc_id, m.lang, m.quality, m.n_bpe_tokens, lw.log_w,
+           lw.log_w - ln(-ln((({_md5_u32_sql("'dsir' || CAST(m.doc_id AS VARCHAR)")}) + 0.5)
+                          / 4294967296.0)) AS score
+    FROM m JOIN lw ON lw.doc_id = m.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+       doc_id, lang, quality, n_bpe_tokens, log_w, round(score, 6) AS score
+FROM g
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= {DSIR_SELECT_K}
+"""
+
+
+def q_curated_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate THEN select — the order a real pipeline ships: restrict the
+    DSIR Gumbel top-{DSIR_SELECT_K} to documents that survived the full
+    curation manifest (rule stack, exact/near/semantic dedup, mixture),
+    carrying the manifest's lang/quality/BPE-token columns so the output
+    IS a training-set spec. Composes the two registered chains verbatim;
+    the top-k is TakeOrderedAndProject over the (tiny) curated join."""
+    from .curation import q_training_corpus_manifest
+
+    lw = q_dsir_logweights(spark, sf_dir)
+    m = q_training_corpus_manifest(spark, sf_dir)
+    u = (
+        _md5_u32(F.concat(F.lit("dsir"), F.col("doc_id").cast("string")))
+        + 0.5
+    ) / F.lit(4294967296.0)
+    g = m.join(lw.select("doc_id", "log_w"), "doc_id").withColumn(
+        "score", F.col("log_w") - F.log(-F.log(u))
+    )
+    topk = g.orderBy(F.desc("score"), F.asc("doc_id")).limit(DSIR_SELECT_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "doc_id",
+        "lang",
+        "quality",
+        "n_bpe_tokens",
+        "log_w",
+        F.round("score", 6).alias("score"),
+    )
