@@ -1,0 +1,145 @@
+"""BM25 and winnowing invariants: a pure-Python replay of BM25 on the
+fixture corpus must reproduce Spark's ranking, and winnowing must honor
+the Schleimer/Wilkerson/Aiken guarantee (every shared token run of
+length >= k + w - 1 yields a shared fingerprint) on planted passages."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import re
+
+from topic_modeling_ajin_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    BM25_N_QUERIES,
+    BM25_TOP_K,
+    WINNOW_K,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
+    q_bm25_topk,
+    q_winnowing_fingerprints,
+    q_winnowing_overlap_pairs,
+)
+
+_TOK = re.compile(r"[^a-z0-9가-힣]+")
+
+
+def _toks(text):
+    return [w for w in _TOK.split((text or "").lower()) if w]
+
+
+def _load_docs(spark, sf_dir):
+    return {
+        r["doc_id"]: _toks(r["text"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+
+def test_bm25_matches_pure_python_replay(spark, sf_dir):
+    docs = _load_docs(spark, sf_dir)
+    n_docs = len(docs)
+    total = sum(len(t) for t in docs.values())
+    avgdl = total * 1.0 / n_docs
+    tf = {d: Counter(t) for d, t in docs.items()}
+    qterms = {
+        q: set(tf[q]) for q in docs if q < BM25_N_QUERIES and tf[q]
+    }
+    all_q = set().union(*qterms.values())
+    df = {t: sum(1 for d in docs if t in tf[d]) for t in all_q}
+    idf = {t: math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1) for t in df}
+
+    def score(q, d):
+        s = Decimal(0)
+        for t in qterms[q]:
+            f = tf[d].get(t)
+            if not f:
+                continue
+            contrib = idf[t] * (
+                f * (1 + BM25_K1)
+                / (f + BM25_K1 * (1 - BM25_B + BM25_B * len(docs[d]) / avgdl))
+            )
+            s += Decimal(repr(round(contrib, 6))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        return s
+
+    expected = {}
+    for q in qterms:
+        cands = [
+            d for d in docs if d != q and any(t in tf[d] for t in qterms[q])
+        ]
+        ranked = sorted(cands, key=lambda d: (-score(q, d), d))[:BM25_TOP_K]
+        expected[q] = [(d, score(q, d)) for d in ranked]
+
+    got = {}
+    for r in q_bm25_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["bm25"])
+        )
+    assert set(got) == set(expected)
+    for q, rows in got.items():
+        rows.sort()
+        assert [d for _, d, _ in rows] == [d for d, _ in expected[q]]
+        for (_, _, spark_score), (_, py_score) in zip(rows, expected[q]):
+            assert abs(spark_score - float(py_score)) < 1e-9
+
+
+def _py_winnow(toks):
+    """Reference winnowing: distinct min-hash per full window."""
+    if len(toks) < WINNOW_K:
+        return set()
+    grams = [
+        " ".join(toks[i : i + WINNOW_K])
+        for i in range(len(toks) - WINNOW_K + 1)
+    ]
+    hashes = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) for g in grams
+    ]
+    return {
+        min(hashes[i : i + WINNOW_W])
+        for i in range(len(hashes) - WINNOW_W + 1)
+    }
+
+
+def test_winnowing_matches_reference_impl(spark, sf_dir):
+    docs = _load_docs(spark, sf_dir)
+    expected = {d: _py_winnow(t) for d, t in docs.items()}
+    got = {
+        r["doc_id"]: r
+        for r in q_winnowing_fingerprints(spark, sf_dir).collect()
+    }
+    assert set(got) == {d for d, fps in expected.items() if fps}
+    for d, r in got.items():
+        assert r["n_fingerprints"] == len(expected[d])
+        assert r["min_fp"] == min(expected[d])
+        assert r["max_fp"] == max(expected[d])
+
+
+def test_winnowing_guarantee_on_planted_passage(spark, tmp_path):
+    """Two docs sharing a >= k+w-1 token run MUST share a fingerprint;
+    the overlap-pairs query must surface them when the run is long enough
+    to produce WINNOW_MIN_SHARED distinct shared fingerprints."""
+    passage = " ".join(f"shared{i}" for i in range(40))  # >> k+w-1 = 7
+    rows = [
+        (0, f"alpha beta gamma {passage} delta epsilon"),
+        (1, f"one two three four five six seven {passage} eight nine"),
+        (2, "totally unrelated words nothing in common here at all"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in q_winnowing_overlap_pairs(spark, str(d)).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] >= WINNOW_MIN_SHARED
+    assert not any(2 in p for p in pairs)
+    # and the planted overlap matches the pure-python reference count
+    shared = _py_winnow(_toks(rows[0][1])) & _py_winnow(_toks(rows[1][1]))
+    assert pairs[(0, 1)] == len(shared)

@@ -1,0 +1,364 @@
+"""Lexical retrieval and document fingerprinting over ``documents``.
+
+The reference finds "representative documents" by embedding-cosine only
+(``BERTopic_Analysis.py:574-589``); production corpora also need the
+*lexical* retrieval baseline (BM25 — the first-stage ranker of every
+search/RAG stack) and winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+SIGMOD'03 — the MOSS algorithm) for local-overlap detection that whole-doc
+MinHash misses.
+
+Scale shape (100 TB):
+- BM25 never materializes the full vocabulary × corpus join: the query
+  term set is tiny (terms of ``N_QUERIES`` docs), so postings are first
+  cut to query terms by a **broadcast semi-join**, the per-term df/idf
+  model is model-sized and broadcast back, and the only shuffle is the
+  (query_id, doc_id) candidate aggregation — candidates, not corpus.
+- Winnowing is doc-local (hash + sliding window inside one partition);
+  the only cross-doc work is the fingerprint-value equi-join — bucketed
+  by hash, never all-pairs, exactly like the MinHash-LSH band join.
+
+Cross-engine exactness: hashes are portable md5; BM25's per-term
+contribution is rounded at 6 dp and summed as DECIMAL(18,6) — a decimal
+sum is associative-exact, so the per-candidate score (and therefore the
+top-k ranking) is bit-identical across engines regardless of summation
+order. Only ln()/division inputs are integer-derived ratios, computed by
+the textually identical expression in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as TX
+from ..registry import register
+from ..sources import load_table
+from ..sources.tables import parallelized
+
+# BM25 parameters (Robertson k1/b defaults; Lucene idf formula).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 10
+BM25_TOP_K = 5
+
+# Winnowing parameters: k-gram size and window width. Guarantee: any
+# shared run of >= WINNOW_K + WINNOW_W - 1 tokens produces at least one
+# shared fingerprint.
+WINNOW_K = 4
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 3
+
+_SQL_TOKS = r"""
+SELECT doc_id,
+       list_filter(string_split_regex(lower(coalesce(text, '')),
+                   '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+FROM documents
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parallelized(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------- BM25
+
+
+@register(
+    "bm25_topk",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_toks
+    FROM t
+),
+post AS (
+    SELECT doc_id, word AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS word FROM t)
+    GROUP BY doc_id, word
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+qterm AS (
+    SELECT DISTINCT doc_id AS query_id, term
+    FROM post WHERE doc_id < {BM25_N_QUERIES}
+),
+qpost AS (
+    SELECT p.doc_id, p.term, p.tf
+    FROM post p
+    WHERE p.term IN (SELECT DISTINCT term FROM qterm)
+),
+idf AS (
+    SELECT d.term, ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) AS idf
+    FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+          FROM qpost GROUP BY term) d
+    CROSS JOIN stats s
+),
+scored AS (
+    -- constants {1 + BM25_K1} and {1 - BM25_B} are folded in Python and
+    -- printed via repr so both engines parse the IDENTICAL double (an
+    -- engine-side 1 + 1.2 fold could round differently at the last ulp)
+    SELECT q.query_id, p.doc_id,
+           sum(CAST(round(i.idf * (p.tf * {1 + BM25_K1} / (p.tf + {BM25_K1}
+                    * ({1 - BM25_B} + {BM25_B} * d.dl
+                       / (s.total_toks * 1.0 / s.n_docs)))), 6)
+                    AS DECIMAL(18, 6))) AS score_dec
+    FROM qterm q
+    JOIN qpost p ON p.term = q.term AND p.doc_id <> q.query_id
+    JOIN idf i ON i.term = q.term
+    JOIN dl d ON d.doc_id = p.doc_id
+    CROSS JOIN stats s
+    GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS bm25,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score_dec DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_K}
+""",
+    tags=("retrieval", "similarity", "scale"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval: the query set is the token multiset
+    of the first ``BM25_N_QUERIES`` documents; candidates are every other
+    document sharing at least one query term.
+
+    Plan: postings are built once (doc-local tokenize + per-doc groupBy),
+    cut to query terms via **broadcast** semi-join, the df/idf table for
+    those terms is model-sized and broadcast back, and the score is a
+    DECIMAL(18,6) sum over 6-dp-rounded per-term contributions — exact
+    under any summation order, so the (score DESC, doc_id) ranking is
+    deterministic and engine-portable. The corpus-wide work is one
+    doc-local tokenize pass + the candidate-sized aggregation; the full
+    vocabulary is never shuffled."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", TX.word_tokens("text").alias("toks")
+    )
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_toks"),
+    )
+    post = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = t.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    qterm = (
+        post.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    qvocab = qterm.select("term").distinct()
+    qpost = post.join(F.broadcast(qvocab), "term")
+    idf = (
+        qpost.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ).alias("idf"),
+        )
+    )
+    avgdl = F.col("total_toks") * F.lit(1.0) / F.col("n_docs")
+    tf_weight = (
+        F.col("tf")
+        * (1 + BM25_K1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        qterm.join(
+            qpost.withColumnRenamed("doc_id", "cand_id"),
+            "term",
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(idf), "term")
+        .join(dl.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", F.col("cand_id").alias("doc_id"))
+        .agg(
+            F.sum(
+                F.round(F.col("idf") * tf_weight, 6).cast("decimal(18,6)")
+            ).alias("score_dec")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_dec"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_dec").cast("double").alias("bm25"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------- winnowing
+
+# Shared fingerprint CTE: k-gram md5 bases, sliding-window min, distinct
+# selected values per doc.
+_SQL_GRAM = f"array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')"
+_SQL_WINNOW = f"""
+t AS ({_SQL_TOKS}),
+kg AS (
+    SELECT doc_id, i AS pos,
+           {H.sql_md5_base32(_SQL_GRAM)} AS h
+    FROM t, unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS u(i)
+    WHERE len(toks) >= {WINNOW_K}
+),
+wmin AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS fp,
+           count(*) OVER (PARTITION BY doc_id) AS n_kgrams
+    FROM kg
+),
+fps AS (
+    SELECT DISTINCT doc_id, fp
+    FROM wmin
+    WHERE pos <= n_kgrams - {WINNOW_W - 1}
+)
+"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct winnowing fingerprints per doc: (doc_id, fp)."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id", TX.word_tokens("text").alias("toks")
+    )
+    kg = (
+        t.filter(F.size("toks") >= WINNOW_K)
+        .select(
+            "doc_id",
+            F.posexplode(H.token_ngrams(F.col("toks"), WINNOW_K)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            H.md5_base32(F.col("gram")).alias("h"),
+        )
+    )
+    wspec = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    nspec = Window.partitionBy("doc_id")
+    return (
+        kg.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wspec).alias("fp"),
+            F.count("*").over(nspec).alias("n_kgrams"),
+        )
+        .filter(F.col("pos") <= F.col("n_kgrams") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    sql=f"""
+WITH {_SQL_WINNOW}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id
+""",
+    tags=("retrieval", "dedup", "text_analysis"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: hash every ``WINNOW_K``-gram,
+    slide a ``WINNOW_W``-wide window taking the min hash, keep the distinct
+    selected values. Guarantees any shared token run of length
+    >= WINNOW_K + WINNOW_W - 1 yields a shared fingerprint, at ~2/(w+1)
+    the density of full k-gram hashing.
+
+    Everything is doc-local (partition-bounded window, no cross-doc
+    shuffle); the summary rollup here is one doc_id aggregation. Integer
+    hashes only — no fp arithmetic anywhere."""
+    return _winnow_fps(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+@register(
+    "winnowing_overlap_pairs",
+    sql=f"""
+WITH {_SQL_WINNOW},
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       round(s.n_shared * 1.0
+             / (sa.n_fp + sb.n_fp - s.n_shared), 6) AS fp_jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+""",
+    tags=("retrieval", "dedup", "scale"),
+)
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap candidate pairs: documents sharing at least
+    ``WINNOW_MIN_SHARED`` winnowing fingerprints, with the Jaccard of
+    their fingerprint sets. Catches copied *passages* inside otherwise
+    different documents — the case whole-doc MinHash dilutes away.
+
+    The pair join is an equi-join on the fingerprint VALUE — identical
+    scale shape to the MinHash-LSH band join (bucketed, never all-pairs);
+    a pathological boilerplate hash would show up as a hot bucket and is
+    bounded by the same guard pattern used there. fp_jaccard's only
+    division happens after integer aggregation, rounded at 6 dp."""
+    fps = _winnow_fps(spark, sf_dir)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("fp_jaccard"),
+        )
+    )

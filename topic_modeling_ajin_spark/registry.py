@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "topic_modeling_ajin_spark.operators.multimodal",
     "topic_modeling_ajin_spark.operators.curation",
     "topic_modeling_ajin_spark.operators.selection",
+    "topic_modeling_ajin_spark.operators.retrieval",
     "topic_modeling_ajin_spark.operators.relational",
     "topic_modeling_ajin_spark.operators.events",
     "topic_modeling_ajin_spark.report",
