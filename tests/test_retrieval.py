@@ -88,6 +88,47 @@ def test_bm25_matches_pure_python_replay(spark, sf_dir):
             assert abs(spark_score - float(py_score)) < 1e-9
 
 
+def test_rrf_fuses_exactly_the_two_source_lists(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        RRF_K,
+        q_hybrid_rrf_topk,
+    )
+    from topic_modeling_ajin_spark.operators.similarity import (
+        q_ann_cosine_topk,
+    )
+
+    scores = {}
+    lists = {}
+    for r in q_bm25_topk(spark, sf_dir).collect():
+        k = (r["query_id"], r["doc_id"])
+        scores[k] = scores.get(k, 0.0) + 1.0 / (RRF_K + r["rank"])
+        lists[k] = lists.get(k, 0) + 1
+    for r in q_ann_cosine_topk(spark, sf_dir).collect():
+        k = (r["query_id"], r["neighbor_id"])
+        scores[k] = scores.get(k, 0.0) + 1.0 / (RRF_K + r["rank"])
+        lists[k] = lists.get(k, 0) + 1
+
+    expected = {}
+    by_q = {}
+    for (q, d), s in scores.items():
+        by_q.setdefault(q, []).append((round(s, 6), d))
+    for q, cands in by_q.items():
+        ranked = sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
+        expected[q] = [(d, s) for s, d in ranked]
+
+    got = {}
+    for r in q_hybrid_rrf_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["rrf"], r["n_lists"])
+        )
+    assert set(got) == set(expected)
+    for q, rows in got.items():
+        rows.sort()
+        assert [(d, s) for _, d, s, _ in rows] == expected[q]
+        for _, d, _, n in rows:
+            assert n == lists[(q, d)]
+
+
 def _py_winnow(toks):
     """Reference winnowing: distinct min-hash per full window."""
     if len(toks) < WINNOW_K:

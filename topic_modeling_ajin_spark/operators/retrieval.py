@@ -204,6 +204,85 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- hybrid retrieval (RRF)
+
+RRF_K = 60  # Cormack/Clarke/Buettcher SIGIR'09 constant
+
+
+def _rrf_sql() -> str:
+    # explicit import: registers ann_cosine_topk even when this module is
+    # imported directly (pytest), bypassing load_all's ordering
+    from ..registry import REGISTRY
+    from . import similarity  # noqa: F401
+
+    lex = REGISTRY["bm25_topk"].sql
+    vec = REGISTRY["ann_cosine_topk"].sql
+    return f"""
+WITH lex AS ({lex}),
+vec AS ({vec}),
+u AS (
+    SELECT query_id, doc_id, rank FROM lex
+    UNION ALL
+    SELECT query_id, neighbor_id AS doc_id, rank FROM vec
+),
+fused AS (
+    SELECT query_id, doc_id,
+           round(sum(1.0 / ({RRF_K} + rank)), 6) AS rrf,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf, n_lists,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= {BM25_TOP_K}
+"""
+
+
+@register(
+    "hybrid_rrf_topk",
+    sql=_rrf_sql(),
+    tags=("retrieval", "similarity", "eval"),
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: merge the BM25
+    (lexical, ``documents``) and brute-force cosine (vector,
+    ``embeddings`` — vec_id is the doc_id) top-k lists for the shared
+    query ids, scoring each candidate sum(1 / (RRF_K + rank)) over the
+    lists it appears in. Rank-based fusion needs no score calibration
+    between the two retrievers — the reason RRF is the default hybrid
+    in production search stacks.
+
+    Composes the two REGISTERED queries (one source of truth for each
+    retriever and its fusion); each 1/(k+rank) term is an identical
+    double in both engines and at most two terms sum per candidate, so
+    the 6-dp round plus doc_id tiebreak gives a deterministic ranking.
+    Scale: inputs are already top-k-bounded (n_queries × k rows each) —
+    fusion is model-sized regardless of corpus size."""
+    from .similarity import q_ann_cosine_topk
+
+    lex = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    vec = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = (
+        lex.unionByName(vec)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank"))), 6).alias(
+                "rrf"
+            ),
+            F.count("*").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "rrf", "n_lists", "rank")
+    )
+
+
 # --------------------------------------------------------- winnowing
 
 # Shared fingerprint CTE: k-gram md5 bases, sliding-window min, distinct
