@@ -53,6 +53,8 @@ HEADLINE = (
     "unigram_lm_vocab",      # unigram-LM tokenizer training (hard-EM)
     "source_js_divergence",  # pairwise source-distribution JSD matrix
     "simplified_silhouette",  # O(N*K) cluster-quality metric
+    "bm25_topk",             # lexical retrieval (query-term postings cut)
+    "winnowing_overlap_pairs",  # MOSS fingerprints + value-bucketed pairs
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still

@@ -196,3 +196,37 @@ def test_source_js_divergence_broadcasts_vocab(spark, sf_dir):
     df = q_source_js_divergence(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_never_shuffles_full_postings(spark, sf_dir):
+    """BM25's corpus-wide work must be ONE exploded scan cut to query
+    terms by a broadcast vocabulary filter BEFORE any aggregation — the
+    full (doc_id, term) postings table must never shuffle, and no join
+    may sort-merge. The idf/stats sides are model-sized broadcasts."""
+    from topic_modeling_ajin_spark.operators.retrieval import q_bm25_topk
+
+    plan = q_bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the broadcast vocab cut feeds the postings aggregation, not vice
+    # versa: every hash aggregate keyed on term sits above the join
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
+    """Winnowing's sliding-min window must partition by doc_id (doc-local,
+    no global window) and the pair stage must equi-join on the fingerprint
+    value — never a cross join."""
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        q_winnowing_overlap_pairs,
+    )
+
+    plan = (
+        q_winnowing_overlap_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition(doc_id" in plan

@@ -138,19 +138,27 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("total_toks"),
     )
-    post = (
-        t.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    # one exploded pass over the corpus; dl rides along so no separate
+    # doc-length join is ever needed
+    tok = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
     )
-    dl = t.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
     qterm = (
-        post.filter(F.col("doc_id") < BM25_N_QUERIES)
+        tok.filter(F.col("doc_id") < BM25_N_QUERIES)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
     )
     qvocab = qterm.select("term").distinct()
-    qpost = post.join(F.broadcast(qvocab), "term")
+    # the broadcast vocabulary filter runs BEFORE any aggregation: only
+    # query-term postings are ever shuffled — the full (doc_id, term)
+    # postings table never materializes
+    qpost = (
+        tok.join(F.broadcast(qvocab), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
     idf = (
         qpost.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -174,13 +182,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        qterm.join(
-            qpost.withColumnRenamed("doc_id", "cand_id"),
-            "term",
-        )
+        qpost.withColumnRenamed("doc_id", "cand_id")
+        .join(F.broadcast(qterm), "term")
         .filter(F.col("cand_id") != F.col("query_id"))
         .join(F.broadcast(idf), "term")
-        .join(dl.withColumnRenamed("doc_id", "cand_id"), "cand_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", F.col("cand_id").alias("doc_id"))
         .agg(
