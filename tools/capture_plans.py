@@ -131,6 +131,21 @@ SELECTED = (
         "on the word key — bounded regardless of corpus size.",
     ),
     (
+        "bm25_topk",
+        "BM25 lexical retrieval: the broadcast query-vocabulary filter "
+        "cuts the exploded token stream BEFORE any aggregation, so only "
+        "query-term postings shuffle — the full (doc_id, term) postings "
+        "table never materializes; idf/stats enter as model-sized "
+        "broadcasts and the score is a DECIMAL sum (order-exact).",
+    ),
+    (
+        "winnowing_overlap_pairs",
+        "Winnowing passage fingerprints: hash + sliding-min window are "
+        "doc-partitioned (no cross-doc shuffle); the pair stage is an "
+        "equi-join on the fingerprint VALUE — the LSH band-join shape, "
+        "bucketed, never all-pairs.",
+    ),
+    (
         "domain_cap_salted",
         "Hot-domain-safe per-domain cap: phase 1 windows on "
         "(source, salt) so no single domain forms one giant sort "
