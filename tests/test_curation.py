@@ -239,3 +239,22 @@ def test_staged_pipeline_matches_one_query_manifest(spark, sf_dir, tmp_path):
     ]
     assert [tuple(r) for r in staged2.collect()] == want2
     assert not os.path.exists(f"{out2}/doc_boilerplate")
+
+
+def test_packing_efficiency_matches_manifest(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.curation import (
+        PACK_BUDGET,
+        q_pack_sequences,
+        q_packing_efficiency,
+    )
+
+    packs = q_pack_sequences(spark, sf_dir).collect()
+    r = q_packing_efficiency(spark, sf_dir).collect()[0]
+    assert r["n_packs"] == len(packs)
+    assert r["total_tokens"] == sum(p["n_tokens"] for p in packs)
+    assert r["total_docs"] == sum(p["n_docs"] for p in packs)
+    assert r["n_full"] == sum(1 for p in packs if p["n_tokens"] >= PACK_BUDGET)
+    expect_fill = round(
+        r["total_tokens"] / (len(packs) * PACK_BUDGET), 6
+    )
+    assert abs(r["fill_ratio"] - expect_fill) < 1e-9

@@ -184,3 +184,17 @@ def test_winnowing_guarantee_on_planted_passage(spark, tmp_path):
     # and the planted overlap matches the pure-python reference count
     shared = _py_winnow(_toks(rows[0][1])) & _py_winnow(_toks(rows[1][1]))
     assert pairs[(0, 1)] == len(shared)
+
+
+def test_retrieval_overlap_eval_bounds(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        q_retrieval_overlap_eval,
+    )
+
+    rows = q_retrieval_overlap_eval(spark, sf_dir).collect()
+    assert rows, "query set must be non-empty"
+    for r in rows:
+        assert r["n_common"] <= min(r["n_lex"], r["n_vec"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+        union = r["n_lex"] + r["n_vec"] - r["n_common"]
+        assert abs(r["jaccard"] - round(r["n_common"] / union, 6)) < 1e-9

@@ -53,6 +53,7 @@ def build_cache_rules(registry) -> list[dict]:
         "chunk_dedup",
         "doc_boilerplate",
         "ann_cosine_topk",
+        "bm25_topk",
         "ivf_cosine_topk",
         "training_corpus_manifest",
         "dsir_logweights",

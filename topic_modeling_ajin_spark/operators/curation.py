@@ -945,3 +945,52 @@ def _register_curated_dsir() -> None:
 
 
 _register_curated_dsir()
+
+
+# ------------------------------------------------- packing efficiency
+
+
+@register(
+    "packing_efficiency",
+    sql=f"""
+WITH m AS ({_REG["pack_sequences"].sql})
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_docs) AS BIGINT) AS total_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       round(avg(n_tokens * 1.0), 6) AS mean_tokens,
+       round(sum(n_tokens) * 1.0 / (count(*) * {PACK_BUDGET}), 6) AS fill_ratio,
+       CAST(sum(CASE WHEN n_tokens >= {PACK_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_full
+FROM m
+""",
+    tags=("curation", "eval"),
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row packing audit over the ``pack_sequences`` manifest: total
+    and per-pack token fill, the budget fill-ratio, and how many packs
+    meet the budget (contiguous fill lets a straddling doc push a pack
+    over). This is the number a training engineer checks before paying
+    for a run — fill_ratio is the fraction of paid sequence slots that
+    carry real tokens.
+
+    Composes the registered manifest verbatim (one source of truth; the
+    oracle-gate CTE cache collapses it to a table scan). The rollup is a
+    single-row aggregate over the already-pack-bounded manifest."""
+    m = q_pack_sequences(spark, sf_dir)
+    return m.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_docs").alias("total_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg(F.col("n_tokens") * F.lit(1.0)), 6).alias("mean_tokens"),
+        F.round(
+            F.sum("n_tokens") * F.lit(1.0) / (F.count("*") * F.lit(PACK_BUDGET)),
+            6,
+        ).alias("fill_ratio"),
+        F.sum(
+            F.when(F.col("n_tokens") >= PACK_BUDGET, 1).otherwise(0)
+        ).cast("bigint").alias("n_full"),
+    )

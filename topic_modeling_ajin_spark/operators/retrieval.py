@@ -288,6 +288,91 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_sql() -> str:
+    from ..registry import REGISTRY
+    from . import similarity  # noqa: F401  (registers ann_cosine_topk)
+
+    lex = REGISTRY["bm25_topk"].sql
+    vec = REGISTRY["ann_cosine_topk"].sql
+    return f"""
+WITH lex AS ({lex}),
+vec AS ({vec}),
+common AS (
+    SELECT l.query_id, CAST(count(*) AS BIGINT) AS n_common
+    FROM lex l JOIN vec v
+      ON v.query_id = l.query_id AND v.neighbor_id = l.doc_id
+    GROUP BY l.query_id
+)
+SELECT l.query_id,
+       CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_lex,
+       CAST(count(DISTINCT v.neighbor_id) AS BIGINT) AS n_vec,
+       coalesce(any_value(c.n_common), 0) AS n_common,
+       round(coalesce(any_value(c.n_common), 0) * 1.0
+             / (count(DISTINCT l.doc_id) + count(DISTINCT v.neighbor_id)
+                - coalesce(any_value(c.n_common), 0)), 6) AS jaccard
+FROM lex l
+JOIN vec v ON v.query_id = l.query_id
+LEFT JOIN common c ON c.query_id = l.query_id
+GROUP BY l.query_id
+"""
+
+
+@register(
+    "retrieval_overlap_eval",
+    sql=_overlap_sql(),
+    tags=("retrieval", "eval"),
+)
+def q_retrieval_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query agreement between the lexical (BM25) and vector (cosine)
+    top-k lists — the diagnostic a search engineer reads before tuning a
+    hybrid: low overlap means the retrievers see different corpora views
+    and fusion adds recall; overlap ~1 means one retriever suffices.
+
+    Composes the two registered queries verbatim (the eval shares the
+    searchers' single source of truth, `ivf_recall_eval`-style). Both
+    inputs are top-k-bounded, so the whole evaluation is model-sized."""
+    from .similarity import q_ann_cosine_topk
+
+    lex = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id")
+    vec = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    common = (
+        lex.join(vec, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = (
+        lex.groupBy("query_id")
+        .agg(F.countDistinct("doc_id").alias("n_lex"))
+        .join(
+            vec.groupBy("query_id").agg(
+                F.countDistinct("doc_id").alias("n_vec")
+            ),
+            "query_id",
+        )
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "n_lex",
+            "n_vec",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+        )
+    )
+    return sizes.select(
+        "query_id",
+        "n_lex",
+        "n_vec",
+        "n_common",
+        F.round(
+            F.col("n_common")
+            * F.lit(1.0)
+            / (F.col("n_lex") + F.col("n_vec") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
 # --------------------------------------------------------- winnowing
 
 # Shared fingerprint CTE: k-gram md5 bases, sliding-window min, distinct
