@@ -290,6 +290,44 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "props_variant_stats",
+    sql="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+       round(avg(CAST(json_extract(props, '$.k') AS INT) * 1.0), 6) AS mean_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("events", "semistructured"),
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup via Spark 4's VariantType: ``parse_json``
+    once into the binary variant encoding, ``try_variant_get`` the typed
+    field, aggregate per event type. Variant beats per-access
+    ``get_json_object`` when several fields are pulled from one document
+    (parse once, O(1) typed access each) and beats ``from_json`` when the
+    schema is open — exactly the shape of crawl/event metadata at scale.
+    The mean divides an exact integer sum by the count, so both engines
+    round the identical double."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg(F.col("k") * F.lit(1.0)), 6).alias("mean_k"),
+        )
+    )
+
+
 ATTRIBUTION_WINDOW_SECONDS = 1800
 
 
