@@ -85,6 +85,17 @@ def word_tokens(col: Column | str) -> Column:
     return F.array_remove(F.split(F.lower(c), r"[^a-z0-9가-힣]+"), "")
 
 
+# DuckDB twin of ``word_tokens`` — ONE definition per engine, kept next
+# to the Spark expression exactly like hashing.sql_md5_base32, so the
+# tokenizer (split class + NULL-text coalesce) can never drift between
+# the modules that embed it in their oracle SQL (review finding: four
+# verbatim copies had accumulated).
+SQL_WORD_TOKENS_EXPR = (
+    "list_filter(string_split_regex(lower(coalesce(text, '')), "
+    "'[^a-z0-9가-힣]+'), w -> w <> '')"
+)
+
+
 def hangul_tokens(col: Column | str) -> Column:
     """Simple Hangul tokenize (SURVEY P10): ``re.findall('[가-힣]+')``
     (``preprocessing.py:266-277``)."""

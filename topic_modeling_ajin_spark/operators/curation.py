@@ -26,11 +26,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parallelized(load_table(spark, sf_dir, "documents"))
 
 
-# shared tokenizer fragment (same as text_analysis._SQL_WORD_TOKS,
-# including its NULL-text → empty-array coalesce)
-_SQL_TOKS = r"""
+# shared tokenizer fragment — the canonical per-engine pair lives in
+# functions/text.py (word_tokens / SQL_WORD_TOKENS_EXPR)
+_SQL_TOKS = f"""
 SELECT doc_id, lang, source,
-       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+       {TX.SQL_WORD_TOKENS_EXPR} AS toks
 FROM documents
 """
 

@@ -293,28 +293,44 @@ def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "props_variant_stats",
     sql="""
+WITH x AS (
+    SELECT event_type,
+           TRY_CAST(floor(TRY_CAST(
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END
+               AS DOUBLE)) AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL
+)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
-       round(avg(CAST(json_extract(props, '$.k') AS INT) * 1.0), 6) AS mean_k
-FROM events
-WHERE props IS NOT NULL
+       min(k) AS min_k,
+       max(k) AS max_k,
+       round(avg(k * 1.0), 6) AS mean_k
+FROM x
 GROUP BY event_type
 """,
     tags=("events", "semistructured"),
 )
 def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured rollup via Spark 4's VariantType: ``parse_json``
+    """Semi-structured rollup via Spark 4's VariantType: ``try_parse_json``
     once into the binary variant encoding, ``try_variant_get`` the typed
     field, aggregate per event type. Variant beats per-access
     ``get_json_object`` when several fields are pulled from one document
     (parse once, O(1) typed access each) and beats ``from_json`` when the
     schema is open — exactly the shape of crawl/event metadata at scale.
-    The mean divides an exact integer sum by the count, so both engines
-    round the identical double."""
+
+    Dirty-input posture (review finding): ``try_parse_json`` +
+    ``try_variant_get`` null out malformed JSON / non-numeric k instead
+    of crashing the job, and both engines extract k as DOUBLE then
+    ``floor`` it — CAST-to-INT would round in DuckDB but truncate in
+    Spark, so the floor is the cross-engine integer contract for
+    non-integer payloads. The mean divides an exact integer sum by the
+    count, so both engines round the identical double."""
     e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    k = F.floor(
+        F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "double")
+    ).cast("bigint")
     return (
         e.filter(F.col("props").isNotNull())
         .select("event_type", k.alias("k"))

@@ -49,10 +49,10 @@ WINNOW_K = 4
 WINNOW_W = 4
 WINNOW_MIN_SHARED = 3
 
-_SQL_TOKS = r"""
+# tokenizer: the canonical per-engine pair in functions/text.py
+_SQL_TOKS = f"""
 SELECT doc_id,
-       list_filter(string_split_regex(lower(coalesce(text, '')),
-                   '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+       {TX.SQL_WORD_TOKENS_EXPR} AS toks
 FROM documents
 """
 
@@ -297,23 +297,26 @@ def _overlap_sql() -> str:
     return f"""
 WITH lex AS ({lex}),
 vec AS ({vec}),
+ls AS (SELECT query_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_lex
+       FROM lex GROUP BY query_id),
+vs AS (SELECT query_id, CAST(count(DISTINCT neighbor_id) AS BIGINT) AS n_vec
+       FROM vec GROUP BY query_id),
 common AS (
     SELECT l.query_id, CAST(count(*) AS BIGINT) AS n_common
     FROM lex l JOIN vec v
       ON v.query_id = l.query_id AND v.neighbor_id = l.doc_id
     GROUP BY l.query_id
 )
-SELECT l.query_id,
-       CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_lex,
-       CAST(count(DISTINCT v.neighbor_id) AS BIGINT) AS n_vec,
-       coalesce(any_value(c.n_common), 0) AS n_common,
-       round(coalesce(any_value(c.n_common), 0) * 1.0
-             / (count(DISTINCT l.doc_id) + count(DISTINCT v.neighbor_id)
-                - coalesce(any_value(c.n_common), 0)), 6) AS jaccard
-FROM lex l
-JOIN vec v ON v.query_id = l.query_id
-LEFT JOIN common c ON c.query_id = l.query_id
-GROUP BY l.query_id
+SELECT coalesce(ls.query_id, vs.query_id) AS query_id,
+       coalesce(ls.n_lex, 0) AS n_lex,
+       coalesce(vs.n_vec, 0) AS n_vec,
+       coalesce(c.n_common, 0) AS n_common,
+       round(coalesce(c.n_common, 0) * 1.0
+             / (coalesce(ls.n_lex, 0) + coalesce(vs.n_vec, 0)
+                - coalesce(c.n_common, 0)), 6) AS jaccard
+FROM ls
+FULL OUTER JOIN vs ON vs.query_id = ls.query_id
+LEFT JOIN common c ON c.query_id = coalesce(ls.query_id, vs.query_id)
 """
 
 
@@ -330,7 +333,11 @@ def q_retrieval_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the two registered queries verbatim (the eval shares the
     searchers' single source of truth, `ivf_recall_eval`-style). Both
-    inputs are top-k-bounded, so the whole evaluation is model-sized."""
+    inputs are top-k-bounded, so the whole evaluation is model-sized.
+    The size join is FULL OUTER (review finding): a query with a list
+    from only one retriever must surface as an n_x=0 / jaccard=0 row —
+    dropping it would hide exactly the most-divergent queries from the
+    divergence diagnostic."""
     from .similarity import q_ann_cosine_topk
 
     lex = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id")
@@ -350,12 +357,13 @@ def q_retrieval_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("doc_id").alias("n_vec")
             ),
             "query_id",
+            "full_outer",
         )
         .join(common, "query_id", "left")
         .select(
             "query_id",
-            "n_lex",
-            "n_vec",
+            F.coalesce(F.col("n_lex"), F.lit(0)).alias("n_lex"),
+            F.coalesce(F.col("n_vec"), F.lit(0)).alias("n_vec"),
             F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
         )
     )

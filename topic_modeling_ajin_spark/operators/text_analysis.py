@@ -30,9 +30,9 @@ _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.ENGLISH_STOPWORDS) + "]"
 # quality_exprs coalesces its text) on exactly the input class crawls
 # deliver (r5 advice: without this, DuckDB's NULL-ignoring least() scored
 # a NULL-text doc 0.75 while Spark scored 0.25).
-_SQL_WORD_TOKS = r"""
+_SQL_WORD_TOKS = f"""
 SELECT doc_id, lang, n_chars, coalesce(text, '') AS text,
-       list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9가-힣]+'), w -> w <> '') AS toks
+       {TX.SQL_WORD_TOKENS_EXPR} AS toks
 FROM documents
 """
 
