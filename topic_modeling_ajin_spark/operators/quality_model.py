@@ -479,6 +479,58 @@ def q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.join(ms, "doc_id").join(lm, "doc_id", "left")
 
 
+def _value_frac_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact fractional ranks per DISTINCT value of ``df[col]`` without a
+    global-order window: frac_rank(v) = (#rows < v) + (count(v)+1)/2,
+    identical to rank() + (ties-1)/2 over the row set.
+
+    Two-phase ranked prefix-sum (the distributed sort-rank idiom):
+    (1) per-value counts (one shuffle on the value); (2) range-partition
+    the distinct-value table so partition i holds strictly smaller
+    values than partition i+1, cumsum WITHIN each partition (partitioned
+    window — parallel); (3) per-partition totals are at most
+    one row per shuffle partition — a model-sized collect — prefix-summed
+    on the driver and broadcast back as offsets. All terms are integers
+    plus an exactly-representable half, so the ranks are bit-identical
+    to the single-window formulation on any partitioning."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    g = (
+        df.groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .repartitionByRange(F.col(col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    totals = sorted(
+        g.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect(),
+        key=lambda r: r["pid"],
+    )
+    offs, acc = [], 0
+    for row in totals:
+        offs.append((row["pid"], acc))
+        acc += row["tot"]
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.withColumn("cum", F.sum("cnt").over(w))
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            col,
+            (
+                F.col("off")
+                + F.col("cum")
+                - F.col("cnt")
+                + (F.col("cnt") + 1) / 2.0
+            ).alias(out),
+        )
+    )
+
+
 @register(
     "quality_panel_agreement",
     sql=f"""
@@ -536,25 +588,25 @@ def q_quality_panel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     only rounding is the final 6-dp on the structure-free
     division/sqrt, identical on both engines.
 
-    Scale note: the rank windows are global-ORDER-BY (one-partition)
-    windows — fine for a report query over per-doc scalars, but at
-    100 TB you'd range-partition the sort or bin the scores first; the
-    panel itself (the per-doc join) is the part that must scale, and
-    does."""
-    from pyspark.sql import Window
-
+    Scale (r6 verdict): ranks are computed WITHOUT a global-order
+    window. frac_rank(v) = (#rows < v) + (count(v)+1)/2 depends only on
+    the VALUE, so each signal's rank table is built per distinct value
+    by a two-phase range-partitioned count-prefix-sum
+    (``_value_frac_ranks``): range-partition the (value, cnt) table,
+    cumsum inside each partition (a PARTITIONED window), add the
+    partition offsets (a <=shuffle-partitions-row driver prefix-sum —
+    model-sized by construction), then join the ranks back on the value.
+    Every stage is parallel; no ``WindowExec: No Partition Defined``
+    anywhere. Rank values are bit-identical to the textbook
+    rank()+(ties-1)/2 the DuckDB oracle uses."""
     p = q_quality_panel(spark, sf_dir).filter(F.col("perplexity").isNotNull())
 
-    def frac_rank(col: str) -> F.Column:
-        return (
-            F.rank().over(Window.orderBy(col))
-            + (F.count("*").over(Window.partitionBy(col)) - 1) / 2.0
-        )
-
-    r = p.select(
-        frac_rank("quality").alias("rq"),
-        frac_rank("model_score").alias("rm"),
-        frac_rank("perplexity").alias("rp"),
+    r = (
+        p.select("quality", "model_score", "perplexity")
+        .join(_value_frac_ranks(p, "quality", "rq"), "quality")
+        .join(_value_frac_ranks(p, "model_score", "rm"), "model_score")
+        .join(_value_frac_ranks(p, "perplexity", "rp"), "perplexity")
+        .select("rq", "rm", "rp")
     )
     s = r.agg(
         F.count("*").alias("n"),
