@@ -20,6 +20,59 @@ def test_encoder_kind_gating():
     assert encoder_kind() in ("sbert", "hash")
 
 
+def test_model_load_failure_raises_instead_of_mixing_spaces(monkeypatch):
+    """r6 advice (medium): when the package imports but the MODEL LOAD
+    fails, the worker must RAISE (so Spark retries the task and the job
+    keeps one embedding space) — never emit hash vectors into a column
+    other batches fill with sbert vectors. An import-time failure, by
+    contrast, is environment-deterministic and caches the hash kind."""
+    import sys
+    import types
+
+    from topic_modeling_ajin_spark.functions import encoder as enc
+
+    # clean slate for the per-worker cache
+    monkeypatch.setattr(enc, "_ENCODER", None)
+    monkeypatch.setattr(enc, "_ENCODER_KIND", None)
+
+    fake = types.ModuleType("sentence_transformers")
+
+    def boom(*a, **k):
+        raise OSError("disk hiccup while loading weights")
+
+    fake.SentenceTransformer = boom
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    with pytest.raises(RuntimeError, match="retries"):
+        enc._get_encoder()
+    # NOT cached: the next call re-attempts (and re-raises) rather than
+    # stickying this worker to a fallback space
+    assert enc._ENCODER_KIND is None
+    with pytest.raises(RuntimeError):
+        enc._get_encoder()
+
+    # import-time breakage (package absent/broken) caches 'hash'
+    monkeypatch.setattr(enc, "_ENCODER_KIND", None)
+    monkeypatch.delitem(sys.modules, "sentence_transformers")
+    monkeypatch.setattr(
+        "builtins.__import__",
+        _raising_import("sentence_transformers", ImportError("absent")),
+    )
+    _, kind = enc._get_encoder()
+    assert kind == "hash"
+    assert enc._ENCODER_KIND == "hash"
+
+
+def _raising_import(blocked: str, exc: Exception):
+    real_import = __import__
+
+    def imp(name, *args, **kwargs):
+        if name == blocked:
+            raise exc
+        return real_import(name, *args, **kwargs)
+
+    return imp
+
+
 def test_hash_embedding_deterministic_and_normalized():
     a, b = hash_embed_texts(["hello world hello", "hello world hello"])
     assert a == b  # rerun-identical

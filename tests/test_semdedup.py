@@ -121,11 +121,13 @@ def test_semdedup_hot_cluster_refuses_loudly(spark, tmp_path):
         rows, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
 
+    # budget is in UNORDERED a<b pairs — the rows the join generates
+    # (r6 advice): 40 members -> C(40,2) = 780 pairs, so 779 refuses...
     with pytest.raises(ValueError, match="max_pairs_per_cluster"):
-        semantic_dedup(spark, d, k=6, max_pairs_per_cluster=100)
+        semantic_dedup(spark, d, k=6, max_pairs_per_cluster=40 * 39 // 2 - 1)
 
-    # the same corpus passes once the budget admits the 40-member bucket
-    out = semantic_dedup(spark, d, k=6, max_pairs_per_cluster=40 * 39)
+    # ...and exactly 780 admits the bucket
+    out = semantic_dedup(spark, d, k=6, max_pairs_per_cluster=40 * 39 // 2)
     got = {r["vec_id"]: r["kept"] for r in out.collect()}
     # identical vectors: cosine 1.0 > tau, centroid-cosine ties everywhere
     # -> the lowest vec_id survives, everything else is dropped

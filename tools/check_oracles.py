@@ -191,7 +191,21 @@ class OracleCache:
             (r for r in self.rules if r["id"] in self.built),
             key=lambda r: -len(r["needle"]),
         ):
-            sql = sql.replace(r["needle"], self.built[r["id"]])
+            rep = self.built[r["id"]]
+            if r["kind"] == "component":
+                # anchored to the parenthesized embedding compositions
+                # use — a blind substring replace could rewrite an
+                # unrelated construct that happens to contain the needle
+                # (r6 advice). The bare-equality case is a component's
+                # own top-level oracle.
+                if sql == r["needle"]:
+                    sql = rep
+                else:
+                    sql = sql.replace(
+                        "(" + r["needle"] + ")", "(" + rep + ")"
+                    )
+            else:
+                sql = sql.replace(r["needle"], rep)
         return sql
 
     def _ensure(self, rule: dict) -> None:
@@ -216,7 +230,11 @@ class OracleCache:
 
     def prepare(self, sql: str) -> str:
         for r in sorted(self.rules, key=lambda r: len(r["needle"])):
-            if r["needle"] in sql:
+            if r["kind"] == "component":
+                hit = ("(" + r["needle"] + ")") in sql or sql == r["needle"]
+            else:
+                hit = r["needle"] in sql
+            if hit:
                 self._ensure(r)
         return self._rewrite(sql)
 

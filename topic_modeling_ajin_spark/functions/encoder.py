@@ -37,67 +37,49 @@ ENCODER_MODEL = "paraphrase-multilingual-MiniLM-L12-v2"  # sbert default
 
 _ENCODER = None
 _ENCODER_KIND: str | None = None
-_LOAD_FAILURES = 0
-# after this many consecutive non-ImportError load failures the worker
-# caches the hash fallback: a DETERMINISTIC breakage (e.g. OSError from a
-# half-installed torch at import time — which Python does NOT cache in
-# sys.modules) would otherwise re-pay a multi-second failed import plus a
-# warning on EVERY batch for the job's lifetime, while a genuinely
-# transient hiccup gets this many retries before the worker gives up
-_MAX_LOAD_RETRIES = 3
 
 
 def _get_encoder():
     """Per-executor lazy init (the ``morph.py`` pattern): first call in
-    each Python worker pays the model load; later batches reuse it."""
-    global _ENCODER, _ENCODER_KIND, _LOAD_FAILURES
+    each Python worker pays the model load; later batches reuse it.
+
+    Failure policy (r6 advice — one embedding space per job, never a
+    silently mixed column):
+
+    - the package IMPORT failing (ImportError, or OSError from a broken
+      native torch — both deterministic properties of the environment,
+      identical on every worker) caches the hash fallback: all workers
+      answer 'hash' and the column is one consistent space, exactly what
+      ``encoder_kind``'s probe predicts;
+    - the MODEL LOAD failing (network/disk hiccup — possibly transient
+      and per-worker) RAISES: the Spark task fails and is retried, so
+      the job either completes all-sbert or fails loudly. Emitting
+      16-dim hash vectors for this batch while healthy workers emit
+      384-dim sbert vectors would corrupt the column undetectably.
+      Callers who want the deterministic fallback pass method='hash'."""
+    global _ENCODER, _ENCODER_KIND
     if _ENCODER_KIND is None:
         try:
             from sentence_transformers import SentenceTransformer
-
-            _ENCODER = SentenceTransformer(ENCODER_MODEL)
-            _ENCODER_KIND = "sbert"
-        except ImportError:
-            # package genuinely absent — deterministic per environment, so
-            # the fallback is safe to CACHE: every worker answers 'hash'
-            # and the output column is one consistent embedding space.
+        except Exception:  # noqa: BLE001  (see failure policy above)
             _ENCODER = None
             _ENCODER_KIND = "hash"
-        except Exception as e:  # noqa: BLE001
-            # package present but the MODEL LOAD failed (network/disk/
-            # native-lib hiccup). Unlike ImportError this can be
-            # TRANSIENT and per-worker: caching 'hash' here would sticky
-            # this worker to 16-dim hash vectors while healthy workers
-            # emit 384-dim sbert vectors — silently mixing embedding
-            # spaces in one column (r5 advice). So: fall back for THIS
-            # batch only (don't cache → next batch retries the load,
-            # up to {_MAX_LOAD_RETRIES} — then cache, because the
-            # failure is evidently deterministic and endless re-imports
-            # would tax every remaining batch) and warn loudly to the
-            # executor log so the mixed-space risk is detectable
-            # instead of silent.
-            import sys
-
-            _LOAD_FAILURES += 1
-            give_up = _LOAD_FAILURES >= _MAX_LOAD_RETRIES
-            print(
-                "topic_modeling_ajin_spark.encoder: sentence_transformers "
-                f"is installed but the model load failed ({type(e).__name__}: "
-                f"{e}); falling back to hash embeddings for this batch "
-                + (
-                    f"and giving up after {_LOAD_FAILURES} attempts."
-                    if give_up
-                    else "and retrying on the next."
-                )
-                + " If any batch succeeded elsewhere, this job's embedding "
-                "column MIXES spaces — re-run it.",
-                file=sys.stderr,
-                flush=True,
-            )
-            if give_up:
-                _ENCODER = None
-                _ENCODER_KIND = "hash"
-            return None, "hash"
+        else:
+            try:
+                _ENCODER = SentenceTransformer(ENCODER_MODEL)
+            except Exception as e:  # noqa: BLE001
+                # not cached: the next batch (or the retried task)
+                # attempts the load again
+                raise RuntimeError(
+                    "topic_modeling_ajin_spark.encoder: "
+                    "sentence_transformers is installed but loading "
+                    f"'{ENCODER_MODEL}' failed ({type(e).__name__}: {e}). "
+                    "Failing the task so Spark retries it — a per-batch "
+                    "hash fallback would mix embedding spaces in one "
+                    "column. Pass method='hash' to force the "
+                    "deterministic fallback for the whole job."
+                ) from e
+            _ENCODER_KIND = "sbert"
     return _ENCODER, _ENCODER_KIND
 
 

@@ -717,6 +717,34 @@ def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _manifest(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
+    from ..cache import memo
+
+    # the base manifest join is memoized+persisted per (session, sf_dir):
+    # four registered queries compose it (base/strict/winnow manifests,
+    # curated_dsir_select) and each used to re-derive the full gate
+    # stack per call — the oracle-gate's
+    # Spark-side long pole (r6 verdict task 4; the DuckDB side was
+    # already CTE-cached to ~1 s). The persisted table is doc-keyed and
+    # manifest-sized, far below the corpus.
+    out = memo(
+        spark,
+        ("manifest_base", sf_dir),
+        lambda: _manifest_base(spark, sf_dir),
+        persist=True,
+    )
+    if strict:
+        flagged = (
+            q_doc_boilerplate(spark, sf_dir)
+            .filter(F.col("flagged"))
+            .select("doc_id")
+        )
+        out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return out.select("doc_id", "lang", "quality", "n_bpe_tokens").orderBy(
+        "doc_id"
+    )
+
+
+def _manifest_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         q_fingerprint_dedup,
         q_near_dup_discard,
@@ -746,23 +774,13 @@ def _manifest(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
         .filter(F.col("kept") == 1)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    out = (
+    return (
         fr.select("doc_id", "quality")
         .join(keepers, "doc_id")
         .join(mix, "doc_id")
         .join(F.broadcast(discard), "doc_id", "left_anti")
         .join(sem, "doc_id")
         .join(bpec, "doc_id")
-    )
-    if strict:
-        flagged = (
-            q_doc_boilerplate(spark, sf_dir)
-            .filter(F.col("flagged"))
-            .select("doc_id")
-        )
-        out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
-    return out.select("doc_id", "lang", "quality", "n_bpe_tokens").orderBy(
-        "doc_id"
     )
 
 

@@ -810,11 +810,15 @@ def semantic_dedup(
     worst = assigned.groupBy("cluster").count().agg(
         F.max("count").alias("mx")
     ).collect()[0]["mx"] or 0
-    if worst * (worst - 1) > max_pairs_per_cluster:
+    # unordered a<b pairs — the count the within-cluster join actually
+    # generates (r6 advice: the ordered-pair formula tripped the guard
+    # at half the documented budget)
+    if worst * (worst - 1) // 2 > max_pairs_per_cluster:
         raise ValueError(
             f"semantic_dedup: largest cluster has {worst} members -> "
-            f"{worst * (worst - 1)} candidate pairs, over the per-cluster "
-            f"budget max_pairs_per_cluster={max_pairs_per_cluster}. Raise "
+            f"{worst * (worst - 1) // 2} candidate pairs, over the "
+            f"per-cluster budget "
+            f"max_pairs_per_cluster={max_pairs_per_cluster}. Raise "
             "k (finer coarse buckets; default is sqrt(N)), pre-bucket the "
             "hot cluster with sign-LSH (embedding_near_dup) before the "
             "cosine test, or raise the budget if the executors can hold "

@@ -509,6 +509,14 @@ def run_streaming_ingest_dedup(
     anti-join against its OWN fingerprints and emit an empty corpus
     partition over the previously written one — silent data loss."""
 
+    # partitions whose per-dir simhash-column check already passed, for
+    # the stream's lifetime: the store only grows forward and a committed
+    # partition never changes schema, so validating each batch= dir ONCE
+    # is sound — re-probing every committed partition on every batch
+    # would be O(n_batches) driver-side schema inferences per batch,
+    # O(n^2) over a long-lived stream (r6 advice)
+    _simhash_validated: set[str] = set()
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
@@ -607,9 +615,13 @@ def run_streaming_ingest_dedup(
                     legacy = [
                         c
                         for c in committed
-                        if "simhash"
+                        if c not in _simhash_validated
+                        and "simhash"
                         not in spark.read.parquet(f"{store_dir}/{c}").columns
                     ]
+                    _simhash_validated.update(
+                        c for c in committed if c not in legacy
+                    )
                     if legacy or "simhash" not in store.columns:
                         raise ValueError(
                             f"near-dup gate requested but the store at "
