@@ -241,6 +241,37 @@ def test_staged_pipeline_matches_one_query_manifest(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{out2}/doc_boilerplate")
 
 
+def test_staged_selection_matches_one_query_curated_dsir(
+    spark, sf_dir, tmp_path
+):
+    """run_curation_pipeline(select=True) completes the curate->select
+    materialized flow (r6 verdict task 8): the selection verdict tables
+    land beside the curation gates and the parquet-joined DSIR pick is
+    row-for-row identical to the one-query curated_dsir_select."""
+    import os
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        SELECTION_STAGES,
+        run_curation_pipeline,
+    )
+    from topic_modeling_ajin_spark.operators.selection import (
+        q_curated_dsir_select,
+    )
+
+    out = str(tmp_path / "pipe_sel")
+    run_curation_pipeline(spark, sf_dir, out, select=True)
+    for stage in SELECTION_STAGES:
+        assert os.path.isdir(f"{out}/{stage}"), stage
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/curated_dsir_select").collect()
+    )
+    want = sorted(
+        tuple(r) for r in q_curated_dsir_select(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_packing_efficiency_matches_manifest(spark, sf_dir):
     from topic_modeling_ajin_spark.operators.curation import (
         PACK_BUDGET,

@@ -88,6 +88,80 @@ def test_bm25_matches_pure_python_replay(spark, sf_dir):
             assert abs(spark_score - float(py_score)) < 1e-9
 
 
+def test_bm25_external_query_table(spark):
+    """r6 verdict task 7: BM25 must serve an external (id, text) query
+    workload, not only the registered corpus-as-queries variant.
+    Checked against a pure-python BM25 replay on a small fixture."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions import text as TX
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        bm25_topk_for_queries,
+        query_terms_from_texts,
+    )
+
+    corpus = [
+        (0, "spark runs distributed queries on parquet tables"),
+        (1, "duckdb runs analytical queries on parquet files"),
+        (2, "cats purr softly in the warm afternoon sun"),
+        (3, "distributed systems shuffle data between executors"),
+        (4, "the parquet format stores columns with compression"),
+    ]
+    queries = [
+        (100, "distributed parquet queries"),
+        (200, "warm cats purr"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    t = docs.select("doc_id", TX.word_tokens("text").alias("toks"))
+    got = {}
+    out = bm25_topk_for_queries(
+        t, query_terms_from_texts(qdf), k=3
+    ).collect()
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["bm25"]))
+
+    # pure-python replay (same formula/rounding as the registered test)
+    toks = {d: _toks(t_) for d, t_ in corpus}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    tf = {d: Counter(v) for d, v in toks.items()}
+    for qid, qtext in queries:
+        qterms = set(_toks(qtext))
+        df = {t_: sum(1 for d in toks if t_ in tf[d]) for t_ in qterms}
+        idf = {
+            t_: math.log((n_docs - df[t_] + 0.5) / (df[t_] + 0.5) + 1)
+            for t_ in qterms
+            if df[t_] > 0
+        }
+
+        def score(d):
+            s = Decimal(0)
+            for t_ in qterms:
+                f = tf[d].get(t_)
+                if not f or t_ not in idf:
+                    continue
+                contrib = idf[t_] * (
+                    f * (1 + BM25_K1)
+                    / (f + BM25_K1 * (1 - BM25_B + BM25_B * len(toks[d]) / avgdl))
+                )
+                s += Decimal(repr(round(contrib, 6))).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            return s
+
+        cands = [d for d in toks if any(t_ in tf[d] for t_ in qterms)]
+        ranked = sorted(cands, key=lambda d: (-score(d), d))[:3]
+        rows = sorted(got[qid])
+        assert [d for _, d, _ in rows] == ranked
+        for (_, d, s_spark) in rows:
+            assert abs(s_spark - float(score(d))) < 1e-9
+    # no self-exclusion for external ids: every corpus doc is a
+    # legitimate candidate (ids 100/200 never collide with 0..4)
+    assert {d for _, d, _ in got[200]} <= {2}
+    assert len(got[100]) == 3
+
+
 def test_rrf_fuses_exactly_the_two_source_lists(spark, sf_dir):
     from topic_modeling_ajin_spark.operators.retrieval import (
         RRF_K,

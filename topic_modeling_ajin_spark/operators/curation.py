@@ -870,9 +870,20 @@ CURATION_STAGES: tuple[str, ...] = (
     "doc_boilerplate",
 )
 
+# data-SELECTION verdict tables (r6 verdict task 8): materialized only
+# when the caller asks for the curate->select flow
+SELECTION_STAGES: tuple[str, ...] = (
+    "domain_cap_sample",
+    "dsir_logweights",
+)
+
 
 def run_curation_pipeline(
-    spark: SparkSession, sf_dir: str, out_dir: str, strict: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    strict: bool = False,
+    select: bool = False,
 ) -> DataFrame:
     """The 100 TB shape of ``training_corpus_manifest``: run each gate as
     its own job, WRITE its verdict table to parquet, and build the
@@ -900,6 +911,25 @@ def run_curation_pipeline(
     write_parquet(
         staged_manifest(spark, out_dir, strict=strict), f"{out_dir}/manifest"
     )
+    if select:
+        # curate -> SELECT, materialized: the selection verdict tables
+        # land beside the curation gates, and the final DSIR pick joins
+        # the PARQUET manifest to the PARQUET logweights (one small
+        # plan; parity with the one-query curated_dsir_select pinned in
+        # tests). domain_cap_sample is written as an independent
+        # selection policy table even though the DSIR pick doesn't
+        # consume it — downstream samplers choose one or the other.
+        from .selection import curated_dsir_from_tables
+
+        for stage in SELECTION_STAGES:
+            write_parquet(reg[stage].fn(spark, sf_dir), f"{out_dir}/{stage}")
+        write_parquet(
+            curated_dsir_from_tables(
+                spark.read.parquet(f"{out_dir}/manifest"),
+                spark.read.parquet(f"{out_dir}/dsir_logweights"),
+            ),
+            f"{out_dir}/curated_dsir_select",
+        )
     return spark.read.parquet(f"{out_dir}/manifest").orderBy("doc_id")
 
 

@@ -148,6 +148,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _docs(spark, sf_dir).select(
         "doc_id", TX.word_tokens("text").alias("toks")
     )
+    qterm = (
+        t.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"), F.explode("toks").alias("term")
+        )
+        .distinct()
+    )
+    return bm25_topk_for_queries(t, qterm, k=BM25_TOP_K, exclude_self=True)
+
+
+def bm25_topk_for_queries(
+    t: DataFrame,
+    qterm: DataFrame,
+    k: int = BM25_TOP_K,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 top-``k`` for an arbitrary query workload: ``t`` is the
+    tokenized corpus (doc_id, toks) and ``qterm`` the query term sets
+    (query_id, term) — build it from any external (id, text) table with
+    ``query_terms_from_texts``. ``exclude_self=True`` drops the
+    query_id==doc_id candidate (the registered corpus-as-queries
+    variant, where ids share a space). Plan shape and scoring identical
+    to the registered query: broadcast query-vocab cut BEFORE any
+    aggregation, model-sized df/idf broadcasts, DECIMAL(18,6)-exact
+    summation."""
     stats = t.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("toks")).alias("total_toks"),
@@ -158,11 +183,6 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("bigint").alias("dl"),
         F.explode("toks").alias("term"),
-    )
-    qterm = (
-        tok.filter(F.col("doc_id") < BM25_N_QUERIES)
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .distinct()
     )
     qvocab = qterm.select("term").distinct()
     # the broadcast vocabulary filter runs BEFORE any aggregation: only
@@ -195,11 +215,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
         )
     )
+    scored = qpost.withColumnRenamed("doc_id", "cand_id").join(
+        F.broadcast(qterm), "term"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("cand_id") != F.col("query_id"))
     scored = (
-        qpost.withColumnRenamed("doc_id", "cand_id")
-        .join(F.broadcast(qterm), "term")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .join(F.broadcast(idf), "term")
+        scored.join(F.broadcast(idf), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", F.col("cand_id").alias("doc_id"))
         .agg(
@@ -213,13 +235,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        .filter(F.col("rank") <= k)
         .select(
             "query_id",
             "doc_id",
             F.col("score_dec").cast("double").alias("bm25"),
             "rank",
         )
+    )
+
+
+def query_terms_from_texts(
+    queries: DataFrame, id_col: str = "query_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) query table → the (query_id, term) distinct term sets
+    ``bm25_topk_for_queries`` consumes, tokenized by the engine's
+    canonical word tokenizer (the same one the corpus side uses — BM25
+    is meaningless across tokenizers)."""
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(TX.word_tokens(text_col)).alias("term"),
+        )
+        .distinct()
     )
 
 

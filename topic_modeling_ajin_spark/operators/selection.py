@@ -507,16 +507,30 @@ def q_curated_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is TakeOrderedAndProject over the (tiny) curated join."""
     from .curation import q_training_corpus_manifest
 
-    lw = q_dsir_logweights(spark, sf_dir)
-    m = q_training_corpus_manifest(spark, sf_dir)
+    return curated_dsir_from_tables(
+        q_training_corpus_manifest(spark, sf_dir),
+        q_dsir_logweights(spark, sf_dir),
+    )
+
+
+def curated_dsir_from_tables(
+    manifest: DataFrame, logweights: DataFrame, k: int = DSIR_SELECT_K
+) -> DataFrame:
+    """The curate-then-select join/score/top-k over ALREADY-BUILT
+    manifest and DSIR-logweight tables — the stage the materialized
+    pipeline (``run_curation_pipeline(select=True)``) runs against its
+    parquet outputs, and the single source of the Gumbel-score
+    expression for both the one-query and staged paths (parity pinned in
+    tests). Inputs are manifest-sized; the top-k is
+    TakeOrderedAndProject."""
     u = (
         _md5_u32(F.concat(F.lit("dsir"), F.col("doc_id").cast("string")))
         + 0.5
     ) / F.lit(4294967296.0)
-    g = m.join(lw.select("doc_id", "log_w"), "doc_id").withColumn(
+    g = manifest.join(logweights.select("doc_id", "log_w"), "doc_id").withColumn(
         "score", F.col("log_w") - F.log(-F.log(u))
     )
-    topk = g.orderBy(F.desc("score"), F.asc("doc_id")).limit(DSIR_SELECT_K)
+    topk = g.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return topk.select(
         F.row_number().over(w).cast("bigint").alias("rk"),
