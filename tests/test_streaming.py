@@ -758,6 +758,87 @@ def test_streaming_ingest_near_dup_gate(spark, tmp_path):
     assert st.filter(F.col("simhash").isNull()).count() == 0
 
 
+def test_streaming_jaccard_gate_matches_batch_near_dup_discard(
+    spark, tmp_path
+):
+    """r6 verdict task 6: with near_dup_jaccard set, the streaming drop
+    set must equal the batch rule — shipped docs = exact-dedup keepers
+    minus `near_dup_discard` (exact shingle-Jaccard >= threshold vs any
+    lower-id doc) — under in-order arrival, across batch boundaries.
+    Verified against the REGISTERED batch queries on the same corpus."""
+    import time
+
+    from topic_modeling_ajin_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+    )
+
+    # 9-token docs: changing one token keeps 4/9 shared 3-shingles... use
+    # longer docs so an edited copy clears 0.8: 30 shared tokens + 1
+    # changed token at the END alters only the last 3 shingles ->
+    # jaccard = 25/31 ~ 0.81 >= 0.8; a doc with 5 changed tokens falls
+    # well below. Unrelated docs share nothing.
+    base = [f"tok{i}" for i in range(30)]
+    near = base[:-1] + ["changed"]          # >= 0.8 vs base
+    far = base[:15] + [f"other{i}" for i in range(15)]  # << 0.8
+    texts = {
+        1: " ".join(base),
+        2: "completely unrelated words one two three four five six seven",
+        3: " ".join(near),                   # near-dup of 1, same batch
+        10: " ".join(base[1:] + ["tail"]),   # near-dup of 1, later batch
+        11: " ".join(far),                   # not a near-dup
+        12: " ".join(base),                  # exact dup of 1
+    }
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, texts[i]) for i in (1, 2, 3)], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i, texts[i]) for i in (10, 11, 12)], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        out,
+        str(tmp_path / "ck"),
+        near_dup_jaccard=JACCARD_THRESHOLD,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # batch twin on the SAME corpus via the registered queries
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        sorted(texts.items()), schema
+    ).write.parquet(f"{d}/documents.parquet")
+    keepers = {
+        r["keeper"] for r in q_fingerprint_dedup(spark, str(d)).collect()
+    }
+    discards = {
+        r["discard_doc_id"]
+        for r in q_near_dup_discard(spark, str(d)).collect()
+    }
+    expect = sorted(keepers - discards)
+    assert kept == expect == [1, 2, 11]
+
+    # near-dup-dropped docs (3, 10) still stored their shingles, so they
+    # veto later copies; every store row carries the shingle columns
+    st = spark.read.parquet(store)
+    assert st.count() == 5
+    assert st.filter(F.col("shingle_hashes").isNull()).count() == 0
+
+
 def test_streaming_near_dup_requires_simhash_store(spark, tmp_path):
     """Requesting the near-dup gate against a legacy fingerprint-only
     store must fail loudly, not silently skip the check."""

@@ -461,6 +461,7 @@ def run_streaming_ingest_dedup(
     quality_weights: list | None = None,
     min_quality_score: float = 0.5,
     near_dup_hamming: int | None = None,
+    near_dup_jaccard: float | None = None,
 ) -> None:
     """Cross-batch document ingest dedup against a PERSISTENT fingerprint
     store — the streaming twin of the batch ``incremental_dedup`` query
@@ -494,6 +495,21 @@ def run_streaming_ingest_dedup(
        this is what makes the drop set equal the batch
        ``simhash_near_dup``-pairs discard rule (doc_b of every pair)
        under in-order arrival;
+    3c. (optional exact-Jaccard gate, r6 VERDICT task 6) with
+       ``near_dup_jaccard`` set, the store additionally carries each
+       exact-stage survivor's DISTINCT 3-token-shingle md5-base32 hash
+       set (``shingle_hashes`` + ``n_shingles``), and a survivor is
+       dropped when its shingle-set Jaccard with ANY earlier document
+       (stored, or lower-``doc_id`` in this batch) reaches the
+       threshold — the batch ``near_dup_discard`` rule (keep-first over
+       verified-Jaccard pairs), enforced streamingly. Candidates come
+       from the shared-shingle equi-join, the same shape as the batch
+       operator; the only delta from the batch rule is that Jaccard is
+       computed over 32-bit md5 shingle hashes rather than raw shingle
+       strings, so the two could disagree only on an md5-32 collision
+       (batch-twin equality is pinned in tests). The hash store costs
+       O(total distinct shingles) — the honest price of exact-Jaccard
+       parity; the SimHash gate remains the O(1)-per-doc option;
     4. append survivors to the corpus sink and their fingerprints (+
        simhashes — written unconditionally so any store can later serve
        the near-dup gate) to the store, which is what makes batch N+1
@@ -509,13 +525,15 @@ def run_streaming_ingest_dedup(
     anti-join against its OWN fingerprints and emit an empty corpus
     partition over the previously written one — silent data loss."""
 
-    # partitions whose per-dir simhash-column check already passed, for
+    # partitions whose per-dir required-column check already passed, for
     # the stream's lifetime: the store only grows forward and a committed
     # partition never changes schema, so validating each batch= dir ONCE
     # is sound — re-probing every committed partition on every batch
     # would be O(n_batches) driver-side schema inferences per batch,
-    # O(n^2) over a long-lived stream (r6 advice)
-    _simhash_validated: set[str] = set()
+    # O(n^2) over a long-lived stream (r6 advice). The required-column
+    # set is fixed per stream (the gate flags don't change mid-run), so
+    # a plain name set suffices.
+    _validated: set[str] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -541,6 +559,18 @@ def run_streaming_ingest_dedup(
             )
             .drop("_bh")
         )
+        if near_dup_jaccard is not None:
+            # same tokenizer + 3-gram distinct shingles as the batch
+            # near_dup_discard chain (dedup._shingled), hashed to the
+            # repo's portable 32-bit md5 so the store holds 4-byte ints,
+            # not shingle text
+            sh_toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+            fp = fp.withColumn(
+                "shingle_hashes",
+                F.array_distinct(
+                    F.transform(H.shingles(sh_toks, 3), H.md5_base32)
+                ),
+            ).withColumn("n_shingles", F.size("shingle_hashes"))
         keeper = Window.partitionBy("fingerprint")
         batch_kept = (
             fp.withColumn("first_id", F.min("doc_id").over(keeper))
@@ -611,24 +641,32 @@ def run_streaming_ingest_dedup(
                     .parquet(store_dir)
                     .filter(F.col("batch") < F.lit(batch_id))
                 )
+                required = []
                 if near_dup_hamming is not None:
+                    required.append("simhash")
+                if near_dup_jaccard is not None:
+                    required += ["n_shingles", "shingle_hashes"]
+                if required:
+                    req = set(required)
                     legacy = [
                         c
                         for c in committed
-                        if c not in _simhash_validated
-                        and "simhash"
-                        not in spark.read.parquet(f"{store_dir}/{c}").columns
+                        if c not in _validated
+                        and not req
+                        <= set(
+                            spark.read.parquet(f"{store_dir}/{c}").columns
+                        )
                     ]
-                    _simhash_validated.update(
+                    _validated.update(
                         c for c in committed if c not in legacy
                     )
-                    if legacy or "simhash" not in store.columns:
+                    if legacy or not req <= set(store.columns):
                         raise ValueError(
                             f"near-dup gate requested but the store at "
-                            f"{store_dir} has partitions without a "
-                            f"simhash column {sorted(legacy)[:5]} (legacy "
-                            "fingerprint-only layout) — rebuild the store "
-                            "or run without near_dup_hamming; silently "
+                            f"{store_dir} has partitions missing "
+                            f"{sorted(req)} {sorted(legacy)[:5]} (legacy "
+                            "layout) — rebuild the store or run without "
+                            "near_dup_hamming/near_dup_jaccard; silently "
                             "skipping the check would re-admit every "
                             "near-duplicate"
                         )
@@ -683,16 +721,78 @@ def run_streaming_ingest_dedup(
                 .distinct()
             )
             shipped = batch_kept.join(drops, "doc_id", "left_anti")
+        if near_dup_jaccard is not None:
+            # batch near_dup_discard rule, streamed: drop a survivor iff
+            # its hashed-shingle Jaccard with ANY earlier doc reaches
+            # the threshold. Candidates via the shared-shingle equi-join
+            # (the batch operator's shape); 'earlier' = a stored doc
+            # (identity = its unique exact-dedup fingerprint) or a
+            # lower-doc_id survivor of this batch. Near-dup-DROPPED
+            # docs still store their shingles (step 3b discipline), so
+            # they keep vetoing later copies exactly as batch pairs do.
+            me = batch_kept.filter(F.col("n_shingles") > 0).select(
+                "doc_id",
+                F.col("n_shingles").alias("n"),
+                F.explode("shingle_hashes").alias("shv"),
+            )
+
+            # within-batch: lower doc_id is 'earlier'; the o_rank filter
+            # runs BEFORE the per-pair aggregation so no self or
+            # later-doc pair is ever counted
+            others_batch = batch_kept.filter(F.col("n_shingles") > 0).select(
+                F.col("doc_id").cast("string").alias("o_id"),
+                F.col("doc_id").alias("o_rank"),
+                F.col("n_shingles").alias("o_n"),
+                F.explode("shingle_hashes").alias("shv"),
+            )
+            jdrops = (
+                me.join(others_batch, "shv")
+                .filter(F.col("o_rank") < F.col("doc_id"))
+                .groupBy("doc_id", "n", "o_id", "o_n")
+                .agg(F.count("*").alias("i"))
+                .filter(
+                    F.col("i")
+                    / (F.col("n") + F.col("o_n") - F.col("i"))
+                    >= F.lit(near_dup_jaccard)
+                )
+                .select("doc_id")
+            )
+            if store is not None:
+                others_store = store.filter(F.col("n_shingles") > 0).select(
+                    F.col("fingerprint").alias("o_id"),
+                    F.col("n_shingles").alias("o_n"),
+                    F.explode("shingle_hashes").alias("shv"),
+                )
+                vs_store = (
+                    me.join(others_store, "shv")
+                    .groupBy("doc_id", "n", "o_id", "o_n")
+                    .agg(F.count("*").alias("i"))
+                    .filter(
+                        F.col("i")
+                        / (F.col("n") + F.col("o_n") - F.col("i"))
+                        >= F.lit(near_dup_jaccard)
+                    )
+                    .select("doc_id")
+                )
+                jdrops = jdrops.unionByName(vs_store)
+            shipped = shipped.join(
+                jdrops.distinct(), "doc_id", "left_anti"
+            )
         # both sinks overwrite this batch's own partition — a replayed
         # batch_id rewrites instead of appending duplicates (the same
         # idempotency pattern as the refreshing topic-assign sink).
         # The STORE keeps every exact-stage survivor (near-dup-dropped
         # included — see step 3b); only the corpus sink takes the
         # near-dup-gated set.
-        shipped.drop("fingerprint", "simhash").write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}"
+        store_cols = ["fingerprint", "simhash"] + (
+            ["n_shingles", "shingle_hashes"]
+            if near_dup_jaccard is not None
+            else []
         )
-        batch_kept.select("fingerprint", "simhash").write.mode(
+        shipped.drop(
+            "fingerprint", "simhash", "n_shingles", "shingle_hashes"
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        batch_kept.select(*store_cols).write.mode(
             "overwrite"
         ).parquet(f"{store_dir}/batch={batch_id}")
         batch_kept.unpersist()
