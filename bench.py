@@ -64,6 +64,18 @@ N_RUNS = 5  # timed runs per query; the reported figure is the median
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # comma-separated subset for drift diagnosis (r6 verdict task 5):
+    # lets a solo run time exactly the headliners a previous round ran,
+    # isolating session pressure from per-query regressions. Unset (the
+    # driver's path) = the full headline list.
+    global HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = tuple(n.strip() for n in only.split(",") if n.strip())
+        unknown = [n for n in names if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown: {unknown}")
+        HEADLINE = names
     from topic_modeling_ajin_spark.registry import load_all
     from topic_modeling_ajin_spark.session import get_spark
 

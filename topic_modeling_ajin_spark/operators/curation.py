@@ -591,6 +591,142 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ boilerplate STRIPPING
+
+# non-overlapping strip windows: with stride == size every token belongs
+# to exactly one chunk, so removing offender chunks reconstructs an
+# unambiguous cleaned document (the overlapping CHUNK_STRIDE windows
+# above are for context prep / detection, where overlap is a feature)
+STRIP_CHUNK = 32
+
+
+@register(
+    "strip_boilerplate_chunks",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+nz AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
+st AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, length(toks) - 1, {STRIP_CHUNK})) AS s
+    FROM nz
+),
+ch AS (
+    SELECT doc_id, CAST(s / {STRIP_CHUNK} AS BIGINT) AS chunk_id,
+           list_slice(toks, s + 1, s + {STRIP_CHUNK}) AS chunk,
+           md5(array_to_string(list_slice(toks, s + 1, s + {STRIP_CHUNK}), ' ')) AS chunk_md5
+    FROM st
+),
+off AS (
+    SELECT chunk_md5 FROM ch GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) > 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN o.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stripped,
+       CAST(sum(length(c.chunk)) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN o.chunk_md5 IS NULL THEN length(c.chunk) ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept,
+       md5(array_to_string(flatten(coalesce(
+           list(c.chunk ORDER BY c.chunk_id)
+               FILTER (WHERE o.chunk_md5 IS NULL), [])), ' ')) AS cleaned_md5
+FROM ch c LEFT JOIN off o ON o.chunk_md5 = c.chunk_md5
+GROUP BY c.doc_id
+""",
+    tags=("curation", "dedup", "scale"),
+)
+def q_strip_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finer cleaner ``doc_boilerplate``'s docstring promises: instead
+    of DROPPING a boilerplate-dominated document, STRIP the offending
+    chunks (non-overlapping {STRIP_CHUNK}-token windows whose md5 recurs
+    in another document — navigation bars, footers, license blocks) and
+    keep the rest. Output is the per-doc strip audit plus the md5 of the
+    cleaned token stream (chunks re-joined in order), so the transform is
+    oracle-checkable without shipping cleaned text through the
+    comparator; ``strip_boilerplate_texts`` returns the actual cleaned
+    strings for pipeline use.
+
+    Scale: chunking is doc-local codegen; the offender set is
+    vocabulary-of-chunks sized and joins back on the 16-byte md5 (the
+    ``chunk_dedup`` shape); reassembly is one per-doc aggregation whose
+    collect_list is doc-length bounded — no global sort, no pair join."""
+    per, _ = _strip_chunks(spark, sf_dir)
+    return per
+
+
+def _strip_chunks(spark: SparkSession, sf_dir: str):
+    """Shared chunk/offender/kept plumbing: returns (audit_df, kept_df)
+    where kept_df is (doc_id, chunk_id, chunk) surviving chunks."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.word_tokens("text").alias("toks")
+    )
+    nz = d.filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(STRIP_CHUNK))
+    ch = nz.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("toks", s + 1, STRIP_CHUNK))
+        ).alias("chunk_id", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+    off = (
+        ch.groupBy("chunk_md5")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk_md5", F.lit(1).alias("hit"))
+    )
+    flagged = ch.join(off, "chunk_md5", "left")
+    kept_tokens = F.flatten(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("hit").isNull(),
+                        F.struct("chunk_id", "chunk"),
+                    )
+                )
+            ),
+            lambda x: x["chunk"],
+        )
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stripped"),
+        F.sum(F.size("chunk")).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("hit").isNull(), F.size("chunk")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.md5(F.array_join(kept_tokens, " ")).alias("cleaned_md5"),
+    )
+    kept = flagged.filter(F.col("hit").isNull()).select(
+        "doc_id", "chunk_id", "chunk"
+    )
+    return per, kept
+
+
+def strip_boilerplate_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cleaned_text): the stripped documents themselves — the
+    DataFrame a pipeline feeds downstream (tokenize/pack/train) after
+    chunk-level boilerplate removal. Same plumbing as the registered
+    audit query; cleaned_text is the kept chunks re-joined in order."""
+    _, kept = _strip_chunks(spark, sf_dir)
+    ordered = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("chunk_id", "chunk"))),
+            lambda x: x["chunk"],
+        )
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(ordered, " ").alias("cleaned_text")
+    )
+
+
 # ------------------------------------------- end-to-end corpus manifest
 
 # the manifest composes four registered oracles verbatim (the
@@ -850,6 +986,48 @@ def q_training_corpus_manifest_winnow(
     return (
         _manifest(spark, sf_dir, strict=True)
         .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "training_corpus_manifest_decontam",
+    sql=f"""
+WITH base AS ({_REG["training_corpus_manifest_strict"].sql}),
+dc AS ({_REG["doc_decontam"].sql})
+SELECT base.doc_id, base.lang, base.quality, base.n_bpe_tokens
+FROM base
+JOIN dc ON dc.doc_id = base.doc_id
+WHERE NOT dc.flagged
+ORDER BY base.doc_id
+""",
+    tags=("curation", "scale"),
+)
+def q_training_corpus_manifest_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The strict manifest DECONTAMINATED against the held-out benchmark
+    set: a shipping doc must (a) not BE a benchmark member (the inner
+    join against the ``doc_decontam`` verdict covers only corpus-side
+    docs, so benchmark stand-ins drop out — with a real external
+    benchmark table they would never be corpus rows at all) and (b) not
+    share any DECON_NGRAM-gram with one. This is the gate every
+    frontier training pipeline runs LAST — eval leakage survives every
+    other dedup stage because a benchmark quote inside an otherwise
+    unique page is neither an exact, near, nor semantic duplicate of
+    anything. The verdict join is doc-keyed; the decontam scan itself is
+    the broadcast-bench probe of ``decontamination_overlap``."""
+    from .text_analysis import q_doc_decontam
+
+    keep = (
+        q_doc_decontam(spark, sf_dir)
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    return (
+        _manifest(spark, sf_dir, strict=True)
+        .join(keep, "doc_id")
         .select("doc_id", "lang", "quality", "n_bpe_tokens")
         .orderBy("doc_id")
     )

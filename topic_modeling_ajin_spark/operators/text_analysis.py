@@ -679,6 +679,59 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# a single shared benchmark n-gram marks a doc contaminated — the
+# standard (strict) decontamination policy: eval leakage is not a
+# matter of degree for a held-out benchmark
+DECON_MIN_SHARED = 1
+
+
+def _doc_decontam_sql() -> str:
+    from ..registry import REGISTRY
+
+    return f"""
+WITH ov AS ({REGISTRY["decontamination_overlap"].sql})
+SELECT d.doc_id,
+       CAST(coalesce(ov.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CAST(coalesce(ov.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       coalesce(ov.n_shared_grams, 0) >= {DECON_MIN_SHARED} AS flagged
+FROM documents d
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE d.doc_id >= {DECON_BENCH_MAX_DOC_ID}
+"""
+
+
+@register(
+    "doc_decontam",
+    sql=_doc_decontam_sql(),
+    tags=("text_analysis", "curation", "dedup", "scale"),
+)
+def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document decontamination VERDICT: every corpus doc (the
+    non-benchmark side) with its benchmark {DECON_NGRAM}-gram overlap and
+    a flagged bit at >= {DECON_MIN_SHARED} shared gram — the decision
+    table ``training_corpus_manifest_decontam`` gates on.
+    ``decontamination_overlap`` (composed verbatim) reports only the
+    overlapping docs; the verdict LEFT-joins it back over the corpus so
+    clean docs surface as flagged=false rather than vanishing. Same
+    broadcast-bench scale shape; the LEFT join is doc-keyed."""
+    ov = q_decontamination_overlap(spark, sf_dir)
+    d = _docs(spark, sf_dir).filter(
+        F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID
+    ).select("doc_id")
+    return d.join(ov, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias(
+            "n_shared_grams"
+        ),
+        F.coalesce("n_bench_docs", F.lit(0)).cast("bigint").alias(
+            "n_bench_docs"
+        ),
+        (
+            F.coalesce("n_shared_grams", F.lit(0)) >= DECON_MIN_SHARED
+        ).alias("flagged"),
+    )
+
+
 MIN_KEEP_TOKENS = 10
 MAX_KEEP_DUP = 0.3
 MIN_KEEP_QUALITY = 0.35
