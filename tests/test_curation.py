@@ -289,3 +289,73 @@ def test_packing_efficiency_matches_manifest(spark, sf_dir):
         r["total_tokens"] / (len(packs) * PACK_BUDGET), 6
     )
     assert abs(r["fill_ratio"] - expect_fill) < 1e-9
+
+
+def test_strip_boilerplate_chunks_planted(spark, tmp_path):
+    """A chunk-aligned 32-token block shared by two docs is stripped from
+    BOTH (cleaned text = each doc's unique remainder); a fully unique doc
+    is untouched (cleaned_md5 == md5 of its own token stream)."""
+    import hashlib
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        STRIP_CHUNK,
+        q_strip_boilerplate_chunks,
+        strip_boilerplate_texts,
+    )
+
+    shared = [f"boiler{i}" for i in range(STRIP_CHUNK)]
+    ua = [f"ua{i}" for i in range(10)]
+    ub = [f"ub{i}" for i in range(20)]
+    uc = [f"uc{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(shared + ua)),
+        (2, " ".join(shared + ub)),
+        (3, " ".join(uc)),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    audit = {
+        r["doc_id"]: r for r in q_strip_boilerplate_chunks(spark, d).collect()
+    }
+    md5 = lambda toks: hashlib.md5(" ".join(toks).encode()).hexdigest()
+    assert audit[1]["n_stripped"] == 1 and audit[1]["n_chunks"] == 2
+    assert audit[1]["n_tokens_kept"] == 10
+    assert audit[1]["cleaned_md5"] == md5(ua)
+    assert audit[2]["cleaned_md5"] == md5(ub)
+    assert audit[3]["n_stripped"] == 0
+    assert audit[3]["cleaned_md5"] == md5(uc)
+
+    texts = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in strip_boilerplate_texts(spark, d).collect()
+    }
+    assert texts[1] == " ".join(ua)
+    assert texts[2] == " ".join(ub)
+    assert texts[3] == " ".join(uc)
+
+
+def test_doc_decontam_flags_benchmark_leakage(spark, tmp_path):
+    """A corpus doc embedding a 5-gram from a benchmark doc (doc_id < 50)
+    is flagged; a clean doc appears with flagged=false (LEFT-join
+    completeness); benchmark docs are not corpus-side rows."""
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_doc_decontam,
+    )
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, bench_text),  # benchmark stand-in
+        (60, "intro words then quick brown fox jumps over closing remark"),
+        (61, "completely clean document with entirely fresh vocabulary here"),
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in q_doc_decontam(spark, d).collect()}
+    assert set(got) == {60, 61}
+    assert got[60]["flagged"] and got[60]["n_shared_grams"] >= 1
+    assert got[60]["n_bench_docs"] == 1
+    assert not got[61]["flagged"] and got[61]["n_shared_grams"] == 0

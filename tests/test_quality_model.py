@@ -199,3 +199,59 @@ def test_agreement_rhos_null_on_zero_variance(spark, sf_dir, tmp_path):
     assert row["rho_heuristic_model"] is None
     assert row["rho_heuristic_lm"] is None
     assert row["rho_model_lm"] is None
+
+
+def test_source_quality_psi_matches_python_replay(spark, sf_dir):
+    """PSI per source replayed in pure python from the registered
+    quality scores: same binning (floor of 6-dp score x 10, clamped),
+    same Laplace smoothing, same per-term 6-dp round-then-sum."""
+    import math
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        PSI_BINS,
+        q_source_quality_psi,
+    )
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_quality_score,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    qual = {
+        r["doc_id"]: r["quality"]
+        for r in q_quality_score(spark, sf_dir).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    bins: dict[str, list[int]] = {}
+    all_bins = [0] * PSI_BINS
+    for d, q in qual.items():
+        b = min(int(q * PSI_BINS), PSI_BINS - 1)
+        bins.setdefault(src[d], [0] * PSI_BINS)[b] += 1
+        all_bins[b] += 1
+    n_all = sum(all_bins)
+    expect = {}
+    for s, cs in bins.items():
+        n = sum(cs)
+        total = Decimal(0)
+        for b in range(PSI_BINS):
+            ps = (cs[b] + 1) / (n + PSI_BINS)
+            pa = (all_bins[b] + 1) / (n_all + PSI_BINS)
+            total += Decimal(repr(round((ps - pa) * math.log(ps / pa), 6)))
+        expect[s] = (n, float(total))
+
+    got = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in q_source_quality_psi(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for s, (n, psi) in expect.items():
+        assert got[s][0] == n
+        assert abs(got[s][1] - psi) < 1e-9, s
+    # every psi is finite and non-negative (PSI is a symmetrized
+    # KL-style sum of (p-q)ln(p/q) terms, each >= 0)
+    assert all(p >= 0 for _, p in got.values())

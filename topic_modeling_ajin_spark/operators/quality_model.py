@@ -479,6 +479,110 @@ def q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.join(ms, "doc_id").join(lm, "doc_id", "left")
 
 
+PSI_BINS = 10  # fixed-width bins over quality's [0, 1] range
+
+
+@register(
+    "source_quality_psi",
+    sql=f"""
+WITH qs AS ({_REG["quality_score"].sql}),
+j AS (
+    SELECT d.source,
+           least(CAST(floor(qs.quality * {PSI_BINS}) AS BIGINT),
+                 {PSI_BINS - 1}) AS bin
+    FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+),
+sb AS (SELECT source, bin, count(*) AS c FROM j GROUP BY source, bin),
+stot AS (SELECT source, sum(c) AS n FROM sb GROUP BY source),
+ab AS (SELECT bin, sum(c) AS c FROM sb GROUP BY bin),
+atot AS (SELECT sum(c) AS n FROM ab),
+grid AS (
+    SELECT s.source, b.bin
+    FROM stot s, (SELECT unnest(range(0, {PSI_BINS})) AS bin) b
+),
+p AS (
+    SELECT g.source, st.n,
+           (coalesce(sb.c, 0) + 1) * 1.0 / (st.n + {PSI_BINS}) AS ps,
+           (coalesce(ab.c, 0) + 1) * 1.0 / (at.n + {PSI_BINS}) AS pa
+    FROM grid g
+    JOIN stot st ON st.source = g.source
+    LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+    LEFT JOIN ab ON ab.bin = g.bin
+    CROSS JOIN atot at
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(round((ps - pa) * ln(ps / pa), 6)
+                AS DECIMAL(18, 6))) AS DOUBLE) AS psi
+FROM p GROUP BY source
+""",
+    tags=("quality", "drift", "eval", "scale"),
+)
+def q_source_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the heuristic quality-score
+    distribution, per source vs the whole corpus — the drift monitor a
+    data-ops team wires to an alert: PSI < 0.1 is stable, 0.1-0.25
+    drifting, > 0.25 a source whose quality profile has shifted enough
+    to re-examine before the next training mix (the credit-scoring PSI
+    convention). Composes the registered ``quality_score`` verbatim.
+
+    Exactness: bins are integer (floor of the 6-dp-rounded score x 10,
+    clamped); every probability is a Laplace-smoothed ratio of integers
+    — identical doubles on both engines — and the 10 per-source terms
+    are 6-dp-rounded then summed as DECIMAL, so the total is
+    associative-exact under any aggregation order. Scale: one corpus
+    pass to bin, then everything is (sources x {PSI_BINS})-bounded."""
+    from .text_analysis import q_quality_score
+
+    from ..sources import load_table
+
+    qs = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = qs.join(src, "doc_id").select(
+        "source",
+        F.least(
+            F.floor(F.col("quality") * PSI_BINS).cast("bigint"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    sb = j.groupBy("source", "bin").agg(F.count("*").alias("c"))
+    stot = sb.groupBy("source").agg(F.sum("c").alias("n"))
+    ab = sb.groupBy("bin").agg(F.sum("c").alias("c_all"))
+    atot = ab.agg(F.sum("c_all").alias("n_all"))
+    grid = stot.crossJoin(
+        F.broadcast(
+            ab.sparkSession.range(PSI_BINS).select(
+                F.col("id").cast("bigint").alias("bin")
+            )
+        )
+    )
+    p = (
+        grid.join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(ab), "bin", "left")
+        .crossJoin(F.broadcast(atot))
+        .select(
+            "source",
+            "n",
+            (
+                (F.coalesce("c", F.lit(0)) + 1)
+                * F.lit(1.0)
+                / (F.col("n") + PSI_BINS)
+            ).alias("ps"),
+            (
+                (F.coalesce("c_all", F.lit(0)) + 1)
+                * F.lit(1.0)
+                / (F.col("n_all") + PSI_BINS)
+            ).alias("pa"),
+        )
+    )
+    term = (F.col("ps") - F.col("pa")) * F.log(F.col("ps") / F.col("pa"))
+    return p.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(F.round(term, 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("psi"),
+    )
+
+
 def _value_frac_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
     """Exact fractional ranks per DISTINCT value of ``df[col]`` without a
     global-order window: frac_rank(v) = (#rows < v) + (count(v)+1)/2,
