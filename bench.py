@@ -55,6 +55,9 @@ HEADLINE = (
     "simplified_silhouette",  # O(N*K) cluster-quality metric
     "bm25_topk",             # lexical retrieval (query-term postings cut)
     "winnowing_overlap_pairs",  # MOSS fingerprints + value-bucketed pairs
+    "strip_boilerplate_chunks",  # chunk-level boilerplate strip + rebuild
+    "source_quality_psi",    # per-source quality-drift PSI monitor
+    "training_corpus_manifest_decontam",  # manifest + benchmark decontam gate
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still

@@ -359,3 +359,25 @@ def test_doc_decontam_flags_benchmark_leakage(spark, tmp_path):
     assert got[60]["flagged"] and got[60]["n_shared_grams"] >= 1
     assert got[60]["n_bench_docs"] == 1
     assert not got[61]["flagged"] and got[61]["n_shared_grams"] == 0
+
+
+def test_staged_winnow_manifest_matches_one_query(spark, sf_dir, tmp_path):
+    """run_curation_pipeline(strict=True, winnow=True) must equal the
+    one-query training_corpus_manifest_winnow row-for-row, with the
+    winnow verdict table materialized beside the chunk gate's."""
+    import os
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_training_corpus_manifest_winnow,
+        run_curation_pipeline,
+    )
+
+    out = str(tmp_path / "pipe_winnow")
+    staged = run_curation_pipeline(spark, sf_dir, out, strict=True, winnow=True)
+    assert os.path.isdir(f"{out}/doc_winnow_boilerplate")
+    got = [tuple(r) for r in staged.collect()]
+    want = [
+        tuple(r)
+        for r in q_training_corpus_manifest_winnow(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) > 0

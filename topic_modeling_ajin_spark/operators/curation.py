@@ -599,10 +599,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above are for context prep / detection, where overlap is a feature)
 STRIP_CHUNK = 32
 
-
-@register(
-    "strip_boilerplate_chunks",
-    sql=f"""
+_STRIP_SQL = f"""
 WITH t AS ({_SQL_TOKS}),
 nz AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
 st AS (
@@ -632,7 +629,12 @@ SELECT c.doc_id,
                FILTER (WHERE o.chunk_md5 IS NULL), [])), ' ')) AS cleaned_md5
 FROM ch c LEFT JOIN off o ON o.chunk_md5 = c.chunk_md5
 GROUP BY c.doc_id
-""",
+"""
+
+
+@register(
+    "strip_boilerplate_chunks",
+    sql=_STRIP_SQL,
     tags=("curation", "dedup", "scale"),
 )
 def q_strip_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +710,47 @@ def _strip_chunks(spark: SparkSession, sf_dir: str):
         "doc_id", "chunk_id", "chunk"
     )
     return per, kept
+
+
+@register(
+    "strip_savings_report",
+    sql=f"""
+WITH s AS ({_STRIP_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_stripped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_affected,
+       CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(sum(n_stripped) AS BIGINT) AS total_stripped,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens_kept) AS BIGINT) AS total_tokens_kept,
+       round(1 - sum(n_tokens_kept) * 1.0 / sum(n_tokens), 6)
+           AS stripped_token_share
+FROM s
+""",
+    tags=("curation", "eval"),
+)
+def q_strip_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row rollup of the chunk-strip transform: how many documents
+    were touched and what share of corpus tokens the boilerplate strip
+    reclaims — the number that decides whether stripping (vs whole-doc
+    drop) is worth a pipeline stage on this corpus. Composes the
+    registered audit verbatim; the rollup is a single aggregate over the
+    doc-sized audit table."""
+    return q_strip_boilerplate_chunks(spark, sf_dir).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_stripped") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_affected"),
+        F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+        F.sum("n_stripped").cast("bigint").alias("total_stripped"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_tokens_kept").cast("bigint").alias("total_tokens_kept"),
+        F.round(
+            F.lit(1)
+            - F.sum("n_tokens_kept") * F.lit(1.0) / F.sum("n_tokens"),
+            6,
+        ).alias("stripped_token_share"),
+    )
 
 
 def strip_boilerplate_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,6 +1105,7 @@ def run_curation_pipeline(
     out_dir: str,
     strict: bool = False,
     select: bool = False,
+    winnow: bool = False,
 ) -> DataFrame:
     """The 100 TB shape of ``training_corpus_manifest``: run each gate as
     its own job, WRITE its verdict table to parquet, and build the
@@ -1085,9 +1129,15 @@ def run_curation_pipeline(
         if stage == "doc_boilerplate" and not strict:
             continue
         write_parquet(reg[stage].fn(spark, sf_dir), f"{out_dir}/{stage}")
+    if winnow:
+        write_parquet(
+            reg["doc_winnow_boilerplate"].fn(spark, sf_dir),
+            f"{out_dir}/doc_winnow_boilerplate",
+        )
 
     write_parquet(
-        staged_manifest(spark, out_dir, strict=strict), f"{out_dir}/manifest"
+        staged_manifest(spark, out_dir, strict=strict, winnow=winnow),
+        f"{out_dir}/manifest",
     )
     if select:
         # curate -> SELECT, materialized: the selection verdict tables
@@ -1112,7 +1162,10 @@ def run_curation_pipeline(
 
 
 def staged_manifest(
-    spark: SparkSession, out_dir: str, strict: bool = False
+    spark: SparkSession,
+    out_dir: str,
+    strict: bool = False,
+    winnow: bool = False,
 ) -> DataFrame:
     """The manifest as joins over ALREADY-MATERIALIZED stage tables
     (written by ``run_curation_pipeline``) — the small plan the one-query
@@ -1145,6 +1198,13 @@ def staged_manifest(
     if strict:
         flagged = t("doc_boilerplate").filter(F.col("flagged")).select("doc_id")
         out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
+    if winnow:
+        wflag = (
+            t("doc_winnow_boilerplate")
+            .filter(F.col("flagged"))
+            .select("doc_id")
+        )
+        out = out.join(F.broadcast(wflag), "doc_id", "left_anti")
     return out.select("doc_id", "lang", "quality", "n_bpe_tokens")
 
 
