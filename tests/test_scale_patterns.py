@@ -230,3 +230,77 @@ def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_quality_panel_agreement_has_no_unpartitioned_window(spark, sf_dir):
+    """r6 verdict task 2 pin: every rank window in the Spearman query
+    must be partitioned (by the range-partition id) — the corpus never
+    funnels through one WindowExec task."""
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        q_quality_panel_agreement,
+    )
+
+    plan = (
+        q_quality_panel_agreement(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_windows = plan.count("windowspecdefinition(")
+    assert n_windows >= 1  # the per-partition cumsums
+    assert n_windows == plan.count("windowspecdefinition(pid"), plan[:3000]
+
+
+def test_winnowing_pairs_hot_guard_is_broadcast_anti_join(spark, sf_dir):
+    """r6 verdict task 1 pin: the hot-fingerprint exclusion must compile
+    to a broadcast LEFT ANTI join on fp (the hot list is tiny), and the
+    pair stage stays an equi-join."""
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        q_winnowing_overlap_pairs,
+    )
+
+    plan = (
+        q_winnowing_overlap_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_strip_chunks_plan_is_doc_keyed(spark, sf_dir):
+    """Chunk stripping must never globally sort or cross join: chunking
+    is doc-local codegen, the offender join is keyed on the chunk md5,
+    reassembly is a doc-keyed aggregate."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_strip_boilerplate_chunks,
+    )
+
+    plan = (
+        q_strip_boilerplate_chunks(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan  # no window at all
+
+
+def test_doc_decontam_broadcasts_bench_side(spark, sf_dir):
+    """The benchmark gram set is tiny by construction and must broadcast
+    into the corpus probe — the corpus side never shuffles on the gram."""
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_doc_decontam,
+    )
+
+    plan = (
+        q_doc_decontam(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

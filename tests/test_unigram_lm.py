@@ -189,3 +189,41 @@ def test_viterbi_is_optimal_exhaustively():
         assert got == best[1], (word, got, best)
 
     check()
+
+
+def test_fertility_by_source_reconciles_with_doc_counts(spark, sf_dir):
+    """Per-source sums must equal the doc-level unigram_token_counts
+    grouped in python, and fertility = tokens / segmentable words."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.unigram_lm import (
+        q_tokenizer_fertility_by_source,
+        q_unigram_token_counts,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for r in q_unigram_token_counts(spark, sf_dir).collect():
+        a = agg.setdefault(src[r["doc_id"]], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_words"]
+        a[2] += r["n_skipped"]
+        a[3] += r["n_uni_tokens"]
+    got = {
+        r["source"]: r
+        for r in q_tokenizer_fertility_by_source(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for s, (nd, nw, nsk, nt) in agg.items():
+        r = got[s]
+        assert (r["n_docs"], r["n_words"], r["n_skipped"], r["n_uni_tokens"]) == (
+            nd, nw, nsk, nt
+        )
+        seg = nw - nsk
+        want = round(nt / seg, 6) if seg > 0 else 0.0
+        assert abs(r["fertility"] - want) < 1e-9
+        assert r["fertility"] >= 1.0 or seg == 0  # a word is >= 1 piece

@@ -153,6 +153,27 @@ SELECTED = (
         "`WindowGroupLimit` prunes both phases to their top-k before "
         "the full window evaluates.",
     ),
+    (
+        "quality_panel_agreement",
+        "Scale-safe Spearman (r6 task 2): every rank window is "
+        "partitioned by the range-partition id (two-phase prefix sum) — "
+        "no `WindowExec: No Partition Defined`, no single-task corpus "
+        "funnel; the closed-form sums are one model-sized aggregate.",
+    ),
+    (
+        "strip_boilerplate_chunks",
+        "Chunk-level boilerplate strip: chunking is doc-local array "
+        "codegen, the offender set joins back on the 16-byte chunk md5 "
+        "(the shuffle both sides already have), reassembly is one "
+        "doc-keyed aggregate — no window, no global sort, no pair join.",
+    ),
+    (
+        "source_quality_psi",
+        "Drift monitor: one corpus pass bins the quality scores; "
+        "everything downstream is (sources x bins)-bounded with the "
+        "bin marginals broadcast back — the alert query stays "
+        "model-sized at any corpus scale.",
+    ),
 )
 
 

@@ -1264,6 +1264,55 @@ def q_mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mixture_temperature_plan_tokens",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+counts AS (
+    SELECT lang, CAST(sum(length(toks)) AS DOUBLE) AS n
+    FROM t GROUP BY lang
+),
+tot AS (SELECT sum(n) AS tn, sum(sqrt(n)) AS ts FROM counts)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens,
+       round(n / tn, 6) AS natural_share,
+       round(sqrt(n) / ts, 6) AS temp_share,
+       round((sqrt(n) / ts) / (n / tn), 6) AS upsample_factor
+FROM counts CROSS JOIN tot
+""",
+    tags=("curation", "tokenizer"),
+)
+def q_mixture_temperature_plan_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature mixture shares over TOKEN mass instead of document
+    counts — what actually budgets a training run: a language whose docs
+    are long (or whose text the tokenizer fragments — see
+    ``tokenizer_fertility_by_source``) takes proportionally more
+    sequence slots per doc, so doc-count shares misstate its real cost.
+    Same T=2 sqrt math as ``mixture_temperature_plan`` (the structural
+    sqrt-exactness note there applies); one tokenize pass, then
+    language-bounded aggregates."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(TX.word_tokens("text")))
+            .cast("double")
+            .alias("n")
+        )
+    )
+    tots = counts.agg(F.sum("n").alias("tn"), F.sum(F.sqrt("n")).alias("ts"))
+    nat = F.col("n") / F.col("tn")
+    tmp = F.sqrt("n") / F.col("ts")
+    return counts.crossJoin(F.broadcast(tots)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 6).alias("upsample_factor"),
+    )
+
+
 # registered here (not in selection.py): the oracle composes the manifest
 # SQL, which only exists once this module's registrations have run
 def _register_curated_dsir() -> None:

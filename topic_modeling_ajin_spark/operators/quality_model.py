@@ -600,12 +600,18 @@ def _value_frac_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    # persisted BEFORE the offsets collect: the offsets and the ranked
+    # path must see the IDENTICAL value->pid mapping, and pinning the
+    # range-partitioned table is what guarantees the second consumer
+    # reads the same partitioning the totals were computed from (range
+    # boundaries come from a sampling pass; recomputing could not change
+    # same-key co-location, but the offset bookkeeping keys on pid)
     g = (
         df.groupBy(col)
         .agg(F.count("*").alias("cnt"))
         .repartitionByRange(F.col(col))
         .withColumn("pid", F.spark_partition_id())
-    )
+    ).persist()
     totals = sorted(
         g.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect(),
         key=lambda r: r["pid"],

@@ -604,3 +604,66 @@ def q_pack_sequences_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_uni_tokens").alias("n")
     )
     return pack_manifest(d, UNI_PACK_BUDGET)
+
+
+# -------------------------------------- per-source fertility (mix design)
+
+
+def _fertility_by_source_sql() -> str:
+    from ..registry import REGISTRY
+
+    counts = REGISTRY["unigram_token_counts"].sql
+    return f"""
+WITH t AS ({counts})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.n_words) AS BIGINT) AS n_words,
+       CAST(sum(t.n_skipped) AS BIGINT) AS n_skipped,
+       CAST(sum(t.n_uni_tokens) AS BIGINT) AS n_uni_tokens,
+       round(CASE WHEN sum(t.n_words) - sum(t.n_skipped) > 0
+                  THEN sum(t.n_uni_tokens) * 1.0
+                       / (sum(t.n_words) - sum(t.n_skipped))
+                  ELSE 0 END, 6) AS fertility
+FROM t JOIN documents d ON d.doc_id = t.doc_id
+GROUP BY d.source
+"""
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    sql=_fertility_by_source_sql(),
+    tags=("tokenizer", "eval", "drift"),
+)
+def q_tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trained-tokenizer fertility PER SOURCE — the mix-design
+    diagnostic ``tokenizer_compare`` can't show: a source whose text the
+    tokenizer fragments badly (high pieces-per-word) costs
+    proportionally more sequence budget per document, so its mixture
+    share should be set in TOKENS, not docs. Fertility is computed over
+    segmentable words only (the trainer's documented cap policy routes
+    over-cap words to n_skipped). Composes the registered
+    ``unigram_token_counts`` verbatim; the rollup joins the doc-sized
+    count table to documents on doc_id and aggregates per source —
+    model-sized output, integer sums, one 6-dp division."""
+    t = q_unigram_token_counts(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    seg_words = F.sum("n_words") - F.sum("n_skipped")
+    return (
+        t.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_skipped").cast("bigint").alias("n_skipped"),
+            F.sum("n_uni_tokens").cast("bigint").alias("n_uni_tokens"),
+            F.round(
+                F.when(
+                    seg_words > 0,
+                    F.sum("n_uni_tokens") * F.lit(1.0) / seg_words,
+                ).otherwise(0.0),
+                6,
+            ).alias("fertility"),
+        )
+    )
