@@ -255,3 +255,26 @@ def test_source_quality_psi_matches_python_replay(spark, sf_dir):
     # every psi is finite and non-negative (PSI is a symmetrized
     # KL-style sum of (p-q)ln(p/q) terms, each >= 0)
     assert all(p >= 0 for _, p in got.values())
+
+
+def test_calibration_bins_reconcile_with_eval(spark, sf_dir):
+    """Calibration bins partition the held-out set (sum n equals the
+    eval query's n_heldout; n_pos sums to tp+fn), every mean confidence
+    lies inside its bin, and acc = n_pos/n exactly."""
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        CAL_BINS,
+        q_quality_model_calibration,
+        q_quality_model_eval,
+    )
+
+    ev = q_quality_model_eval(spark, sf_dir).collect()[0]
+    rows = q_quality_model_calibration(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n"] for r in rows) == ev["n_heldout"]
+    assert sum(r["n_pos"] for r in rows) == ev["tp"] + ev["fn"]
+    for r in rows:
+        assert 0 <= r["bin"] < CAL_BINS
+        lo, hi = r["bin"] / CAL_BINS, (r["bin"] + 1) / CAL_BINS
+        # conf is the mean of 6-dp probs inside [lo, hi) (top bin closed)
+        assert lo - 1e-9 <= r["conf"] <= (1.0 if r["bin"] == CAL_BINS - 1 else hi) + 1e-9
+        assert abs(r["acc"] - round(r["n_pos"] / r["n"], 6)) < 1e-9

@@ -437,6 +437,89 @@ def q_quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- calibration bins
+
+CAL_BINS = 10
+
+
+def _sql_calibration() -> str:
+    from .curation import SPLIT_BOUNDS
+
+    return f"""
+WITH {_sql_rounds(QM_ITERS, train_only=True)},
+hp AS (
+    SELECT round(p.p, 6) AS p, l.y
+    FROM p{QM_ITERS + 1} p
+    JOIN lab l ON l.doc_id = p.doc_id
+    JOIN spl s ON s.doc_id = p.doc_id
+    WHERE s.pct >= {SPLIT_BOUNDS[0]}
+)
+SELECT least(CAST(floor(p * {CAL_BINS}) AS BIGINT), {CAL_BINS - 1}) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(sum(y) * 1.0 / count(*), 6) AS acc,
+       round(CAST(sum(CAST(p AS DECIMAL(18, 6))) AS DOUBLE) / count(*), 6)
+           AS conf
+FROM hp GROUP BY 1
+""".replace("\n\n", "\n")
+
+
+@register(
+    "quality_model_calibration",
+    sql=_sql_calibration(),
+    tags=("quality", "ml", "eval"),
+)
+def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained quality gate on the held-out
+    split: {CAL_BINS} predicted-probability bins, each with its count,
+    positive-label count, empirical accuracy and mean confidence — the
+    table that says whether a 0.8 score MEANS 80% (and therefore whether
+    thresholding at MIN_KEEP_QUALITY-equivalents is honest). |acc − conf|
+    summed n-weighted is ECE; the bins are emitted raw so the consumer
+    picks the aggregation.
+
+    Exactness: p is the 6-dp-rounded sigmoid (the eval query's
+    convention), binning is integer floor of that identical double, and
+    mean confidence sums the 6-dp values as DECIMAL — associative-exact
+    — before one final division. Scale: scoring is the broadcast-weights
+    expression; the rollup is {CAL_BINS}-bounded."""
+    from .curation import SPLIT_BOUNDS, _md5_u32
+
+    w = _qm_fit_train(spark, sf_dir)
+    feats = _features(spark, sf_dir)
+    pct = (
+        _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    )
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    margin = F.aggregate(
+        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    held = feats.filter(pct >= SPLIT_BOUNDS[0]).select(
+        "y", p.alias("p")
+    )
+    return (
+        held.groupBy(
+            F.least(
+                F.floor(F.col("p") * CAL_BINS).cast("bigint"),
+                F.lit(CAL_BINS - 1),
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(F.sum("y") * F.lit(1.0) / F.count("*"), 6).alias("acc"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("conf"),
+        )
+    )
+
+
 # ------------------------------------------- three-signal quality panel
 
 # the three registered quality signals this module's panel composes
