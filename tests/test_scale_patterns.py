@@ -144,34 +144,57 @@ def test_q11_plan_reuses_persisted_value_table(spark, sf_dir):
 
 
 def test_manifest_discard_side_broadcasts(spark, sf_dir):
-    """The near-dup discard list is tiny: the manifest's anti-join must
-    broadcast it, not shuffle the doc-sized survivor stream."""
-    from topic_modeling_ajin_spark.registry import load_all
+    """The near-dup discard list is tiny: the manifest BASE JOIN's
+    anti-join must broadcast it, not shuffle the doc-sized survivor
+    stream. Pinned on _manifest_base — the plan that actually executes
+    the gates; the registered query reads its localCheckpoint (r7)."""
+    from topic_modeling_ajin_spark.operators.curation import _manifest_base
 
-    df = load_all()["training_corpus_manifest"].fn(spark, sf_dir)
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        _manifest_base(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti" in plan and "BroadcastExchange" in plan
     ), plan[:800]
 
 
 def test_manifest_scans_persisted_filter_report(spark, sf_dir):
-    """The round-6 perf fix pinned: the manifest's keep-filter must read
-    the persisted verdict table (InMemoryTableScan), not re-inline the
-    staged token/ngram expression tree into the filter — losing the
+    """The round-6 perf fix pinned: the manifest base's keep-filter must
+    read the persisted verdict table (InMemoryTableScan), not re-inline
+    the staged token/ngram expression tree into the filter — losing the
     persist cost 113 s of 139 at sf0.1."""
-    from topic_modeling_ajin_spark.operators.curation import (
-        q_training_corpus_manifest,
-    )
+    from topic_modeling_ajin_spark.operators.curation import _manifest_base
     from topic_modeling_ajin_spark.operators.text_analysis import (
         q_curation_filter_report,
     )
 
     q_curation_filter_report(spark, sf_dir)  # builds + registers the memo
+    plan = (
+        _manifest_base(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
+
+
+def test_manifest_composers_pay_no_giant_replan(spark, sf_dir):
+    """r7 perf fix pinned: the REGISTERED manifest reads the memoized
+    localCheckpoint — its plan is a small ExistingRDD scan, not the
+    ~124k-line gate tree, so every composing query (strict/winnow/
+    decontam manifests, curated_dsir_select) pays milliseconds of
+    planning instead of ~5 s per action."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_training_corpus_manifest,
+    )
+
     df = q_training_corpus_manifest(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:800]
+    assert len(plan) < 20_000, len(plan)
 
 
 def test_dsir_select_topk_and_broadcast_weights(spark, sf_dir):

@@ -829,26 +829,37 @@ def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-of-chunks sized and joins back on the 16-byte md5 key, so
     chunk text never shuffles. This is the doc-granularity decision the
     strict manifest gates on; a finer cleaner would instead STRIP the
-    offending chunks (``chunk_documents`` + anti-join on the same key)."""
-    ch = _doc_chunk_hashes(spark, sf_dir)
-    off = q_chunk_dedup(spark, sf_dir).select("chunk_md5", F.lit(1).alias("hit"))
-    n_shared = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
-    per = (
-        ch.join(off, "chunk_md5", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_chunks"),
-            n_shared.cast("bigint").alias("n_shared"),
+    offending chunks (``chunk_documents`` + anti-join on the same key).
+
+    Memoized+persisted (the verdict-table discipline, r7): three manifest
+    variants compose this per call, and the offender aggregation over the
+    chunk table was their repeated cost — the verdict is doc-sized."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        ch = _doc_chunk_hashes(spark, sf_dir)
+        off = q_chunk_dedup(spark, sf_dir).select(
+            "chunk_md5", F.lit(1).alias("hit")
         )
-    )
-    ratio = F.col("n_shared") / F.col("n_chunks")
-    return per.select(
-        "doc_id",
-        "n_chunks",
-        "n_shared",
-        F.round(ratio, 6).alias("shared_ratio"),
-        (ratio > BOILERPLATE_MAX_RATIO).alias("flagged"),
-    )
+        n_shared = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        per = (
+            ch.join(off, "chunk_md5", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_chunks"),
+                n_shared.cast("bigint").alias("n_shared"),
+            )
+        )
+        ratio = F.col("n_shared") / F.col("n_chunks")
+        return per.select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(ratio, 6).alias("shared_ratio"),
+            (ratio > BOILERPLATE_MAX_RATIO).alias("flagged"),
+        )
+
+    return memo(spark, ("doc_boilerplate", sf_dir), build, persist=True)
 
 
 @register(
@@ -905,11 +916,19 @@ def _manifest(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
     # Spark-side long pole (r6 verdict task 4; the DuckDB side was
     # already CTE-cached to ~1 s). The persisted table is doc-keyed and
     # manifest-sized, far below the corpus.
+    # localCheckpoint, not bare persist (r7): persist caches the DATA but
+    # every new action still re-analyzes the manifest's ~124k-line
+    # Catalyst tree before the cache lookup — measured ~5 s of pure
+    # planning per warm run. The checkpoint collapses the lineage to a
+    # LogicalRDD so composing queries pay milliseconds of planning; the
+    # content is identical (deterministic gates, materialized once). On
+    # a real cluster with executor churn you'd use a reliable
+    # checkpoint dir instead; the staged run_curation_pipeline (parquet
+    # per gate) is the durable form of the same idea.
     out = memo(
         spark,
         ("manifest_base", sf_dir),
-        lambda: _manifest_base(spark, sf_dir),
-        persist=True,
+        lambda: _manifest_base(spark, sf_dir).localCheckpoint(),
     )
     if strict:
         flagged = (

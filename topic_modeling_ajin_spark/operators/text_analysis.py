@@ -713,23 +713,32 @@ def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decontamination_overlap`` (composed verbatim) reports only the
     overlapping docs; the verdict LEFT-joins it back over the corpus so
     clean docs surface as flagged=false rather than vanishing. Same
-    broadcast-bench scale shape; the LEFT join is doc-keyed."""
-    ov = q_decontamination_overlap(spark, sf_dir)
-    d = _docs(spark, sf_dir).filter(
-        F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID
-    ).select("doc_id")
-    return d.join(ov, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias(
-            "n_shared_grams"
-        ),
-        F.coalesce("n_bench_docs", F.lit(0)).cast("bigint").alias(
-            "n_bench_docs"
-        ),
-        (
-            F.coalesce("n_shared_grams", F.lit(0)) >= DECON_MIN_SHARED
-        ).alias("flagged"),
-    )
+    broadcast-bench scale shape; the LEFT join is doc-keyed.
+
+    Memoized+persisted (the verdict-table discipline): the manifest
+    composes this, and the 5-gram corpus scan behind it is the gate's
+    whole cost — the persisted verdict is doc-sized."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        ov = q_decontamination_overlap(spark, sf_dir)
+        d = _docs(spark, sf_dir).filter(
+            F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID
+        ).select("doc_id")
+        return d.join(ov, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias(
+                "n_shared_grams"
+            ),
+            F.coalesce("n_bench_docs", F.lit(0)).cast("bigint").alias(
+                "n_bench_docs"
+            ),
+            (
+                F.coalesce("n_shared_grams", F.lit(0)) >= DECON_MIN_SHARED
+            ).alias("flagged"),
+        )
+
+    return memo(spark, ("doc_decontam", sf_dir), build, persist=True)
 
 
 MIN_KEEP_TOKENS = 10
