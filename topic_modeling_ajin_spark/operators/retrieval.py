@@ -469,11 +469,20 @@ fps AS (
 
 
 def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct winnowing fingerprints per doc: (doc_id, fp)."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id", TX.word_tokens("text").alias("toks")
-    )
-    return winnow_fps_from_tokens(t)
+    """Distinct winnowing fingerprints per doc: (doc_id, fp).
+
+    Memoized+persisted: four registered queries branch from this table
+    (fingerprint rollup, guarded pairs, hot-fp audit, boilerplate
+    verdict) and the doc-local hash+window pass is their shared cost."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        t = _docs(spark, sf_dir).select(
+            "doc_id", TX.word_tokens("text").alias("toks")
+        )
+        return winnow_fps_from_tokens(t)
+
+    return memo(spark, ("winnow_fps", sf_dir), build, persist=True)
 
 
 def winnow_fps_from_tokens(t: DataFrame) -> DataFrame:
