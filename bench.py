@@ -58,6 +58,7 @@ HEADLINE = (
     "strip_boilerplate_chunks",  # chunk-level boilerplate strip + rebuild
     "source_quality_psi",    # per-source quality-drift PSI monitor
     "training_corpus_manifest_decontam",  # manifest + benchmark decontam gate
+    "corpus_data_card",      # one-row datasheet composing every gate
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still

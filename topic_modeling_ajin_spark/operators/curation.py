@@ -1394,3 +1394,108 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_tokens") >= PACK_BUDGET, 1).otherwise(0)
         ).cast("bigint").alias("n_full"),
     )
+
+
+# ------------------------------------------------------ corpus data card
+
+
+def _data_card_sql() -> str:
+    return f"""
+WITH fp AS ({_REG["fingerprint_dedup"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+dc AS ({_REG["doc_decontam"].sql}),
+qs AS ({_REG["quality_score"].sql}),
+fr AS ({_REG["curation_filter_report"].sql}),
+man AS ({_REG["training_corpus_manifest"].sql}),
+toks AS (SELECT CAST(sum(length(t.toks)) AS BIGINT) AS n
+         FROM ({_SQL_TOKS}) t)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT n FROM toks) AS n_tokens,
+       (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+           AS n_sources,
+       (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_unique_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ndd) AS n_near_dup_discards,
+       (SELECT CAST(count(*) AS BIGINT) FROM dc WHERE flagged)
+           AS n_contaminated,
+       (SELECT CAST(count(*) AS BIGINT) FROM fr WHERE keep) AS n_rule_pass,
+       (SELECT CAST(count(*) AS BIGINT) FROM man) AS n_manifest,
+       (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18, 6))) AS DOUBLE)
+                     / count(*), 6) FROM qs) AS mean_quality
+"""
+
+
+def _register_data_card() -> None:
+    register(
+        "corpus_data_card",
+        sql=_data_card_sql(),
+        tags=("curation", "eval", "flagship"),
+    )(q_corpus_data_card)
+
+
+def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row datasheet a released dataset ships (Gebru et al.,
+    "Datasheets for Datasets"): raw size, token mass, language/source
+    spread, dedup and contamination tallies, rule-gate pass count, the
+    shipped-manifest size, and mean heuristic quality. Every figure
+    composes a REGISTERED query verbatim, so the card can never disagree
+    with the gates it summarizes; each sub-aggregate is one count over
+    an already-memoized verdict table, and the mean sums 6-dp-rounded
+    qualities as DECIMAL (associative-exact). This is the first table a
+    data consumer reads and the last one a curation run writes."""
+    from .dedup import q_fingerprint_dedup, q_near_dup_discard
+    from .text_analysis import q_doc_decontam, q_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    one = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(TX.word_tokens("text"))).cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    qmean = q_quality_score(spark, sf_dir).agg(
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality")
+    )
+    from .text_analysis import q_curation_filter_report
+
+    return (
+        one.crossJoin(cnt(q_fingerprint_dedup(spark, sf_dir), "n_unique_docs"))
+        .crossJoin(cnt(q_near_dup_discard(spark, sf_dir), "n_near_dup_discards"))
+        .crossJoin(
+            cnt(
+                q_doc_decontam(spark, sf_dir).filter(F.col("flagged")),
+                "n_contaminated",
+            )
+        )
+        .crossJoin(
+            cnt(
+                q_curation_filter_report(spark, sf_dir).filter(F.col("keep")),
+                "n_rule_pass",
+            )
+        )
+        .crossJoin(cnt(q_training_corpus_manifest(spark, sf_dir), "n_manifest"))
+        .crossJoin(qmean)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            "n_unique_docs",
+            "n_near_dup_discards",
+            "n_contaminated",
+            "n_rule_pass",
+            "n_manifest",
+            "mean_quality",
+        )
+    )
+
+
+_register_data_card()
