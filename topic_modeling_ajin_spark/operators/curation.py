@@ -682,17 +682,9 @@ def _strip_chunks(spark: SparkSession, sf_dir: str):
         .select("chunk_md5", F.lit(1).alias("hit"))
     )
     flagged = ch.join(off, "chunk_md5", "left")
-    kept_tokens = F.flatten(
-        F.transform(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("hit").isNull(),
-                        F.struct("chunk_id", "chunk"),
-                    )
-                )
-            ),
-            lambda x: x["chunk"],
+    kept_tokens = _ordered_tokens(
+        F.collect_list(
+            F.when(F.col("hit").isNull(), F.struct("chunk_id", "chunk"))
         )
     )
     per = flagged.groupBy("doc_id").agg(
@@ -759,14 +751,20 @@ def strip_boilerplate_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-level boilerplate removal. Same plumbing as the registered
     audit query; cleaned_text is the kept chunks re-joined in order."""
     _, kept = _strip_chunks(spark, sf_dir)
-    ordered = F.flatten(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("chunk_id", "chunk"))),
-            lambda x: x["chunk"],
-        )
-    )
+    ordered = _ordered_tokens(F.collect_list(F.struct("chunk_id", "chunk")))
     return kept.groupBy("doc_id").agg(
         F.array_join(ordered, " ").alias("cleaned_text")
+    )
+
+
+def _ordered_tokens(structs_col: F.Column) -> F.Column:
+    """Flatten collected (chunk_id, chunk) structs into the document's
+    token stream in chunk order — the SINGLE reassembly convention shared
+    by the audit's cleaned_md5 and strip_boilerplate_texts' cleaned_text
+    (r7 review: two expressions could silently diverge, defeating the
+    audit's purpose)."""
+    return F.flatten(
+        F.transform(F.sort_array(structs_col), lambda x: x["chunk"])
     )
 
 

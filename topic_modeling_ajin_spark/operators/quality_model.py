@@ -394,23 +394,8 @@ def q_quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit AND the evaluation exactly. Scoring stays the broadcast-weights
     column expression; the only new work over ``quality_model_score`` is
     the split predicate (a row-local md5)."""
-    from .curation import SPLIT_BOUNDS, _md5_u32
-
-    w = _qm_fit_train(spark, sf_dir)
-    feats = _features(spark, sf_dir)
-    pct = (
-        _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
-    )
-    w_lit = F.array(*[F.lit(float(v)) for v in w])
-    margin = F.aggregate(
-        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
-    held = feats.filter(pct >= SPLIT_BOUNDS[0]).select(
-        "y", (p >= 0.5).cast("int").alias("pred")
-    )
+    held, n_train = _heldout_scores(spark, sf_dir, with_n_train=True)
+    held = held.select("y", (F.col("p") >= 0.5).cast("int").alias("pred"))
     conf = held.agg(
         F.sum(((F.col("y") == 1) & (F.col("pred") == 1)).cast("long")).alias("tp"),
         F.sum(((F.col("y") == 0) & (F.col("pred") == 1)).cast("long")).alias("fp"),
@@ -418,7 +403,6 @@ def q_quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((F.col("y") == 0) & (F.col("pred") == 0)).cast("long")).alias("tn"),
         F.count("*").alias("n_heldout"),
     )
-    n_train = feats.filter(pct < SPLIT_BOUNDS[0]).count()
     tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
     return conf.select(
         F.lit(n_train).cast("long").alias("n_train"),
@@ -435,6 +419,36 @@ def q_quality_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall_keep"),
         F.round((tp + tn) / F.col("n_heldout"), 6).alias("accuracy"),
     )
+
+
+def _heldout_scores(
+    spark: SparkSession, sf_dir: str, with_n_train: bool = False
+):
+    """(held, n_train): the held-out docs scored by the train-split-fit
+    weights — ``held`` is (y, p) with p the 6-dp-rounded sigmoid, the
+    SINGLE scoring convention ``quality_model_eval`` and
+    ``quality_model_calibration`` share (r7 review: the block was
+    copy-pasted and a convention change would silently de-reconcile the
+    two tables). n_train is an eager count, computed only when asked
+    (the calibration query doesn't report it)."""
+    from .curation import SPLIT_BOUNDS, _md5_u32
+
+    w = _qm_fit_train(spark, sf_dir)
+    feats = _features(spark, sf_dir)
+    pct = (
+        _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    )
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    margin = F.aggregate(
+        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    held = feats.filter(pct >= SPLIT_BOUNDS[0]).select("y", p.alias("p"))
+    if not with_n_train:
+        return held, None
+    return held, feats.filter(pct < SPLIT_BOUNDS[0]).count()
 
 
 # ------------------------------------------------- calibration bins
@@ -483,23 +497,7 @@ def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean confidence sums the 6-dp values as DECIMAL — associative-exact
     — before one final division. Scale: scoring is the broadcast-weights
     expression; the rollup is {CAL_BINS}-bounded."""
-    from .curation import SPLIT_BOUNDS, _md5_u32
-
-    w = _qm_fit_train(spark, sf_dir)
-    feats = _features(spark, sf_dir)
-    pct = (
-        _md5_u32(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
-    )
-    w_lit = F.array(*[F.lit(float(v)) for v in w])
-    margin = F.aggregate(
-        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
-    held = feats.filter(pct >= SPLIT_BOUNDS[0]).select(
-        "y", p.alias("p")
-    )
+    held, _ = _heldout_scores(spark, sf_dir)
     return (
         held.groupBy(
             F.least(
@@ -666,7 +664,9 @@ def q_source_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _value_frac_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
+def _value_frac_ranks(
+    df: DataFrame, col: str, out: str, memo_key: tuple
+) -> DataFrame:
     """Exact fractional ranks per DISTINCT value of ``df[col]`` without a
     global-order window: frac_rank(v) = (#rows < v) + (count(v)+1)/2,
     identical to rank() + (ties-1)/2 over the row set.
@@ -683,18 +683,23 @@ def _value_frac_ranks(df: DataFrame, col: str, out: str) -> DataFrame:
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    # persisted BEFORE the offsets collect: the offsets and the ranked
-    # path must see the IDENTICAL value->pid mapping, and pinning the
+    # persisted (through the cache REGISTRY, so clear_caches can release
+    # it — r7 review: a bare .persist() here leaked one table per call)
+    # BEFORE the offsets collect: the offsets and the ranked path must
+    # see the IDENTICAL value->pid mapping, and pinning the
     # range-partitioned table is what guarantees the second consumer
     # reads the same partitioning the totals were computed from (range
     # boundaries come from a sampling pass; recomputing could not change
     # same-key co-location, but the offset bookkeeping keys on pid)
-    g = (
-        df.groupBy(col)
+    g = memo(
+        spark,
+        memo_key,
+        lambda: df.groupBy(col)
         .agg(F.count("*").alias("cnt"))
         .repartitionByRange(F.col(col))
-        .withColumn("pid", F.spark_partition_id())
-    ).persist()
+        .withColumn("pid", F.spark_partition_id()),
+        persist=True,
+    )
     totals = sorted(
         g.groupBy("pid").agg(F.sum("cnt").alias("tot")).collect(),
         key=lambda r: r["pid"],
@@ -792,13 +797,25 @@ def q_quality_panel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is parallel; no ``WindowExec: No Partition Defined``
     anywhere. Rank values are bit-identical to the textbook
     rank()+(ties-1)/2 the DuckDB oracle uses."""
-    p = q_quality_panel(spark, sf_dir).filter(F.col("perplexity").isNotNull())
+    # the complete-case panel is memoized+persisted: the three rank
+    # builders each run an eager offsets collect whose lineage would
+    # otherwise recompute the full three-signal panel (the module's most
+    # expensive composition) once per signal plus once for the final
+    # probe side — four passes instead of one (r7 review)
+    p = memo(
+        spark,
+        ("qpa_panel", sf_dir),
+        lambda: q_quality_panel(spark, sf_dir).filter(
+            F.col("perplexity").isNotNull()
+        ),
+        persist=True,
+    )
 
     r = (
         p.select("quality", "model_score", "perplexity")
-        .join(_value_frac_ranks(p, "quality", "rq"), "quality")
-        .join(_value_frac_ranks(p, "model_score", "rm"), "model_score")
-        .join(_value_frac_ranks(p, "perplexity", "rp"), "perplexity")
+        .join(_value_frac_ranks(p, "quality", "rq", ("qpa_rank", sf_dir, "q")), "quality")
+        .join(_value_frac_ranks(p, "model_score", "rm", ("qpa_rank", sf_dir, "m")), "model_score")
+        .join(_value_frac_ranks(p, "perplexity", "rp", ("qpa_rank", sf_dir, "p")), "perplexity")
         .select("rq", "rm", "rp")
     )
     s = r.agg(

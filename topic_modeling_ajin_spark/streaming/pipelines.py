@@ -509,7 +509,14 @@ def run_streaming_ingest_dedup(
        strings, so the two could disagree only on an md5-32 collision
        (batch-twin equality is pinned in tests). The hash store costs
        O(total distinct shingles) — the honest price of exact-Jaccard
-       parity; the SimHash gate remains the O(1)-per-doc option;
+       parity; the SimHash gate remains the O(1)-per-doc option. The
+       shared-shingle join carries NO hot-shingle cap — deliberately:
+       the batch rule it must equal has none, and capping would
+       silently change the drop set (a corpus-wide boilerplate shingle
+       inflates candidate pairs in BOTH engines identically; the
+       mitigation at that point is the boilerplate strip/gate upstream,
+       not a parity-breaking cap here). The batch side of both joins
+       broadcasts, so the store is probed in place, never shuffled;
     4. append survivors to the corpus sink and their fingerprints (+
        simhashes — written unconditionally so any store can later serve
        the near-dup gate) to the store, which is what makes batch N+1
@@ -746,7 +753,7 @@ def run_streaming_ingest_dedup(
                 F.explode("shingle_hashes").alias("shv"),
             )
             jdrops = (
-                me.join(others_batch, "shv")
+                others_batch.join(F.broadcast(me), "shv")
                 .filter(F.col("o_rank") < F.col("doc_id"))
                 .groupBy("doc_id", "n", "o_id", "o_n")
                 .agg(F.count("*").alias("i"))
@@ -763,8 +770,15 @@ def run_streaming_ingest_dedup(
                     F.col("n_shingles").alias("o_n"),
                     F.explode("shingle_hashes").alias("shv"),
                 )
+                # the BATCH side broadcasts (a micro-batch is small by
+                # definition), so the ever-growing store explode is
+                # probed in place and never shuffled — without this the
+                # per-batch shuffle grows linearly with stream lifetime
+                # (r7 review). The store SCAN itself is still O(store);
+                # bounding that needs a shingle-bucketed store layout, a
+                # documented future shape.
                 vs_store = (
-                    me.join(others_store, "shv")
+                    others_store.join(F.broadcast(me), "shv")
                     .groupBy("doc_id", "n", "o_id", "o_n")
                     .agg(F.count("*").alias("i"))
                     .filter(
