@@ -388,3 +388,49 @@ def test_retrieval_overlap_eval_bounds(spark, sf_dir):
         assert 0.0 <= r["jaccard"] <= 1.0
         union = r["n_lex"] + r["n_vec"] - r["n_common"]
         assert abs(r["jaccard"] - round(r["n_common"] / union, 6)) < 1e-9
+
+
+def test_winnow_components_respect_pair_graph(spark, sf_dir):
+    """Every overlap pair's endpoints share a component; every component
+    member appears in at least one pair (vertices come from edges); the
+    component label is the min doc_id of the member set (min-label
+    propagation converged); sizes match membership counts."""
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        q_winnow_components,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_winnowing_overlap_pairs(spark, sf_dir).collect()
+    ]
+    rows = q_winnow_components(spark, sf_dir).collect()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    size = {r["doc_id"]: r["component_size"] for r in rows}
+    assert pairs and rows
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    # union-find ground truth from the pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_members: dict[int, set] = {}
+    for d in parent:
+        want_members.setdefault(find(d), set()).add(d)
+    got_members: dict[int, set] = {}
+    for d, c in comp.items():
+        got_members.setdefault(c, set()).add(d)
+    assert got_members == want_members  # labels ARE the min member ids
+    for c, members in got_members.items():
+        assert c == min(members)
+        for d in members:
+            assert size[d] == len(members)

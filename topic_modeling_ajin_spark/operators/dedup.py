@@ -563,6 +563,14 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: q_simhash_near_dup(spark, sf_dir).select("doc_a", "doc_b"),
         persist=True,
     )
+    return cc_labels_from_edges(edges)
+
+
+def cc_labels_from_edges(edges: DataFrame) -> DataFrame:
+    """Connected-component labels (doc_id, comp) for ANY (doc_a, doc_b)
+    edge table — min-label propagation with pointer jumping, the engine
+    behind ``dedup_components`` and (r7) ``winnow_components``. Caller
+    memoizes/persists the edge table; the rounds checkpoint themselves."""
     label = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select("doc_b"))

@@ -738,3 +738,66 @@ def doc_winnow_boilerplate_from_fps(
         F.round(ratio, 6).alias("shared_ratio"),
         (ratio > max_ratio).alias("flagged"),
     )
+
+
+# ------------------------------------------- passage-overlap components
+
+
+def _winnow_components_sql() -> str:
+    from ..registry import REGISTRY
+    from .dedup import CC_STEPS, _sql_cc
+
+    pairs = REGISTRY["winnowing_overlap_pairs"].sql
+    return f"""
+WITH edges AS (SELECT doc_a, doc_b FROM ({pairs})),
+{_sql_cc(CC_STEPS)},
+sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS component_size
+          FROM l{CC_STEPS} GROUP BY comp)
+SELECT l.doc_id, l.comp AS component, s.component_size
+FROM l{CC_STEPS} l JOIN sizes s ON s.comp = l.comp
+"""
+
+
+def _register_winnow_components() -> None:
+    register(
+        "winnow_components",
+        sql=_winnow_components_sql(),
+        tags=("retrieval", "dedup", "scale"),
+    )(q_winnow_components)
+
+
+def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the passage-overlap graph: documents
+    connected through shared winnowing fingerprints collapse into
+    TEMPLATE FAMILIES (a license header quoted by A and B, B also
+    sharing a disclaimer with C, puts A-B-C in one family even though A
+    and C share nothing directly) — the cluster view a cleaner reads
+    when deciding to strip a template corpus-wide rather than judge
+    pairs one at a time. Composes the GUARDED pair query verbatim
+    (hot-fp exclusion applies before any edge exists) and reuses the
+    dedup CC engine (``cc_labels_from_edges``: min-label propagation +
+    pointer jumping, log-diameter rounds, per-round lineage cuts) — one
+    graph implementation, two registered graphs."""
+    from ..cache import memo
+    from .dedup import cc_labels_from_edges
+
+    edges = memo(
+        spark,
+        ("winnow_cc_edges", sf_dir),
+        lambda: q_winnowing_overlap_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+        persist=True,
+    )
+    label = memo(
+        spark,
+        ("winnow_cc_labels", sf_dir),
+        lambda: cc_labels_from_edges(edges),
+    )
+    sizes = label.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return label.join(sizes, "comp").select(
+        "doc_id", F.col("comp").alias("component"), "component_size"
+    )
+
+
+_register_winnow_components()
