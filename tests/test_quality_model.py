@@ -278,3 +278,32 @@ def test_calibration_bins_reconcile_with_eval(spark, sf_dir):
         # conf is the mean of 6-dp probs inside [lo, hi) (top bin closed)
         assert lo - 1e-9 <= r["conf"] <= (1.0 if r["bin"] == CAL_BINS - 1 else hi) + 1e-9
         assert abs(r["acc"] - round(r["n_pos"] / r["n"], 6)) < 1e-9
+
+
+def test_value_frac_ranks_equal_average_ranks(spark):
+    """_value_frac_ranks must reproduce textbook average (fractional)
+    ranks — rank() + (ties-1)/2 — on a tie-heavy column, regardless of
+    partitioning."""
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        _value_frac_ranks,
+    )
+
+    vals = [3.5, 1.0, 2.0, 2.0, 2.0, 7.25, 1.0, 9.0, 3.5, 3.5, 0.5, 9.0]
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).repartition(7)
+    got = {
+        r["x"]: r["rx"]
+        for r in _value_frac_ranks(df, "x", "rx", ("test_vfr", "x")).collect()
+    }
+    s = sorted(vals)
+    want = {}
+    for v in set(vals):
+        first = s.index(v) + 1          # rank() of the tie group
+        ties = s.count(v)
+        want[v] = first + (ties - 1) / 2.0
+    assert got == want
+    # sum of ranks over all ROWS is n(n+1)/2 — the invariant Spearman's
+    # closed form relies on
+    n = len(vals)
+    assert sum(got[v] for v in vals) == n * (n + 1) / 2
