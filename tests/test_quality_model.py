@@ -307,3 +307,18 @@ def test_value_frac_ranks_equal_average_ranks(spark):
     # closed form relies on
     n = len(vals)
     assert sum(got[v] for v in vals) == n * (n + 1) / 2
+
+
+def test_ece_reconciles_with_calibration_bins(spark, sf_dir):
+    from topic_modeling_ajin_spark.operators.quality_model import (
+        q_quality_model_calibration,
+        q_quality_model_ece,
+    )
+
+    bins = q_quality_model_calibration(spark, sf_dir).collect()
+    r = q_quality_model_ece(spark, sf_dir).collect()[0]
+    n = sum(b["n"] for b in bins)
+    want = round(sum(b["n"] * abs(b["acc"] - b["conf"]) for b in bins) / n, 6)
+    assert r["n_heldout"] == n and r["n_bins"] == len(bins)
+    assert abs(r["ece"] - want) < 1e-9
+    assert r["max_gap"] >= r["ece"] >= 0

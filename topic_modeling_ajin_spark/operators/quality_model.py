@@ -854,3 +854,45 @@ def q_quality_panel_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rho_model_lm"
         ),
     )
+
+
+def _sql_ece() -> str:
+    from ..registry import REGISTRY
+
+    return f"""
+WITH b AS ({REGISTRY["quality_model_calibration"].sql})
+SELECT CAST(sum(n) AS BIGINT) AS n_heldout,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(n * abs(acc - conf)) / sum(n), 6) AS ece,
+       round(max(abs(acc - conf)), 6) AS max_gap
+FROM b
+"""
+
+
+def _register_ece() -> None:
+    register(
+        "quality_model_ece",
+        sql=_sql_ece(),
+        tags=("quality", "ml", "eval"),
+    )(q_quality_model_ece)
+
+
+def q_quality_model_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the trained quality gate: the
+    n-weighted mean |accuracy - confidence| over the reliability bins
+    (plus the worst single-bin gap) — the one number that says whether
+    the gate's probabilities can be thresholded as probabilities.
+    Composes the registered calibration table verbatim; acc and conf are
+    already 6-dp-exact per bin, so the rollup is arithmetic over at most
+    {CAL_BINS} identical doubles, rounded once."""
+    b = q_quality_model_calibration(spark, sf_dir)
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return b.agg(
+        F.sum("n").cast("bigint").alias("n_heldout"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 6).alias("ece"),
+        F.round(F.max(gap), 6).alias("max_gap"),
+    )
+
+
+_register_ece()
