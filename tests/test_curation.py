@@ -381,3 +381,22 @@ def test_staged_winnow_manifest_matches_one_query(spark, sf_dir, tmp_path):
         for r in q_training_corpus_manifest_winnow(spark, sf_dir).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_curation_funnel_is_monotone_and_matches_manifest(spark, sf_dir):
+    """Funnel stages are monotone non-increasing and the last stage
+    (mixture survivors of the full dedup chain) equals the base
+    manifest's membership count."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_curation_funnel,
+        q_training_corpus_manifest,
+    )
+
+    r = q_curation_funnel(spark, sf_dir).collect()[0]
+    stages = [
+        r["n_total"], r["n_rule_pass"], r["n_exact_kept"],
+        r["n_near_kept"], r["n_sem_kept"], r["n_mixed"],
+    ]
+    assert all(a >= b for a, b in zip(stages, stages[1:]))
+    assert stages[-1] == q_training_corpus_manifest(spark, sf_dir).count()
+    assert stages[0] > stages[-1] > 0  # the funnel actually bites

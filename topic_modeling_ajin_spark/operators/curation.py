@@ -1497,3 +1497,119 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_data_card()
+
+
+# ------------------------------------------------------ curation funnel
+
+
+def _funnel_sql() -> str:
+    return f"""
+WITH fr AS ({_REG["curation_filter_report"].sql}),
+fp AS ({_REG["fingerprint_dedup"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+sem AS ({_REG["semantic_dedup"].sql}),
+mix AS ({_REG["mixture_sample"].sql}),
+flags AS (
+    SELECT d.doc_id,
+           coalesce(fr.keep, false) AS rule_ok,
+           fp.keeper IS NOT NULL AS is_keeper,
+           ndd.discard_doc_id IS NOT NULL AS is_near_dup,
+           coalesce(sem.kept, 0) = 1 AS sem_ok,
+           mix.doc_id IS NOT NULL AS in_mix
+    FROM documents d
+    LEFT JOIN fr ON fr.doc_id = d.doc_id
+    LEFT JOIN fp ON fp.keeper = d.doc_id
+    LEFT JOIN ndd ON ndd.discard_doc_id = d.doc_id
+    LEFT JOIN sem ON sem.vec_id = d.doc_id
+    LEFT JOIN mix ON mix.doc_id = d.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rule_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rule_pass,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_kept,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_kept,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
+                     AND sem_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sem_kept,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
+                     AND sem_ok AND in_mix THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mixed
+FROM flags
+"""
+
+
+def _register_funnel() -> None:
+    register(
+        "curation_funnel",
+        sql=_funnel_sql(),
+        tags=("curation", "eval", "flagship"),
+    )(q_curation_funnel)
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-by-gate attrition of the manifest's pipeline in ONE row:
+    total docs → rule-stack pass → exact-dedup keepers → near-dup
+    survivors → SemDeDup survivors → mixture-sampled (= the base
+    manifest's membership) — the funnel a curation engineer reads to see
+    WHICH gate is eating the corpus before touching any threshold. Every
+    flag joins a registered (memoized) verdict table on doc_id; one pass,
+    one aggregate, cumulative conjunctions so stages are monotone by
+    construction."""
+    from .dedup import (
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+        q_semantic_dedup,
+    )
+    from .text_analysis import q_curation_filter_report
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    fr = q_curation_filter_report(spark, sf_dir).select("doc_id", "keep")
+    keepers = q_fingerprint_dedup(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    ndd = q_near_dup_discard(spark, sf_dir).select(
+        F.col("discard_doc_id").alias("doc_id"),
+        F.lit(True).alias("is_near_dup"),
+    )
+    sem = q_semantic_dedup(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), (F.col("kept") == 1).alias("sem_ok")
+    )
+    mix = q_mixture_sample(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("in_mix")
+    )
+    flags = (
+        d.join(fr, "doc_id", "left")
+        .join(keepers, "doc_id", "left")
+        .join(F.broadcast(ndd), "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .join(mix, "doc_id", "left")
+        .select(
+            F.coalesce("keep", F.lit(False)).alias("rule_ok"),
+            F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            F.coalesce("sem_ok", F.lit(False)).alias("sem_ok"),
+            F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
+        )
+    )
+
+    def cum(*conds) -> F.Column:
+        acc = conds[0]
+        for c in conds[1:]:
+            acc = acc & c
+        return F.sum(F.when(acc, 1).otherwise(0)).cast("bigint")
+
+    r, k = F.col("rule_ok"), F.col("is_keeper")
+    nd, s, m = ~F.col("is_near_dup"), F.col("sem_ok"), F.col("in_mix")
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        cum(r).alias("n_rule_pass"),
+        cum(r, k).alias("n_exact_kept"),
+        cum(r, k, nd).alias("n_near_kept"),
+        cum(r, k, nd, s).alias("n_sem_kept"),
+        cum(r, k, nd, s, m).alias("n_mixed"),
+    )
+
+
+_register_funnel()
