@@ -400,3 +400,41 @@ def test_curation_funnel_is_monotone_and_matches_manifest(spark, sf_dir):
     assert all(a >= b for a, b in zip(stages, stages[1:]))
     assert stages[-1] == q_training_corpus_manifest(spark, sf_dir).count()
     assert stages[0] > stages[-1] > 0  # the funnel actually bites
+
+
+def test_extended_funnel_matches_the_three_manifests(spark, sf_dir):
+    """n_base/n_strict/n_winnow must equal the registered manifests'
+    row counts exactly, and the decontam stage must equal the
+    winnow-manifest membership minus bench members and flagged docs."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_curation_funnel_extended,
+        q_training_corpus_manifest,
+        q_training_corpus_manifest_strict,
+        q_training_corpus_manifest_winnow,
+    )
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        DECON_BENCH_MAX_DOC_ID,
+        q_doc_decontam,
+    )
+
+    r = q_curation_funnel_extended(spark, sf_dir).collect()[0]
+    assert r["n_base"] == q_training_corpus_manifest(spark, sf_dir).count()
+    assert (
+        r["n_strict"]
+        == q_training_corpus_manifest_strict(spark, sf_dir).count()
+    )
+    winnow_ids = {
+        x["doc_id"]
+        for x in q_training_corpus_manifest_winnow(spark, sf_dir).collect()
+    }
+    assert r["n_winnow"] == len(winnow_ids)
+    clean = {
+        x["doc_id"]
+        for x in q_doc_decontam(spark, sf_dir).collect()
+        if not x["flagged"]
+    }
+    want = {
+        d for d in winnow_ids if d >= DECON_BENCH_MAX_DOC_ID and d in clean
+    }
+    assert r["n_decontam"] == len(want)
+    assert r["n_base"] >= r["n_strict"] >= r["n_winnow"] >= r["n_decontam"]

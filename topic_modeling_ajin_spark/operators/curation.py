@@ -1613,3 +1613,116 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_funnel()
+
+
+def _funnel_extended_sql() -> str:
+    from .text_analysis import DECON_BENCH_MAX_DOC_ID
+
+    return f"""
+WITH fr AS ({_REG["curation_filter_report"].sql}),
+fp AS ({_REG["fingerprint_dedup"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+sem AS ({_REG["semantic_dedup"].sql}),
+mix AS ({_REG["mixture_sample"].sql}),
+bp AS ({_REG["doc_boilerplate"].sql}),
+wb AS ({_REG["doc_winnow_boilerplate"].sql}),
+dc AS ({_REG["doc_decontam"].sql}),
+flags AS (
+    SELECT d.doc_id,
+           coalesce(fr.keep, false) AND fp.keeper IS NOT NULL
+               AND ndd.discard_doc_id IS NULL AND coalesce(sem.kept, 0) = 1
+               AND mix.doc_id IS NOT NULL AS base_ok,
+           NOT coalesce(bp.flagged, false) AS chunk_ok,
+           NOT coalesce(wb.flagged, false) AS winnow_ok,
+           d.doc_id >= {DECON_BENCH_MAX_DOC_ID}
+               AND NOT coalesce(dc.flagged, false) AS decontam_ok
+    FROM documents d
+    LEFT JOIN fr ON fr.doc_id = d.doc_id
+    LEFT JOIN fp ON fp.keeper = d.doc_id
+    LEFT JOIN ndd ON ndd.discard_doc_id = d.doc_id
+    LEFT JOIN sem ON sem.vec_id = d.doc_id
+    LEFT JOIN mix ON mix.doc_id = d.doc_id
+    LEFT JOIN bp ON bp.doc_id = d.doc_id
+    LEFT JOIN wb ON wb.doc_id = d.doc_id
+    LEFT JOIN dc ON dc.doc_id = d.doc_id
+)
+SELECT CAST(sum(CASE WHEN base_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN base_ok AND chunk_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_strict,
+       CAST(sum(CASE WHEN base_ok AND chunk_ok AND winnow_ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow,
+       CAST(sum(CASE WHEN base_ok AND chunk_ok AND winnow_ok
+                     AND decontam_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_decontam
+FROM flags
+"""
+
+
+def _register_funnel_extended() -> None:
+    register(
+        "curation_funnel_extended",
+        sql=_funnel_extended_sql(),
+        tags=("curation", "eval"),
+    )(q_curation_funnel_extended)
+
+
+def q_curation_funnel_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's tail: base-manifest membership, then the three
+    doc-level boilerplate/leakage gates in pipeline order — chunk-md5
+    boilerplate (strict manifest), winnowing fuzzy boilerplate, and
+    benchmark decontamination (which also excludes benchmark members) —
+    so the marginal bite of each optional gate is one subtraction.
+    n_base/n_strict/n_winnow equal the three registered manifests'
+    counts by construction (test-pinned); n_decontam is the
+    all-gates-on corpus size. Same one-pass flag-join shape as
+    ``curation_funnel``; every verdict table is memoized."""
+    from .retrieval import q_doc_winnow_boilerplate
+    from .text_analysis import (
+        DECON_BENCH_MAX_DOC_ID,
+        q_doc_decontam,
+    )
+
+    base = _manifest(spark, sf_dir, strict=False).select(
+        "doc_id", F.lit(True).alias("base_ok")
+    )
+    bp = q_doc_boilerplate(spark, sf_dir).select(
+        "doc_id", (~F.col("flagged")).alias("chunk_ok")
+    )
+    wb = q_doc_winnow_boilerplate(spark, sf_dir).select(
+        "doc_id", (~F.col("flagged")).alias("winnow_ok")
+    )
+    dc = q_doc_decontam(spark, sf_dir).select(
+        "doc_id", (~F.col("flagged")).alias("dc_ok")
+    )
+    flags = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(base, "doc_id", "left")
+        .join(bp, "doc_id", "left")
+        .join(wb, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+        .select(
+            F.coalesce("base_ok", F.lit(False)).alias("base_ok"),
+            F.coalesce("chunk_ok", F.lit(True)).alias("chunk_ok"),
+            F.coalesce("winnow_ok", F.lit(True)).alias("winnow_ok"),
+            (
+                (F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID)
+                & F.coalesce("dc_ok", F.lit(True))
+            ).alias("decontam_ok"),
+        )
+    )
+    b, c = F.col("base_ok"), F.col("chunk_ok")
+    w, dcf = F.col("winnow_ok"), F.col("decontam_ok")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return flags.agg(
+        cnt(b).alias("n_base"),
+        cnt(b & c).alias("n_strict"),
+        cnt(b & c & w).alias("n_winnow"),
+        cnt(b & c & w & dcf).alias("n_decontam"),
+    )
+
+
+_register_funnel_extended()
