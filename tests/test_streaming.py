@@ -915,3 +915,76 @@ def test_streaming_near_dup_detects_mixed_schema_store(spark, tmp_path):
             str(tmp_path / "ck"),
             near_dup_hamming=2,
         )
+
+
+def test_streaming_quality_drift_monitor(spark, tmp_path):
+    """Per-batch PSI audit: a batch resembling the reference corpus is
+    not flagged; a degenerate batch (empty/punct-only docs pile into the
+    bottom quality bins) is; values equal the shared psi_from_bins
+    formula over bins derived from the REGISTERED quality_score query on
+    the same rows; a checkpoint replay rewrites rather than duplicates."""
+    import time
+
+    from topic_modeling_ajin_spark.operators.quality_model import PSI_BINS
+    from topic_modeling_ajin_spark.streaming.pipelines import (
+        psi_from_bins,
+        quality_bins,
+        run_streaming_quality_drift,
+    )
+
+    schema = "doc_id long, text string"
+    ok_texts = [
+        (i, "the quick brown fox jumps over the lazy dog and then "
+            "the cat sat on the mat with a hat for a while today")
+        for i in range(40)
+    ]
+    bad_texts = [(100 + i, "!!! ??? ***") for i in range(40)]
+
+    # reference distribution = the healthy batch's own shape
+    ref_df = spark.createDataFrame(ok_texts, schema)
+    ref_bins = quality_bins(ref_df)
+    assert len(ref_bins) == PSI_BINS and sum(ref_bins) == 40
+
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(ok_texts, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    time.sleep(1.1)
+    spark.createDataFrame(bad_texts, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "audit")
+    run_streaming_quality_drift(
+        spark, stream, ref_bins, out, str(tmp_path / "ck")
+    )
+    rows = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {0, 1}
+    # batch 0 IS the reference sample: PSI ~ 0, not drifted
+    assert rows[0]["n_docs"] == 40
+    assert rows[0]["psi"] == round(psi_from_bins(ref_bins, ref_bins), 6)
+    assert not rows[0]["drifted"]
+    # batch 1 is degenerate: high PSI, flagged
+    bad_bins = quality_bins(spark.createDataFrame(bad_texts, schema))
+    assert rows[1]["psi"] == round(psi_from_bins(bad_bins, ref_bins), 6)
+    assert rows[1]["drifted"] and rows[1]["psi"] > rows[0]["psi"]
+
+    # replay with a fresh checkpoint: same two audit rows, no duplicates
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    run_streaming_quality_drift(
+        spark, stream2, ref_bins, out, str(tmp_path / "ck2")
+    )
+    again = spark.read.parquet(out).collect()
+    assert len(again) == 2

@@ -818,3 +818,96 @@ def run_streaming_ingest_dedup(
         .start()
         .awaitTermination()
     )
+
+
+# ----------------------------------------- per-batch quality-drift (PSI)
+
+# the credit-scoring PSI convention source_quality_psi documents:
+# < 0.1 stable, 0.1-0.25 drifting, > 0.25 act
+DRIFT_PSI_THRESHOLD = 0.25
+
+
+def quality_bins(df: DataFrame) -> list:
+    """Bin counts of the 6-dp heuristic quality over ANY (doc_id, text)
+    DataFrame — PSI_BINS fixed-width [0,1] bins, the same binning as the
+    batch ``source_quality_psi``. Model-sized collect (one int per bin)."""
+    from ..operators.quality_model import PSI_BINS
+    from ..operators.text_analysis import quality_stats
+
+    rows = (
+        quality_stats(df)
+        .groupBy(
+            F.least(
+                F.floor(F.col("quality") * PSI_BINS).cast("bigint"),
+                F.lit(PSI_BINS - 1),
+            ).alias("bin")
+        )
+        .count()
+        .collect()
+    )
+    counts = [0] * PSI_BINS
+    for r in rows:
+        counts[int(r["bin"])] = int(r["count"])
+    return counts
+
+
+def psi_from_bins(batch_bins: list, ref_bins: list) -> float:
+    """Laplace-smoothed PSI between two bin-count vectors — the same
+    per-term formula as ``source_quality_psi`` (6-dp round per term,
+    exact decimal sum), shared by the batch query's python replay test
+    and the streaming monitor."""
+    from decimal import Decimal
+    import math
+
+    k = len(ref_bins)
+    nb, nr = sum(batch_bins), sum(ref_bins)
+    total = Decimal(0)
+    for b in range(k):
+        ps = (batch_bins[b] + 1) / (nb + k)
+        pa = (ref_bins[b] + 1) / (nr + k)
+        total += Decimal(repr(round((ps - pa) * math.log(ps / pa), 6)))
+    return float(total)
+
+
+def run_streaming_quality_drift(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    ref_bins: list,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = DRIFT_PSI_THRESHOLD,
+) -> None:
+    """Per-micro-batch quality-drift monitor: bin each batch's heuristic
+    quality scores (the row-local ``quality_exprs`` expression — no
+    shuffle beyond one PSI_BINS-row aggregate) and write a one-row audit
+    per batch — (batch_id, n_docs, psi vs the reference distribution,
+    drifted flag) — to ``out_dir``. The streaming face of
+    ``source_quality_psi``: same binning, same Laplace smoothing, same
+    per-term rounding (``psi_from_bins`` is the shared formula), so a
+    batch replayed through the batch query yields the identical PSI
+    (test-pinned). ``ref_bins`` comes from ``quality_bins`` over the
+    reference corpus — a PSI_BINS-int list, checkpoint-friendly.
+
+    Replay safety: the audit sink overwrites its own batch=<id>
+    partition, so a crash-replayed batch rewrites one row instead of
+    appending a duplicate alarm. State is the ref_bins constant — no
+    store, no growth with stream lifetime."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bins = quality_bins(batch_df)
+        psi = psi_from_bins(bins, ref_bins)
+        spark.createDataFrame(
+            [(int(batch_id), int(sum(bins)), float(round(psi, 6)),
+              bool(psi > threshold))],
+            "batch_id long, n_docs long, psi double, drifted boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
