@@ -254,3 +254,32 @@ def test_curated_dsir_select_is_topk_within_manifest(spark, sf_dir):
     assert [r["doc_id"] for r in out] == expected
     assert all(r["doc_id"] in curated for r in out)
     assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_length_percentiles_match_numpy(spark, sf_dir):
+    """Exact interpolated percentiles per source must equal numpy's
+    linear-interpolation quantiles over the same integer lengths."""
+    import numpy as np
+    import re
+
+    from topic_modeling_ajin_spark.operators.selection import (
+        q_doc_length_percentiles_by_source,
+    )
+
+    tok = re.compile(r"[^a-z0-9가-힣]+")
+    by_src: dict[str, list[int]] = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks = [w for w in tok.split((r["text"] or "").lower()) if w]
+        by_src.setdefault(r["source"], []).append(len(toks))
+    got = {
+        r["source"]: r
+        for r in q_doc_length_percentiles_by_source(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, ns in by_src.items():
+        a = np.array(ns, dtype=float)
+        r = got[s]
+        assert r["n_docs"] == len(ns)
+        for col, q in (("p25", 25), ("p50", 50), ("p75", 75), ("p95", 95)):
+            assert abs(r[col] - round(float(np.percentile(a, q)), 6)) < 1e-9, (s, col)
+        assert abs(r["mean_tokens"] - round(sum(ns) / len(ns), 6)) < 1e-9

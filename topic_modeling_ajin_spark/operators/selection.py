@@ -541,3 +541,46 @@ def curated_dsir_from_tables(
         "log_w",
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "doc_length_percentiles_by_source",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+n AS (SELECT source, CAST(length(toks) AS BIGINT) AS n FROM t)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n, 0.25), 6) AS p25,
+       round(quantile_cont(n, 0.50), 6) AS p50,
+       round(quantile_cont(n, 0.75), 6) AS p75,
+       round(quantile_cont(n, 0.95), 6) AS p95,
+       round(sum(n) * 1.0 / count(*), 6) AS mean_tokens
+FROM n GROUP BY source
+""",
+    tags=("selection", "curation", "eval"),
+)
+def q_doc_length_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact interpolated token-length percentiles per source — the
+    length-distribution table that sizes ``pack_sequences``' budget and
+    exposes sources whose docs straddle pack boundaries (a source with
+    p95 >> PACK_BUDGET wastes slots to truncation; one with p50 << it
+    packs many docs per sequence). Percentiles are exact here to match
+    the oracle (Spark ``percentile`` == DuckDB ``quantile_cont`` on
+    integer lengths); at 100 TB swap to approx_percentile (t-digest),
+    the documented trade everywhere exact percentiles appear. One
+    tokenize pass; everything after is source-bounded."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(TX.word_tokens("text")).cast("bigint").alias("n")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("p95"),
+        F.round(F.sum("n") * F.lit(1.0) / F.count("*"), 6).alias(
+            "mean_tokens"
+        ),
+    )
