@@ -327,3 +327,23 @@ def test_doc_decontam_broadcasts_bench_side(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unbounded_rank_windows(spark, sf_dir):
+    """zipf_fit / bpe_regex_tokens / collocations must take their global
+    top-k with orderBy().limit(k) -> TakeOrderedAndProject (per-partition
+    heaps) and only then re-rank the k survivors with a window. The
+    Window node must therefore sit ABOVE the TakeOrderedAndProject in the
+    physical plan — a Window whose input is the unbounded vocabulary /
+    PMI-pair aggregate would print below it (and at 100 TB would sort
+    10^8-10^9 rows in one task)."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("zipf_fit", "bpe_regex_tokens", "collocations"):
+        plan = _plan(reg[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (name, plan[:800])
+        assert "Window" in plan, (name, plan[:800])
+        # tree prints root-first: the Window (re-rank of k survivors)
+        # must appear before (= above) the TakeOrderedAndProject cut.
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name

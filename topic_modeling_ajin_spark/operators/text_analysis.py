@@ -963,12 +963,17 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = df.select(F.explode(TX.word_tokens("text")).alias("word"))
     from pyspark.sql import Window
 
+    # Global top-k via orderBy().limit() -> TakeOrderedAndProject
+    # (per-partition heaps); the rank window then runs over the
+    # ZIPF_TOP survivors only — never a single-task sort of the
+    # unbounded vocabulary aggregate.
     w = Window.orderBy(F.desc("cnt"), F.asc("word"))
     freq = (
         tok.groupBy("word")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(ZIPF_TOP)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ZIPF_TOP)
     )
     xy = freq.select(
         F.log("rank").alias("x"), F.log("cnt").alias("y")
@@ -1365,10 +1370,14 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # Global top-k via orderBy().limit() -> TakeOrderedAndProject; the
+    # rank window only re-ranks the COLLOC_TOP_K survivors (never a
+    # single-task sort of the full PMI pair table).
     w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= COLLOC_TOP_K)
+        scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(COLLOC_TOP_K)
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "a", "b", F.col("cab").alias("n_pair"), F.round("pmi", 6).alias("pmi"), "rank"
         )
@@ -1419,12 +1428,16 @@ def q_bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
         ).alias("token")
     )
+    # Global top-k via orderBy().limit() -> TakeOrderedAndProject
+    # (per-partition heaps), then a rank window over the BPE_TOP_K
+    # survivors only — the docstring's claim made true.
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
         tok.groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(BPE_TOP_K)
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BPE_TOP_K)
     )
 
 
