@@ -452,6 +452,79 @@ def streaming_enrich_events(events: DataFrame, customers: DataFrame) -> DataFram
 # ------------------------------------- cross-batch ingest dedup (store)
 
 
+# exact-Jaccard gate store layout: the stored shingle sets live in a
+# BUCKETED sibling table (one row per (doc, distinct shingle), partitioned
+# by batch AND by shingle-hash bucket = shv % JACCARD_STORE_BUCKETS), so a
+# micro-batch probes only the bucket partitions its own shingles hash
+# into — partition pruning cuts the store scan from O(store) to
+# O(matching buckets) per batch (r7 verdict task 2). Pruning by bucket
+# removes only rows whose shingle hash cannot equal any batch shingle
+# (the candidate join is an equi-join on shv), so the drop set — and the
+# batch-twin parity — is unchanged.
+JACCARD_STORE_BUCKETS = 256
+# audit threshold for store_hot_shingles: a shingle held by more stored
+# docs than this is corpus-wide boilerplate fanning out the candidate
+# join (the winnowing_hot_fingerprints convention, retrieval.WINNOW_HOT_CAP)
+JACCARD_HOT_SHINGLE_CAP = 64
+
+
+def shingle_store_dir(store_dir: str) -> str:
+    """Sibling directory holding the bucketed shingle store for the
+    exact-Jaccard gate: ``<fingerprint store>_shingles``."""
+    return store_dir.rstrip("/") + "_shingles"
+
+
+def store_hot_shingles(
+    spark: SparkSession,
+    store_dir: str,
+    cap: int = JACCARD_HOT_SHINGLE_CAP,
+) -> DataFrame:
+    """Audit the exact-Jaccard gate's shingle store for hot shingles:
+    shingle hashes held by more than ``cap`` stored documents, with their
+    document counts, hottest first. A corpus-common 3-shingle (site
+    boilerplate, license headers) pairs every new doc carrying it with a
+    huge fraction of the store before the Jaccard filter prunes — the
+    same blowup ``winnowing_hot_fingerprints`` names for the batch
+    winnowing join. The gate itself stays uncapped (parity with the
+    batch ``near_dup_discard`` rule, which has none); this audit is how
+    operators see the blowup coming and fix it upstream (boilerplate
+    strip/gate). One groupBy over the bucketed store; output is bounded
+    by the number of hot shingles."""
+    sh = spark.read.option("basePath", shingle_store_dir(store_dir)).parquet(
+        shingle_store_dir(store_dir)
+    )
+    # each doc stores its DISTINCT shingles once (replays overwrite their
+    # own batch partition), so count(*) == count of holding docs
+    return (
+        sh.groupBy("shv")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+        .orderBy(F.desc("n_docs"), F.asc("shv"))
+    )
+
+
+def probe_shingle_store(
+    spark: SparkSession, store_dir: str, batch_id: int, buckets: list
+) -> DataFrame:
+    """Bucket-pruned read of the exact-Jaccard shingle store: rows
+    (o_id, o_n, shv) from batches strictly earlier than ``batch_id``
+    whose bucket partition is in ``buckets``. Both filters land on
+    partition columns, so the scan reads ONLY matching bucket dirs
+    (``inputFiles()`` is a strict subset of the store when the batch
+    misses buckets — pinned in tests). Pruning by bucket removes only
+    rows whose shv cannot equal any probing shingle, so a downstream
+    equi-join on shv sees exactly the rows an unpruned scan would
+    contribute."""
+    sh_dir = shingle_store_dir(store_dir)
+    return (
+        spark.read.option("basePath", sh_dir)
+        .parquet(sh_dir)
+        .filter(F.col("batch") < F.lit(batch_id))
+        .filter(F.col("bucket").isin(buckets))
+        .select("o_id", "o_n", "shv")
+    )
+
+
 def run_streaming_ingest_dedup(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -496,9 +569,11 @@ def run_streaming_ingest_dedup(
        ``simhash_near_dup``-pairs discard rule (doc_b of every pair)
        under in-order arrival;
     3c. (optional exact-Jaccard gate, r6 VERDICT task 6) with
-       ``near_dup_jaccard`` set, the store additionally carries each
-       exact-stage survivor's DISTINCT 3-token-shingle md5-base32 hash
-       set (``shingle_hashes`` + ``n_shingles``), and a survivor is
+       ``near_dup_jaccard`` set, each exact-stage survivor's DISTINCT
+       3-token-shingle md5-base32 hash set is persisted to a BUCKETED
+       sibling store (``shingle_store_dir(store_dir)``: one row per
+       (doc, shingle), partitioned by ``batch`` and by
+       ``bucket = shv % JACCARD_STORE_BUCKETS``), and a survivor is
        dropped when its shingle-set Jaccard with ANY earlier document
        (stored, or lower-``doc_id`` in this batch) reaches the
        threshold — the batch ``near_dup_discard`` rule (keep-first over
@@ -507,16 +582,23 @@ def run_streaming_ingest_dedup(
        operator; the only delta from the batch rule is that Jaccard is
        computed over 32-bit md5 shingle hashes rather than raw shingle
        strings, so the two could disagree only on an md5-32 collision
-       (batch-twin equality is pinned in tests). The hash store costs
-       O(total distinct shingles) — the honest price of exact-Jaccard
-       parity; the SimHash gate remains the O(1)-per-doc option. The
+       (batch-twin equality is pinned in tests). The probe reads ONLY
+       the bucket partitions this batch's own shingles hash into
+       (partition pruning — r7 verdict task 2): bucket pruning removes
+       only rows whose hash cannot equal any batch shingle, so the drop
+       set is unchanged while the per-batch store scan falls from
+       O(store) to O(matching buckets). The store costs O(total
+       distinct shingles) — the honest price of exact-Jaccard parity;
+       the SimHash gate remains the O(1)-per-doc option. The
        shared-shingle join carries NO hot-shingle cap — deliberately:
        the batch rule it must equal has none, and capping would
        silently change the drop set (a corpus-wide boilerplate shingle
        inflates candidate pairs in BOTH engines identically; the
        mitigation at that point is the boilerplate strip/gate upstream,
-       not a parity-breaking cap here). The batch side of both joins
-       broadcasts, so the store is probed in place, never shuffled;
+       not a parity-breaking cap here — ``store_hot_shingles`` is the
+       audit that names the offenders before they detonate). The batch
+       side of both joins broadcasts, so the store is probed in place,
+       never shuffled;
     4. append survivors to the corpus sink and their fingerprints (+
        simhashes — written unconditionally so any store can later serve
        the near-dup gate) to the store, which is what makes batch N+1
@@ -541,6 +623,9 @@ def run_streaming_ingest_dedup(
     # set is fixed per stream (the gate flags don't change mid-run), so
     # a plain name set suffices.
     _validated: set[str] = set()
+    # same once-per-stream discipline for the exact-Jaccard gate's
+    # bucketed shingle sibling partitions
+    _validated_sh: set[str] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -652,7 +737,40 @@ def run_streaming_ingest_dedup(
                 if near_dup_hamming is not None:
                     required.append("simhash")
                 if near_dup_jaccard is not None:
-                    required += ["n_shingles", "shingle_hashes"]
+                    # the gate probes strictly-earlier batches only, so
+                    # only those must have their bucketed shingle
+                    # partition — the CURRENT batch's doc partition may
+                    # be crash-committed with its shingle write still
+                    # pending, and the replay must self-heal, not wedge
+                    sh_dir = shingle_store_dir(store_dir)
+                    missing_sh = [
+                        c
+                        for c in committed
+                        if c not in _validated_sh
+                        and int(c.split("=", 1)[1]) < batch_id
+                        and not fs.exists(
+                            spark._jvm.org.apache.hadoop.fs.Path(
+                                f"{sh_dir}/{c}"
+                            )
+                        )
+                    ]
+                    _validated_sh.update(
+                        c
+                        for c in committed
+                        if c not in missing_sh
+                        and int(c.split("=", 1)[1]) < batch_id
+                    )
+                    if missing_sh:
+                        raise ValueError(
+                            f"exact-Jaccard gate requested but the "
+                            f"shingle store at {sh_dir} is missing the "
+                            f"bucketed partitions {sorted(missing_sh)[:5]} "
+                            "for committed fingerprint batches (legacy or "
+                            "pre-bucketed layout) — rebuild the store or "
+                            "run without near_dup_jaccard; silently "
+                            "skipping the check would re-admit every "
+                            "near-duplicate"
+                        )
                 if required:
                     req = set(required)
                     legacy = [
@@ -765,18 +883,32 @@ def run_streaming_ingest_dedup(
                 .select("doc_id")
             )
             if store is not None:
-                others_store = store.filter(F.col("n_shingles") > 0).select(
-                    F.col("fingerprint").alias("o_id"),
-                    F.col("n_shingles").alias("o_n"),
-                    F.explode("shingle_hashes").alias("shv"),
+                # buckets this batch's shingles hash into: at most
+                # JACCARD_STORE_BUCKETS ints, collected driver-side
+                # (model-sized by construction). The store probe then
+                # partition-prunes to exactly those bucket dirs —
+                # pruning removes only rows whose shv cannot equal any
+                # batch shingle (equi-join key), so the drop set is
+                # identical to an unpruned scan.
+                buckets = [
+                    r["bucket"]
+                    for r in me.select(
+                        F.pmod(
+                            F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)
+                        ).alias("bucket")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                others_store = probe_shingle_store(
+                    spark, store_dir, batch_id, buckets
                 )
                 # the BATCH side broadcasts (a micro-batch is small by
-                # definition), so the ever-growing store explode is
-                # probed in place and never shuffled — without this the
-                # per-batch shuffle grows linearly with stream lifetime
-                # (r7 review). The store SCAN itself is still O(store);
-                # bounding that needs a shingle-bucketed store layout, a
-                # documented future shape.
+                # definition), so the store is probed in place and never
+                # shuffled — without this the per-batch shuffle grows
+                # linearly with stream lifetime (r7 review). The scan
+                # itself is bucket-pruned (above), closing the r7
+                # O(store)-per-batch finding.
                 vs_store = (
                     others_store.join(F.broadcast(me), "shv")
                     .groupBy("doc_id", "n", "o_id", "o_n")
@@ -798,15 +930,33 @@ def run_streaming_ingest_dedup(
         # The STORE keeps every exact-stage survivor (near-dup-dropped
         # included — see step 3b); only the corpus sink takes the
         # near-dup-gated set.
-        store_cols = ["fingerprint", "simhash"] + (
-            ["n_shingles", "shingle_hashes"]
-            if near_dup_jaccard is not None
-            else []
-        )
         shipped.drop(
             "fingerprint", "simhash", "n_shingles", "shingle_hashes"
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        batch_kept.select(*store_cols).write.mode(
+        if near_dup_jaccard is not None:
+            # bucketed shingle sibling: one row per (doc, distinct
+            # shingle), partitioned by shv % JACCARD_STORE_BUCKETS so
+            # later batches probe only matching buckets. Written BEFORE
+            # the fingerprint partition: a committed fingerprint batch
+            # therefore always has its shingle partition (the validation
+            # invariant above); a crash in between replays both
+            # idempotently (each overwrites its own batch= dir).
+            (
+                batch_kept.filter(F.col("n_shingles") > 0)
+                .select(
+                    F.col("fingerprint").alias("o_id"),
+                    F.col("n_shingles").alias("o_n"),
+                    F.explode("shingle_hashes").alias("shv"),
+                )
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)),
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{shingle_store_dir(store_dir)}/batch={batch_id}")
+            )
+        batch_kept.select("fingerprint", "simhash").write.mode(
             "overwrite"
         ).parquet(f"{store_dir}/batch={batch_id}")
         batch_kept.unpersist()
