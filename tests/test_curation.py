@@ -438,3 +438,57 @@ def test_extended_funnel_matches_the_three_manifests(spark, sf_dir):
     }
     assert r["n_decontam"] == len(want)
     assert r["n_base"] >= r["n_strict"] >= r["n_winnow"] >= r["n_decontam"]
+
+
+def test_stripped_manifest_ships_remainders(spark, sf_dir):
+    """r7 verdict task 3: the stripped manifest = base manifest with each
+    doc's chunk-stripped remainder — membership drops only docs whose
+    remainder is empty (and every such drop is also a strict-gate drop),
+    untouched docs keep their exact BPE budget, stripped docs shrink."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_doc_boilerplate,
+        q_strip_boilerplate_chunks,
+        q_training_corpus_manifest,
+    )
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    base = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in q_training_corpus_manifest(spark, sf_dir).collect()
+    }
+    stripped = {
+        r["doc_id"]: r
+        for r in reg["training_corpus_manifest_stripped"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    audit = {
+        r["doc_id"]: r
+        for r in q_strip_boilerplate_chunks(spark, sf_dir).collect()
+    }
+
+    # membership: base minus empty-remainder docs, nothing else
+    assert set(stripped) == {
+        d for d in base if audit[d]["n_tokens_kept"] > 0
+    }
+    # strict drops >= stripped drops: every doc the stripped manifest
+    # drops (fully-boilerplate remainder) is flagged by the strict gate
+    dropped = set(base) - set(stripped)
+    flagged = {
+        r["doc_id"]
+        for r in q_doc_boilerplate(spark, sf_dir).filter("flagged").collect()
+    }
+    assert dropped <= flagged
+
+    for d, row in stripped.items():
+        a = audit[d]
+        if a["n_stripped"] == 0:
+            # untouched doc: budget identical to the base manifest's
+            assert row["n_bpe_tokens"] == base[d], d
+        else:
+            assert row["n_bpe_tokens"] < base[d], d
+        # BPE pieces >= words (every word encodes to >= 1 piece)
+        assert row["n_bpe_tokens"] >= a["n_tokens_kept"], d
+        # the verifiable-text chain: cleaned_md5 is the audit's
+        assert row["cleaned_md5"] == a["cleaned_md5"], d

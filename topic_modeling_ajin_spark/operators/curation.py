@@ -1093,6 +1093,115 @@ def q_training_corpus_manifest_decontam(
     )
 
 
+def _stripped_manifest_sql() -> str:
+    """Oracle for the stripped manifest: the base-manifest membership,
+    re-budgeted over each doc's chunk-stripped token stream. Chunk CTEs
+    mirror ``_STRIP_SQL``'s internals (same {STRIP_CHUNK}-token
+    non-overlapping windows, same cross-doc offender rule); the BPE
+    re-count joins the kept words against the SAME trained seq table the
+    base manifest's budget used."""
+    from .bpe import BPE_MERGES, _sql_bpe_rounds
+
+    return f"""
+WITH {_sql_bpe_rounds(BPE_MERGES)},
+base AS ({_REG["training_corpus_manifest"].sql}),
+t AS ({_SQL_TOKS}),
+nz AS (SELECT doc_id, toks FROM t WHERE length(toks) > 0),
+stx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, length(toks) - 1, {STRIP_CHUNK})) AS s
+    FROM nz
+),
+chx AS (
+    SELECT doc_id, CAST(s / {STRIP_CHUNK} AS BIGINT) AS chunk_id,
+           list_slice(toks, s + 1, s + {STRIP_CHUNK}) AS chunk,
+           md5(array_to_string(list_slice(toks, s + 1, s + {STRIP_CHUNK}), ' ')) AS chunk_md5
+    FROM stx
+),
+offx AS (
+    SELECT chunk_md5 FROM chx GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) > 1
+),
+keptx AS (
+    SELECT c.doc_id, c.chunk_id, c.chunk
+    FROM chx c LEFT JOIN offx o ON o.chunk_md5 = c.chunk_md5
+    WHERE o.chunk_md5 IS NULL
+),
+ka AS (
+    SELECT doc_id,
+           md5(array_to_string(flatten(list(chunk ORDER BY chunk_id)), ' '))
+               AS cleaned_md5
+    FROM keptx GROUP BY doc_id
+),
+kw AS (SELECT doc_id, unnest(chunk) AS word FROM keptx),
+sagg AS (
+    SELECT kw.doc_id, CAST(sum(length(s.seq)) AS BIGINT) AS n_bpe_tokens
+    FROM kw JOIN seq{BPE_MERGES} s ON s.word = kw.word
+    GROUP BY kw.doc_id
+)
+SELECT base.doc_id, base.lang, base.quality,
+       sagg.n_bpe_tokens, ka.cleaned_md5
+FROM base
+JOIN ka ON ka.doc_id = base.doc_id
+JOIN sagg ON sagg.doc_id = base.doc_id
+ORDER BY base.doc_id
+"""
+
+
+def _register_stripped_manifest() -> None:
+    @register(
+        "training_corpus_manifest_stripped",
+        sql=_stripped_manifest_sql(),
+        tags=("curation", "scale"),
+    )
+    def q_training_corpus_manifest_stripped(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The manifest variant the strip family was built to feed (r7
+        verdict task 3): instead of DROPPING boilerplate-dominated
+        documents (the ``_strict`` policy), ship each base-manifest doc's
+        chunk-STRIPPED remainder — membership is the base manifest minus
+        docs whose remainder is empty (every chunk recurred elsewhere),
+        ``n_bpe_tokens`` is recomputed over the cleaned token stream with
+        the SAME trained merge table, and each row carries
+        ``cleaned_md5`` (the ``strip_boilerplate_chunks`` audit chain) so
+        the shipped text is verifiable without moving it through the
+        comparator.
+
+        Scale: the strip plumbing is the audited ``_strip_chunks`` shape
+        (doc-local chunking, offender join on the 16-byte md5); the BPE
+        re-count is one explode + broadcast vocab join + doc_id
+        re-aggregate; the base manifest is the memoized localCheckpoint
+        every manifest variant composes."""
+        from .bpe import _bpe_fit
+
+        base = _manifest(spark, sf_dir, strict=False)
+        per, kept = _strip_chunks(spark, sf_dir)
+        audit = per.filter(F.col("n_tokens_kept") > 0).select(
+            "doc_id", "cleaned_md5"
+        )
+        _, seq = _bpe_fit(spark, sf_dir)
+        pieces = seq.select("word", F.size("seq").alias("n_pieces"))
+        sagg = (
+            kept.select("doc_id", F.explode("chunk").alias("word"))
+            .join(F.broadcast(pieces), "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
+        )
+        return (
+            base.select("doc_id", "lang", "quality")
+            .join(audit, "doc_id")
+            .join(sagg, "doc_id")
+            .select(
+                "doc_id", "lang", "quality", "n_bpe_tokens", "cleaned_md5"
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_stripped_manifest()
+
+
 # --------------------------------------- staged (materialized) pipeline
 
 # gate name -> the registered query that produces its verdict table.
