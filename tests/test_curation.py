@@ -492,3 +492,54 @@ def test_stripped_manifest_ships_remainders(spark, sf_dir):
         assert row["n_bpe_tokens"] >= a["n_tokens_kept"], d
         # the verifiable-text chain: cleaned_md5 is the audit's
         assert row["cleaned_md5"] == a["cleaned_md5"], d
+
+
+def test_data_card_equals_composed_queries(spark, sf_dir):
+    """Every data-card figure must equal the composed registered query's
+    own result on the same corpus — the card's design contract (r7
+    verdict task 4)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_corpus_data_card,
+        q_strip_savings_report,
+        q_training_corpus_manifest,
+        q_training_corpus_manifest_decontam,
+        q_training_corpus_manifest_winnow,
+    )
+    from topic_modeling_ajin_spark.operators.dedup import (
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+        q_semantic_dedup,
+    )
+    from topic_modeling_ajin_spark.operators.retrieval import (
+        q_doc_winnow_boilerplate,
+    )
+    from topic_modeling_ajin_spark.registry import load_all
+
+    card = q_corpus_data_card(spark, sf_dir).collect()[0].asDict()
+    reg = load_all()
+    ss = q_strip_savings_report(spark, sf_dir).collect()[0]
+    expect = {
+        "n_unique_docs": q_fingerprint_dedup(spark, sf_dir).count(),
+        "n_near_dup_discards": q_near_dup_discard(spark, sf_dir).count(),
+        "n_semdedup_drops": q_semantic_dedup(spark, sf_dir)
+        .filter(F.col("kept") == 0)
+        .count(),
+        "n_winnow_flagged": q_doc_winnow_boilerplate(spark, sf_dir)
+        .filter("flagged")
+        .count(),
+        "n_tokens_stripped": ss["total_tokens"] - ss["total_tokens_kept"],
+        "n_manifest": q_training_corpus_manifest(spark, sf_dir).count(),
+        "n_manifest_winnow": q_training_corpus_manifest_winnow(
+            spark, sf_dir
+        ).count(),
+        "n_manifest_decontam": q_training_corpus_manifest_decontam(
+            spark, sf_dir
+        ).count(),
+        "n_manifest_stripped": reg["training_corpus_manifest_stripped"]
+        .fn(spark, sf_dir)
+        .count(),
+    }
+    for k, v in expect.items():
+        assert card[k] == v, (k, card[k], v)

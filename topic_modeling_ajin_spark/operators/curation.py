@@ -1514,6 +1514,12 @@ dc AS ({_REG["doc_decontam"].sql}),
 qs AS ({_REG["quality_score"].sql}),
 fr AS ({_REG["curation_filter_report"].sql}),
 man AS ({_REG["training_corpus_manifest"].sql}),
+sem AS ({_REG["semantic_dedup"].sql}),
+wb AS ({_REG["doc_winnow_boilerplate"].sql}),
+ss AS ({_REG["strip_savings_report"].sql}),
+mw AS ({_REG["training_corpus_manifest_winnow"].sql}),
+md AS ({_REG["training_corpus_manifest_decontam"].sql}),
+ms AS ({_REG["training_corpus_manifest_stripped"].sql}),
 toks AS (SELECT CAST(sum(length(t.toks)) AS BIGINT) AS n
          FROM ({_SQL_TOKS}) t)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
@@ -1523,10 +1529,19 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
            AS n_sources,
        (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_unique_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM ndd) AS n_near_dup_discards,
+       (SELECT CAST(count(*) AS BIGINT) FROM sem WHERE kept = 0)
+           AS n_semdedup_drops,
+       (SELECT CAST(count(*) AS BIGINT) FROM wb WHERE flagged)
+           AS n_winnow_flagged,
        (SELECT CAST(count(*) AS BIGINT) FROM dc WHERE flagged)
            AS n_contaminated,
+       (SELECT CAST(total_tokens - total_tokens_kept AS BIGINT) FROM ss)
+           AS n_tokens_stripped,
        (SELECT CAST(count(*) AS BIGINT) FROM fr WHERE keep) AS n_rule_pass,
        (SELECT CAST(count(*) AS BIGINT) FROM man) AS n_manifest,
+       (SELECT CAST(count(*) AS BIGINT) FROM mw) AS n_manifest_winnow,
+       (SELECT CAST(count(*) AS BIGINT) FROM md) AS n_manifest_decontam,
+       (SELECT CAST(count(*) AS BIGINT) FROM ms) AS n_manifest_stripped,
        (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18, 6))) AS DOUBLE)
                      / count(*), 6) FROM qs) AS mean_quality
 """
@@ -1543,14 +1558,23 @@ def _register_data_card() -> None:
 def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-row datasheet a released dataset ships (Gebru et al.,
     "Datasheets for Datasets"): raw size, token mass, language/source
-    spread, dedup and contamination tallies, rule-gate pass count, the
-    shipped-manifest size, and mean heuristic quality. Every figure
-    composes a REGISTERED query verbatim, so the card can never disagree
-    with the gates it summarizes; each sub-aggregate is one count over
-    an already-memoized verdict table, and the mean sums 6-dp-rounded
-    qualities as DECIMAL (associative-exact). This is the first table a
-    data consumer reads and the last one a curation run writes."""
-    from .dedup import q_fingerprint_dedup, q_near_dup_discard
+    spread, the FULL gate ladder's tallies — exact dedup, near-dup,
+    SemDeDup drops, winnow-flagged docs, contamination, boilerplate
+    token savings, rule-gate pass — the four manifest sizes
+    (base/winnow/decontam/stripped), and mean heuristic quality (r7
+    verdict task 4: the card must not under-report the pipeline it
+    summarizes). Every figure composes a REGISTERED query verbatim, so
+    the card can never disagree with the gates it summarizes; each
+    sub-aggregate is one count over an already-memoized verdict table,
+    and the mean sums 6-dp-rounded qualities as DECIMAL
+    (associative-exact). This is the first table a data consumer reads
+    and the last one a curation run writes."""
+    from .dedup import (
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+        q_semantic_dedup,
+    )
+    from .retrieval import q_doc_winnow_boilerplate
     from .text_analysis import q_doc_decontam, q_quality_score
 
     d = load_table(spark, sf_dir, "documents")
@@ -1589,6 +1613,45 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(cnt(q_training_corpus_manifest(spark, sf_dir), "n_manifest"))
+        .crossJoin(
+            cnt(
+                q_semantic_dedup(spark, sf_dir).filter(F.col("kept") == 0),
+                "n_semdedup_drops",
+            )
+        )
+        .crossJoin(
+            cnt(
+                q_doc_winnow_boilerplate(spark, sf_dir).filter(
+                    F.col("flagged")
+                ),
+                "n_winnow_flagged",
+            )
+        )
+        .crossJoin(
+            q_strip_savings_report(spark, sf_dir).select(
+                (F.col("total_tokens") - F.col("total_tokens_kept"))
+                .cast("bigint")
+                .alias("n_tokens_stripped")
+            )
+        )
+        .crossJoin(
+            cnt(
+                q_training_corpus_manifest_winnow(spark, sf_dir),
+                "n_manifest_winnow",
+            )
+        )
+        .crossJoin(
+            cnt(
+                q_training_corpus_manifest_decontam(spark, sf_dir),
+                "n_manifest_decontam",
+            )
+        )
+        .crossJoin(
+            cnt(
+                _REG["training_corpus_manifest_stripped"].fn(spark, sf_dir),
+                "n_manifest_stripped",
+            )
+        )
         .crossJoin(qmean)
         .select(
             "n_docs",
@@ -1597,9 +1660,15 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
             "n_unique_docs",
             "n_near_dup_discards",
+            "n_semdedup_drops",
+            "n_winnow_flagged",
             "n_contaminated",
+            "n_tokens_stripped",
             "n_rule_pass",
             "n_manifest",
+            "n_manifest_winnow",
+            "n_manifest_decontam",
+            "n_manifest_stripped",
             "mean_quality",
         )
     )
