@@ -543,3 +543,30 @@ def test_data_card_equals_composed_queries(spark, sf_dir):
     }
     for k, v in expect.items():
         assert card[k] == v, (k, card[k], v)
+
+
+def test_funnel_by_source_sums_to_corpus_funnel(spark, sf_dir):
+    """Per-source funnel rows must sum to the corpus funnel exactly and
+    each row must be stage-monotone (cumulative conjunctions)."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_curation_funnel,
+        q_curation_funnel_by_source,
+    )
+
+    total = q_curation_funnel(spark, sf_dir).collect()[0].asDict()
+    rows = [
+        r.asDict() for r in q_curation_funnel_by_source(spark, sf_dir).collect()
+    ]
+    stages = [
+        "n_total",
+        "n_rule_pass",
+        "n_exact_kept",
+        "n_near_kept",
+        "n_sem_kept",
+        "n_mixed",
+    ]
+    for s in stages:
+        assert sum(r[s] for r in rows) == total[s], s
+    for r in rows:
+        vals = [r[s] for s in stages]
+        assert vals == sorted(vals, reverse=True), r["source"]

@@ -1680,28 +1680,11 @@ _register_data_card()
 # ------------------------------------------------------ curation funnel
 
 
-def _funnel_sql() -> str:
-    return f"""
-WITH fr AS ({_REG["curation_filter_report"].sql}),
-fp AS ({_REG["fingerprint_dedup"].sql}),
-ndd AS ({_REG["near_dup_discard"].sql}),
-sem AS ({_REG["semantic_dedup"].sql}),
-mix AS ({_REG["mixture_sample"].sql}),
-flags AS (
-    SELECT d.doc_id,
-           coalesce(fr.keep, false) AS rule_ok,
-           fp.keeper IS NOT NULL AS is_keeper,
-           ndd.discard_doc_id IS NOT NULL AS is_near_dup,
-           coalesce(sem.kept, 0) = 1 AS sem_ok,
-           mix.doc_id IS NOT NULL AS in_mix
-    FROM documents d
-    LEFT JOIN fr ON fr.doc_id = d.doc_id
-    LEFT JOIN fp ON fp.keeper = d.doc_id
-    LEFT JOIN ndd ON ndd.discard_doc_id = d.doc_id
-    LEFT JOIN sem ON sem.vec_id = d.doc_id
-    LEFT JOIN mix ON mix.doc_id = d.doc_id
-)
-SELECT CAST(count(*) AS BIGINT) AS n_total,
+# the flags CTE + cumulative-stage SELECT list shared by the corpus
+# funnel and its per-source variant — ONE source of truth for the gate
+# conjunctions, so the two can never disagree on what a stage means
+_FUNNEL_STAGES_SQL = """
+       CAST(count(*) AS BIGINT) AS n_total,
        CAST(sum(CASE WHEN rule_ok THEN 1 ELSE 0 END) AS BIGINT)
            AS n_rule_pass,
        CAST(sum(CASE WHEN rule_ok AND is_keeper THEN 1 ELSE 0 END)
@@ -1713,8 +1696,46 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
            AS n_sem_kept,
        CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
                      AND sem_ok AND in_mix THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_mixed
+           AS n_mixed"""
+
+
+def _funnel_flags_sql() -> str:
+    return f"""fr AS ({_REG["curation_filter_report"].sql}),
+fp AS ({_REG["fingerprint_dedup"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+sem AS ({_REG["semantic_dedup"].sql}),
+mix AS ({_REG["mixture_sample"].sql}),
+flags AS (
+    SELECT d.doc_id, d.source,
+           coalesce(fr.keep, false) AS rule_ok,
+           fp.keeper IS NOT NULL AS is_keeper,
+           ndd.discard_doc_id IS NOT NULL AS is_near_dup,
+           coalesce(sem.kept, 0) = 1 AS sem_ok,
+           mix.doc_id IS NOT NULL AS in_mix
+    FROM documents d
+    LEFT JOIN fr ON fr.doc_id = d.doc_id
+    LEFT JOIN fp ON fp.keeper = d.doc_id
+    LEFT JOIN ndd ON ndd.discard_doc_id = d.doc_id
+    LEFT JOIN sem ON sem.vec_id = d.doc_id
+    LEFT JOIN mix ON mix.doc_id = d.doc_id
+)"""
+
+
+def _funnel_sql() -> str:
+    return f"""
+WITH {_funnel_flags_sql()}
+SELECT{_FUNNEL_STAGES_SQL}
 FROM flags
+"""
+
+
+def _funnel_by_source_sql() -> str:
+    return f"""
+WITH {_funnel_flags_sql()}
+SELECT source,{_FUNNEL_STAGES_SQL}
+FROM flags
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -1735,6 +1756,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag joins a registered (memoized) verdict table on doc_id; one pass,
     one aggregate, cumulative conjunctions so stages are monotone by
     construction."""
+    return _funnel_flags(spark, sf_dir).agg(*_funnel_stage_aggs())
+
+
+def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, rule_ok, is_keeper, is_near_dup, sem_ok, in_mix)
+    for every document — the flag table both funnel variants aggregate.
+    Every flag joins a registered (memoized) verdict table on doc_id."""
     from .dedup import (
         q_fingerprint_dedup,
         q_near_dup_discard,
@@ -1742,7 +1770,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .text_analysis import q_curation_filter_report
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     fr = q_curation_filter_report(spark, sf_dir).select("doc_id", "keep")
     keepers = q_fingerprint_dedup(spark, sf_dir).select(
         F.col("keeper").alias("doc_id"), F.lit(True).alias("is_keeper")
@@ -1757,13 +1785,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = q_mixture_sample(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("in_mix")
     )
-    flags = (
+    return (
         d.join(fr, "doc_id", "left")
         .join(keepers, "doc_id", "left")
         .join(F.broadcast(ndd), "doc_id", "left")
         .join(sem, "doc_id", "left")
         .join(mix, "doc_id", "left")
         .select(
+            "doc_id",
+            "source",
             F.coalesce("keep", F.lit(False)).alias("rule_ok"),
             F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
             F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
@@ -1771,6 +1801,11 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
         )
     )
+
+
+def _funnel_stage_aggs() -> list:
+    """The cumulative stage aggregates shared by both funnel variants —
+    conjunctions accumulate so stages are monotone by construction."""
 
     def cum(*conds) -> F.Column:
         acc = conds[0]
@@ -1780,17 +1815,44 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r, k = F.col("rule_ok"), F.col("is_keeper")
     nd, s, m = ~F.col("is_near_dup"), F.col("sem_ok"), F.col("in_mix")
-    return flags.agg(
+    return [
         F.count("*").cast("bigint").alias("n_total"),
         cum(r).alias("n_rule_pass"),
         cum(r, k).alias("n_exact_kept"),
         cum(r, k, nd).alias("n_near_kept"),
         cum(r, k, nd, s).alias("n_sem_kept"),
         cum(r, k, nd, s, m).alias("n_mixed"),
+    ]
+
+
+def _register_funnel_by_source() -> None:
+    register(
+        "curation_funnel_by_source",
+        sql=_funnel_by_source_sql(),
+        tags=("curation", "eval"),
+    )(q_curation_funnel_by_source)
+
+
+def q_curation_funnel_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation funnel GROUPED BY SOURCE — which gate eats which
+    source is the question a curation engineer actually asks before
+    touching thresholds (r7 verdict task 5): the PSI drift alarm points
+    at a source, this names the gate that's consuming it. Same flag
+    table and cumulative conjunctions as ``curation_funnel`` (shared
+    code, so the two cannot disagree), one GROUP BY instead of a global
+    aggregate; output is bounded by n_sources."""
+    return (
+        _funnel_flags(spark, sf_dir)
+        .groupBy("source")
+        .agg(*_funnel_stage_aggs())
+        .orderBy("source")
     )
 
 
 _register_funnel()
+_register_funnel_by_source()
 
 
 def _funnel_extended_sql() -> str:
