@@ -57,6 +57,16 @@ def build_cache_rules(registry) -> list[dict]:
         "ivf_cosine_topk",
         "training_corpus_manifest",
         "dsir_logweights",
+        # r7 verdict task 7: the new long poles re-replay these fragments
+        "winnowing_overlap_pairs",
+        "doc_winnow_boilerplate",
+        "doc_decontam",
+        "strip_boilerplate_chunks",
+        "strip_savings_report",
+        "training_corpus_manifest_strict",
+        "training_corpus_manifest_winnow",
+        "training_corpus_manifest_decontam",
+        "training_corpus_manifest_stripped",
     ):
         spec = registry.get(name)
         if spec is not None and spec.sql is not None:
@@ -69,6 +79,18 @@ def build_cache_rules(registry) -> list[dict]:
             "kind": "fragment",
             "needle": bpe._sql_bpe_doc_counts(),
             "exports": ["lens"],
+        }
+    )
+    # the bare training-rounds chain (no lens): embedded directly by
+    # bpe_merges/bpe_encode and the stripped manifest's BPE re-count.
+    # Exports cover every CTE referenced downstream of the chain.
+    rules.append(
+        {
+            "id": "f_bpe_rounds",
+            "kind": "fragment",
+            "needle": bpe._sql_bpe_rounds(bpe.BPE_MERGES),
+            "exports": [f"seq{bpe.BPE_MERGES}"]
+            + [f"best{t}" for t in range(1, bpe.BPE_MERGES + 1)],
         }
     )
     rules.append(
