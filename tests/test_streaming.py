@@ -1115,3 +1115,110 @@ def test_streaming_quality_drift_monitor(spark, tmp_path):
     )
     again = spark.read.parquet(out).collect()
     assert len(again) == 2
+
+
+def test_ingest_pipeline_emits_drift_audit(spark, tmp_path):
+    """r7 verdict task 8: one stream curates AND monitors. With drift
+    options set, the ingest pipeline emits a per-batch PSI row equal to
+    the shared psi_from_bins formula over the RAW batch's quality bins
+    (pre-gate), and a checkpoint replay adds nothing."""
+    import time
+
+    from topic_modeling_ajin_spark.streaming.pipelines import (
+        psi_from_bins,
+        quality_bins,
+    )
+
+    schema = "doc_id long, text string"
+    ok_texts = [
+        (i, "the quick brown fox jumps over the lazy dog and then "
+            "the cat sat on the mat with a hat for a while today")
+        for i in range(30)
+    ]
+    bad_texts = [(100 + i, "!!! ??? ***") for i in range(30)]
+    ref_bins = quality_bins(spark.createDataFrame(ok_texts, schema))
+
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(ok_texts, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    time.sleep(1.1)
+    spark.createDataFrame(bad_texts, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+
+    def mkstream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    drift = str(tmp_path / "drift")
+    ck = str(tmp_path / "ck")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        mkstream(),
+        store,
+        out,
+        ck,
+        drift_ref_bins=ref_bins,
+        drift_out_dir=drift,
+    )
+    rows = {r["batch_id"]: r for r in spark.read.parquet(drift).collect()}
+    assert set(rows) == {0, 1}
+    # batch 0 is the reference sample itself; batch 1 is degenerate.
+    # psi values equal the shared formula over the raw batches' bins —
+    # note the degenerate docs are NOT gated out of the monitor even
+    # though dedup collapses them to one survivor in the corpus sink.
+    bad_bins = quality_bins(spark.createDataFrame(bad_texts, schema))
+    assert rows[0]["n_docs"] == 30 and rows[1]["n_docs"] == 30
+    assert rows[0]["psi"] == round(psi_from_bins(ref_bins, ref_bins), 6)
+    assert rows[1]["psi"] == round(psi_from_bins(bad_bins, ref_bins), 6)
+    assert rows[1]["drifted"] and not rows[0]["drifted"]
+    # dedup still ran: the 30 identical bad docs shipped one survivor
+    assert spark.read.parquet(out).filter("doc_id >= 100").count() == 1
+
+    # replay with the same checkpoint and no new input: nothing changes
+    n_files = len(spark.read.parquet(drift).inputFiles())
+    ST.run_streaming_ingest_dedup(
+        spark,
+        mkstream(),
+        store,
+        out,
+        ck,
+        drift_ref_bins=ref_bins,
+        drift_out_dir=drift,
+    )
+    assert len(spark.read.parquet(drift).inputFiles()) == n_files
+    assert {
+        r["batch_id"]: r for r in spark.read.parquet(drift).collect()
+    } == rows
+
+
+def test_ingest_drift_half_configuration_fails(spark, tmp_path):
+    """Setting only one of drift_ref_bins / drift_out_dir must fail
+    loudly, not silently skip monitoring."""
+    import pytest as _pytest
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame([(1, "doc")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _pytest.raises(ValueError, match="drift"):
+        ST.run_streaming_ingest_dedup(
+            spark,
+            stream,
+            str(tmp_path / "store"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "ck"),
+            drift_ref_bins=[1, 2, 3],
+        )

@@ -535,11 +535,25 @@ def run_streaming_ingest_dedup(
     min_quality_score: float = 0.5,
     near_dup_hamming: int | None = None,
     near_dup_jaccard: float | None = None,
+    drift_ref_bins: list | None = None,
+    drift_out_dir: str | None = None,
+    drift_threshold: float | None = None,
 ) -> None:
     """Cross-batch document ingest dedup against a PERSISTENT fingerprint
     store — the streaming twin of the batch ``incremental_dedup`` query
     (the continuously-crawled-corpus shape a 100 TB training pipeline
     runs forever).
+
+    With ``drift_ref_bins`` + ``drift_out_dir`` set (r7 verdict task 8),
+    the same stream also MONITORS: each micro-batch's RAW document
+    quality distribution (pre-gate, so the gates cannot mask incoming
+    drift) is binned and scored against the reference with the shared
+    ``psi_from_bins`` formula — identical to ``source_quality_psi`` and
+    ``run_streaming_quality_drift`` (batch-twin pinned in tests) — and a
+    one-row audit lands in ``drift_out_dir/batch=<id>`` (idempotent
+    overwrite, so a crash replay rewrites rather than re-alarms). One
+    stream curates AND monitors; the cost is one PSI_BINS-row aggregate
+    per batch.
 
     Per micro-batch, inside ``foreachBatch``:
     0. (optional quality gate, r4 VERDICT task 7) drop documents whose
@@ -622,6 +636,13 @@ def run_streaming_ingest_dedup(
     # O(n^2) over a long-lived stream (r6 advice). The required-column
     # set is fixed per stream (the gate flags don't change mid-run), so
     # a plain name set suffices.
+    if (drift_ref_bins is None) != (drift_out_dir is None):
+        raise ValueError(
+            "drift monitoring needs BOTH drift_ref_bins and drift_out_dir "
+            "(got one without the other) — a silent half-configuration "
+            "would look like a healthy stream with no drift audit"
+        )
+
     _validated: set[str] = set()
     # same once-per-stream discipline for the exact-Jaccard gate's
     # bucketed shingle sibling partitions
@@ -629,6 +650,31 @@ def run_streaming_ingest_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
+
+        if drift_ref_bins is not None:
+            # monitor BEFORE any gate: the raw incoming distribution is
+            # what drifts; a quality gate downstream would clip exactly
+            # the tail the alarm exists to see
+            thr = (
+                DRIFT_PSI_THRESHOLD
+                if drift_threshold is None
+                else drift_threshold
+            )
+            bins = quality_bins(batch_df)
+            psi = psi_from_bins(bins, drift_ref_bins)
+            spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(sum(bins)),
+                        float(round(psi, 6)),
+                        bool(psi > thr),
+                    )
+                ],
+                "batch_id long, n_docs long, psi double, drifted boolean",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{drift_out_dir}/batch={batch_id}"
+            )
 
         if quality_weights is not None:
             from ..operators.quality_model import score_expr
