@@ -570,3 +570,53 @@ def test_funnel_by_source_sums_to_corpus_funnel(spark, sf_dir):
     for r in rows:
         vals = [r[s] for s in stages]
         assert vals == sorted(vals, reverse=True), r["source"]
+
+
+def test_staged_strip_pipeline_matches_one_query(spark, sf_dir, tmp_path):
+    """run_curation_pipeline(strip=True) must materialize cleaned texts
+    whose md5 equals the audit's cleaned_md5, and a manifest_stripped
+    table identical to the one-query stripped manifest."""
+    import hashlib
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        run_curation_pipeline,
+    )
+    from topic_modeling_ajin_spark.registry import load_all
+
+    out = str(tmp_path / "pipe")
+    run_curation_pipeline(spark, sf_dir, out, strip=True)
+
+    staged = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{out}/manifest_stripped")
+            .select("doc_id", "lang", "quality", "n_bpe_tokens", "cleaned_md5")
+            .collect(),
+        )
+    )
+    one = sorted(
+        map(
+            tuple,
+            load_all()["training_corpus_manifest_stripped"]
+            .fn(spark, sf_dir)
+            .collect(),
+        )
+    )
+    assert staged == one and staged
+
+    # the materialized cleaned texts hash to the audit's cleaned_md5 —
+    # what ships IS what the audit certified
+    audit = {
+        r["doc_id"]: r["cleaned_md5"]
+        for r in spark.read.parquet(
+            f"{out}/strip_boilerplate_chunks"
+        ).collect()
+        if r["n_tokens_kept"] > 0
+    }
+    texts = spark.read.parquet(f"{out}/stripped_texts").collect()
+    assert {r["doc_id"] for r in texts} == set(audit)
+    for r in texts:
+        assert (
+            hashlib.md5(r["cleaned_text"].encode()).hexdigest()
+            == audit[r["doc_id"]]
+        ), r["doc_id"]

@@ -1173,25 +1173,15 @@ def _register_stripped_manifest() -> None:
         re-count is one explode + broadcast vocab join + doc_id
         re-aggregate; the base manifest is the memoized localCheckpoint
         every manifest variant composes."""
-        from .bpe import _bpe_fit
-
         base = _manifest(spark, sf_dir, strict=False)
-        per, kept = _strip_chunks(spark, sf_dir)
+        per, _ = _strip_chunks(spark, sf_dir)
         audit = per.filter(F.col("n_tokens_kept") > 0).select(
             "doc_id", "cleaned_md5"
-        )
-        _, seq = _bpe_fit(spark, sf_dir)
-        pieces = seq.select("word", F.size("seq").alias("n_pieces"))
-        sagg = (
-            kept.select("doc_id", F.explode("chunk").alias("word"))
-            .join(F.broadcast(pieces), "word")
-            .groupBy("doc_id")
-            .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
         )
         return (
             base.select("doc_id", "lang", "quality")
             .join(audit, "doc_id")
-            .join(sagg, "doc_id")
+            .join(stripped_bpe_counts(spark, sf_dir), "doc_id")
             .select(
                 "doc_id", "lang", "quality", "n_bpe_tokens", "cleaned_md5"
             )
@@ -1200,6 +1190,25 @@ def _register_stripped_manifest() -> None:
 
 
 _register_stripped_manifest()
+
+
+def stripped_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bpe_tokens) over each document's chunk-STRIPPED token
+    stream, encoded with the SAME trained merge table as the base
+    budget — the re-budget table the stripped manifest joins (one
+    explode + broadcast vocab join + doc_id re-aggregate; docs with an
+    empty remainder simply have no row)."""
+    from .bpe import _bpe_fit
+
+    _, seq = _bpe_fit(spark, sf_dir)
+    pieces = seq.select("word", F.size("seq").alias("n_pieces"))
+    _, kept = _strip_chunks(spark, sf_dir)
+    return (
+        kept.select("doc_id", F.explode("chunk").alias("word"))
+        .join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
+    )
 
 
 # --------------------------------------- staged (materialized) pipeline
@@ -1232,6 +1241,7 @@ def run_curation_pipeline(
     strict: bool = False,
     select: bool = False,
     winnow: bool = False,
+    strip: bool = False,
 ) -> DataFrame:
     """The 100 TB shape of ``training_corpus_manifest``: run each gate as
     its own job, WRITE its verdict table to parquet, and build the
@@ -1265,6 +1275,42 @@ def run_curation_pipeline(
         staged_manifest(spark, out_dir, strict=strict, winnow=winnow),
         f"{out_dir}/manifest",
     )
+    if strip:
+        # curate -> STRIP, materialized: the per-doc strip audit, the
+        # cleaned texts themselves (the table downstream tokenize/pack
+        # actually consumes), the stripped-stream BPE re-budget, and the
+        # stripped manifest as joins over those parquet tables — the
+        # staged twin of the one-query training_corpus_manifest_stripped
+        # (parity pinned in tests). Built over the BASE stage tables:
+        # stripping is the ALTERNATIVE to the strict drop policy.
+        write_parquet(
+            reg["strip_boilerplate_chunks"].fn(spark, sf_dir),
+            f"{out_dir}/strip_boilerplate_chunks",
+        )
+        write_parquet(
+            strip_boilerplate_texts(spark, sf_dir),
+            f"{out_dir}/stripped_texts",
+        )
+        write_parquet(
+            stripped_bpe_counts(spark, sf_dir),
+            f"{out_dir}/stripped_bpe_counts",
+        )
+        base = staged_manifest(spark, out_dir, strict=False, winnow=False)
+        audit = (
+            spark.read.parquet(f"{out_dir}/strip_boilerplate_chunks")
+            .filter(F.col("n_tokens_kept") > 0)
+            .select("doc_id", "cleaned_md5")
+        )
+        counts = spark.read.parquet(f"{out_dir}/stripped_bpe_counts")
+        write_parquet(
+            base.select("doc_id", "lang", "quality")
+            .join(audit, "doc_id")
+            .join(counts, "doc_id")
+            .select(
+                "doc_id", "lang", "quality", "n_bpe_tokens", "cleaned_md5"
+            ),
+            f"{out_dir}/manifest_stripped",
+        )
     if select:
         # curate -> SELECT, materialized: the selection verdict tables
         # land beside the curation gates, and the final DSIR pick joins
