@@ -620,3 +620,46 @@ def test_staged_strip_pipeline_matches_one_query(spark, sf_dir, tmp_path):
             hashlib.md5(r["cleaned_text"].encode()).hexdigest()
             == audit[r["doc_id"]]
         ), r["doc_id"]
+
+
+def test_funnel_tokens_monotone_and_ties_to_manifest(spark, sf_dir):
+    """Token-mass funnel stages must be monotone, and the final stage's
+    token mass must equal the base manifest's summed n_bpe_tokens (same
+    membership, same budget table)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_curation_funnel_tokens,
+        q_training_corpus_manifest,
+    )
+
+    row = q_curation_funnel_tokens(spark, sf_dir).collect()[0].asDict()
+    stages = [
+        "t_total",
+        "t_rule_pass",
+        "t_exact_kept",
+        "t_near_kept",
+        "t_sem_kept",
+        "t_mixed",
+    ]
+    vals = [row[s] for s in stages]
+    assert vals == sorted(vals, reverse=True)
+    man_tokens = (
+        q_training_corpus_manifest(spark, sf_dir)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert row["t_mixed"] == man_tokens
+
+
+def test_strip_savings_by_source_sums_to_report(spark, sf_dir):
+    """Per-source strip savings must sum to the corpus report exactly."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_strip_savings_by_source,
+        q_strip_savings_report,
+    )
+
+    rep = q_strip_savings_report(spark, sf_dir).collect()[0]
+    rows = q_strip_savings_by_source(spark, sf_dir).collect()
+    for col in ("n_docs", "n_docs_affected", "total_tokens", "total_tokens_kept"):
+        assert sum(r[col] for r in rows) == rep[col], col

@@ -745,6 +745,54 @@ def q_strip_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "strip_savings_by_source",
+    sql=f"""
+WITH s AS ({_STRIP_SQL})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s.n_stripped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_affected,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(s.n_tokens_kept) AS BIGINT) AS total_tokens_kept,
+       round(1 - sum(s.n_tokens_kept) * 1.0 / sum(s.n_tokens), 6)
+           AS stripped_token_share
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+    tags=("curation", "eval"),
+)
+def q_strip_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``strip_savings_report`` grouped by SOURCE: which source's pages
+    carry the boilerplate the chunk strip reclaims — the per-source view
+    a curation engineer reads next to ``curation_funnel_by_source`` when
+    a crawl source's token yield looks inflated (site chrome counts as
+    token mass until this table says otherwise). One join of the
+    doc-sized strip audit to the documents table's source column and a
+    GROUP BY bounded by n_sources."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        q_strip_boilerplate_chunks(spark, sf_dir)
+        .join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_stripped") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_tokens_kept").cast("bigint").alias("total_tokens_kept"),
+            F.round(
+                F.lit(1)
+                - F.sum("n_tokens_kept") * F.lit(1.0) / F.sum("n_tokens"),
+                6,
+            ).alias("stripped_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def strip_boilerplate_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cleaned_text): the stripped documents themselves — the
     DataFrame a pipeline feeds downstream (tokenize/pack/train) after
@@ -1897,8 +1945,79 @@ def q_curation_funnel_by_source(
     )
 
 
+def _funnel_tokens_sql() -> str:
+    return f"""
+WITH {_funnel_flags_sql()},
+bpec AS ({_REG["bpe_token_counts"].sql}),
+ft AS (
+    SELECT f.*, b.n_bpe_tokens AS tok
+    FROM flags f JOIN bpec b ON b.doc_id = f.doc_id
+)
+SELECT CAST(sum(tok) AS BIGINT) AS t_total,
+       CAST(sum(CASE WHEN rule_ok THEN tok ELSE 0 END) AS BIGINT)
+           AS t_rule_pass,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper THEN tok ELSE 0 END)
+            AS BIGINT) AS t_exact_kept,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
+                     THEN tok ELSE 0 END) AS BIGINT) AS t_near_kept,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
+                     AND sem_ok THEN tok ELSE 0 END) AS BIGINT)
+           AS t_sem_kept,
+       CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
+                     AND sem_ok AND in_mix THEN tok ELSE 0 END) AS BIGINT)
+           AS t_mixed
+FROM ft
+"""
+
+
+def _register_funnel_tokens() -> None:
+    register(
+        "curation_funnel_tokens",
+        sql=_funnel_tokens_sql(),
+        tags=("curation", "eval", "bpe"),
+    )(q_curation_funnel_tokens)
+
+
+def q_curation_funnel_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel measured in TRAINED-BPE TOKEN MASS instead of
+    document counts — what each gate costs against the quantity that
+    actually budgets a training run (the ``mixture_temperature_plan_tokens``
+    lesson applied to attrition: a gate that eats 1% of docs can eat 20%
+    of tokens if it prefers long documents). Same flag table and
+    cumulative conjunctions as ``curation_funnel``, weighted by the
+    memoized ``bpe_token_counts`` verdict table; one doc-keyed join, one
+    aggregate."""
+    from .bpe import q_bpe_token_counts
+
+    tok = F.col("tok")
+    ft = _funnel_flags(spark, sf_dir).join(
+        q_bpe_token_counts(spark, sf_dir).select(
+            "doc_id", F.col("n_bpe_tokens").alias("tok")
+        ),
+        "doc_id",
+    )
+
+    def cum(*conds) -> F.Column:
+        acc = conds[0]
+        for c in conds[1:]:
+            acc = acc & c
+        return F.sum(F.when(acc, tok).otherwise(0)).cast("bigint")
+
+    r, k = F.col("rule_ok"), F.col("is_keeper")
+    nd, s, m = ~F.col("is_near_dup"), F.col("sem_ok"), F.col("in_mix")
+    return ft.agg(
+        F.sum(tok).cast("bigint").alias("t_total"),
+        cum(r).alias("t_rule_pass"),
+        cum(r, k).alias("t_exact_kept"),
+        cum(r, k, nd).alias("t_near_kept"),
+        cum(r, k, nd, s).alias("t_sem_kept"),
+        cum(r, k, nd, s, m).alias("t_mixed"),
+    )
+
+
 _register_funnel()
 _register_funnel_by_source()
+_register_funnel_tokens()
 
 
 def _funnel_extended_sql() -> str:
