@@ -663,3 +663,58 @@ def test_strip_savings_by_source_sums_to_report(spark, sf_dir):
     rows = q_strip_savings_by_source(spark, sf_dir).collect()
     for col in ("n_docs", "n_docs_affected", "total_tokens", "total_tokens_kept"):
         assert sum(r[col] for r in rows) == rep[col], col
+
+
+def test_decontam_provenance_pure_python_replay(spark, sf_dir):
+    """decontam_provenance must equal an independent pure-Python replay
+    of the gram split (same tokenizer, same bench cut), and its bench
+    membership must mirror decontamination_overlap's corpus view."""
+    import re
+
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        DECON_BENCH_MAX_DOC_ID,
+        DECON_NGRAM,
+        q_decontam_provenance,
+        q_decontamination_overlap,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    gsets = {}
+    for r in docs:
+        toks = [w for w in re.split(r"\s+", (r["text"] or "").lower()) if w]
+        gsets[r["doc_id"]] = {
+            " ".join(toks[i : i + DECON_NGRAM])
+            for i in range(len(toks) - DECON_NGRAM + 1)
+        }
+    bench = {d: g for d, g in gsets.items() if d < DECON_BENCH_MAX_DOC_ID}
+    corpus = {d: g for d, g in gsets.items() if d >= DECON_BENCH_MAX_DOC_ID}
+    expect = {}
+    for bd, bg in bench.items():
+        leaked = set()
+        touched = set()
+        for cd, cg in corpus.items():
+            inter = bg & cg
+            if inter:
+                leaked |= inter
+                touched.add(cd)
+        if leaked:
+            expect[bd] = (len(leaked), len(touched))
+    got = {
+        r["bench_doc"]: (r["n_leaked_grams"], r["n_corpus_docs"])
+        for r in q_decontam_provenance(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # cross-view: corpus docs named by the overlap scan == corpus docs
+    # counted here (both sides of the same join)
+    ov_docs = {
+        r["doc_id"] for r in q_decontamination_overlap(spark, sf_dir).collect()
+    }
+    touched_all = set()
+    for bd, bg in bench.items():
+        for cd, cg in corpus.items():
+            if bg & cg:
+                touched_all.add(cd)
+    assert ov_docs == touched_all

@@ -620,11 +620,9 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_NGRAM = 5
 DECON_BENCH_MAX_DOC_ID = 50  # doc_id < 50 plays the held-out benchmark set
 
-
-@register(
-    "decontamination_overlap",
-    sql=rf"""
-WITH t AS (
+# the bench/corpus gram CTE chain shared by the overlap scan and the
+# provenance view — one tokenizer, one gram builder, one bench split
+_DECON_GRAMS_SQL = rf"""t AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
     FROM documents
@@ -638,7 +636,33 @@ g AS (
     WHERE length(toks) >= {DECON_NGRAM}
 ),
 bench AS (SELECT doc_id, gram FROM g WHERE doc_id < {DECON_BENCH_MAX_DOC_ID}),
-corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= {DECON_BENCH_MAX_DOC_ID})
+corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= {DECON_BENCH_MAX_DOC_ID})"""
+
+
+def _decon_gram_frames(spark: SparkSession, sf_dir: str):
+    """(bench, corpus) distinct-gram DataFrames — the Spark twin of
+    ``_DECON_GRAMS_SQL``, shared by the overlap scan and provenance."""
+    from ..functions import hashing as H
+
+    d = _docs(spark, sf_dir)
+    # tokenize in its own projection: inlined into the n-gram transform
+    # lambda, the regex split would re-evaluate per element_at reference
+    # per gram (5× n_grams times per row, interpreted)
+    grams = d.select("doc_id", TX.tokens("text").alias("toks")).select(
+        "doc_id",
+        F.explode(H.shingles(F.col("toks"), DECON_NGRAM)).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") < DECON_BENCH_MAX_DOC_ID).select(
+        F.col("doc_id").alias("bench_doc"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID)
+    return bench, corpus
+
+
+@register(
+    "decontamination_overlap",
+    sql=f"""
+WITH {_DECON_GRAMS_SQL}
 SELECT c.doc_id,
        count(DISTINCT c.gram) AS n_shared_grams,
        count(DISTINCT b.doc_id) AS n_bench_docs
@@ -655,26 +679,45 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the benchmark side is tiny by construction, so its exploded
     gram set BROADCASTS and the corpus side never shuffles — a 100 TB scan
     with a hash-probe per gram, aggregated per document."""
-    from ..functions import hashing as H
-
-    d = _docs(spark, sf_dir)
-    # tokenize in its own projection: inlined into the n-gram transform
-    # lambda, the regex split would re-evaluate per element_at reference
-    # per gram (5× n_grams times per row, interpreted)
-    grams = d.select("doc_id", TX.tokens("text").alias("toks")).select(
-        "doc_id",
-        F.explode(H.shingles(F.col("toks"), DECON_NGRAM)).alias("gram"),
-    )
-    bench = grams.filter(F.col("doc_id") < DECON_BENCH_MAX_DOC_ID).select(
-        F.col("doc_id").alias("bench_doc"), "gram"
-    )
-    corpus = grams.filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID)
+    bench, corpus = _decon_gram_frames(spark, sf_dir)
     return (
         corpus.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("gram").alias("n_shared_grams"),
             F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "decontam_provenance",
+    sql=f"""
+WITH {_DECON_GRAMS_SQL}
+SELECT b.doc_id AS bench_doc,
+       count(DISTINCT b.gram) AS n_leaked_grams,
+       count(DISTINCT c.doc_id) AS n_corpus_docs
+FROM bench b JOIN corpus c ON c.gram = b.gram
+GROUP BY b.doc_id
+""",
+    tags=("text_analysis", "dedup", "eval"),
+)
+def q_decontam_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE view of ``decontamination_overlap``: per BENCHMARK
+    document, how many of its {DECON_NGRAM}-grams leaked into the
+    training corpus and how many corpus documents carry them — the
+    table an eval owner reads to decide which benchmark items are
+    compromised (and must be re-drawn or score-adjusted) rather than
+    which corpus docs to drop. Same shared gram split, same broadcast:
+    here the AGGREGATION is benchmark-sized, so the output is bounded
+    by the benchmark itself."""
+    bench, corpus = _decon_gram_frames(spark, sf_dir)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy(F.col("bench_doc").alias("bench_doc"))
+        .agg(
+            F.countDistinct("gram").alias("n_leaked_grams"),
+            F.countDistinct("doc_id").alias("n_corpus_docs"),
         )
     )
 
