@@ -718,3 +718,30 @@ def test_decontam_provenance_pure_python_replay(spark, sf_dir):
             if bg & cg:
                 touched_all.add(cd)
     assert ov_docs == touched_all
+
+
+def test_hot_shingles_names_planted_boilerplate(spark, sf_dir, tmp_path):
+    """A shingle planted in > HOT_SHINGLE_CAP docs must be named with its
+    exact doc count; the real corpus (healthy) may name none, and every
+    named count must exceed the cap."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        HOT_SHINGLE_CAP,
+        q_hot_shingles,
+    )
+
+    n = HOT_SHINGLE_CAP + 4
+    rows = [
+        (i, f"common nav footer unique{i}a unique{i}b unique{i}c")
+        for i in range(n)
+    ]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        r["shingle"]: r["n_docs"] for r in q_hot_shingles(spark, str(d)).collect()
+    }
+    assert got == {"common nav footer": n}
+
+    for r in q_hot_shingles(spark, sf_dir).collect():
+        assert r["n_docs"] > HOT_SHINGLE_CAP

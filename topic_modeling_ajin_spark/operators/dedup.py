@@ -173,6 +173,43 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# audit threshold: a 3-shingle held by more distinct docs than this is
+# corpus-wide boilerplate that fans the shared-shingle candidate joins
+# out quadratically (d docs sharing one shingle → ~d²/2 candidate pairs)
+HOT_SHINGLE_CAP = 16
+
+
+@register(
+    "hot_shingles",
+    sql=f"""
+WITH {SQL_SHINGLES}
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh
+GROUP BY shingle
+HAVING count(*) > {HOT_SHINGLE_CAP}
+""",
+    tags=("dedup", "eval", "scale"),
+)
+def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hot-shingle audit: 3-token shingles held by more than
+    {HOT_SHINGLE_CAP} distinct documents, with their document counts —
+    the shingles that fan out the exact-Jaccard candidate join
+    (``ngram_jaccard_pairs``, the streaming exact-Jaccard gate) before
+    the threshold filter prunes. The ``winnowing_hot_fingerprints``
+    convention applied to the dedup ladder: the gates themselves stay
+    uncapped (parity), this table is how operators see corpus-wide
+    boilerplate coming and route it to the strip/gate family instead.
+    One groupBy over the memoized shingle table; output bounded by the
+    number of hot shingles. Streaming twin: ``store_hot_shingles`` over
+    the ingest pipeline's bucketed store."""
+    sh = _exploded_shingles(spark, sf_dir)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") > HOT_SHINGLE_CAP)
+    )
+
+
 @register("ngram_jaccard_pairs", sql=SQL_JACCARD_PAIRS, tags=("dedup",))
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via
