@@ -1222,3 +1222,68 @@ def test_ingest_drift_half_configuration_fails(spark, tmp_path):
             str(tmp_path / "ck"),
             drift_ref_bins=[1, 2, 3],
         )
+
+
+def test_jaccard_gate_survives_shingleless_first_batch(spark, tmp_path):
+    """r8 review: a committed batch whose docs all have <3 tokens writes
+    an EMPTY shingle partition (no data files). Later batches must still
+    probe the store (explicit schema, no inference) instead of wedging
+    on 'Unable to infer schema' at every replay."""
+    import time
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    # batch 0: token-less / short docs only -> zero shingles stored
+    spark.createDataFrame(
+        [(1, "two words"), (2, "one")], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    # batch 1: real docs, including a near-dup pair within the batch
+    base = " ".join(f"tok{i}" for i in range(30))
+    spark.createDataFrame(
+        [(10, base), (11, base[:-1] + "X")], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        out,
+        str(tmp_path / "ck"),
+        near_dup_jaccard=0.8,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # short docs pass (no shingles -> gate bypass); 11 is a near-dup of 10
+    assert kept == [1, 2, 10]
+
+
+def test_ingest_drift_threshold_alone_fails(spark, tmp_path):
+    """drift_threshold without the ref/out pair must also fail loudly."""
+    import pytest as _pytest
+
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame([(1, "doc")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    with _pytest.raises(ValueError, match="drift"):
+        ST.run_streaming_ingest_dedup(
+            spark,
+            stream,
+            str(tmp_path / "store"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "ck"),
+            drift_threshold=0.1,
+        )

@@ -656,32 +656,50 @@ def q_strip_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per
 
 
+def _strip_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, chunk, chunk_md5, hit): every strip chunk with
+    its cross-doc offender mark. Memoized+persisted — the tokenize +
+    chunk + offender groupBy + md5 join is the expensive pass, and FOUR
+    consumers branch from it (the audit, the cleaned texts, the BPE
+    re-count, the savings rollups); without the memo each paid it from
+    the raw scan (r8 review)."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        d = _docs(spark, sf_dir).select(
+            "doc_id", TX.word_tokens("text").alias("toks")
+        )
+        nz = d.filter(F.size("toks") > 0)
+        starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(STRIP_CHUNK))
+        ch = nz.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.slice("toks", s + 1, STRIP_CHUNK)
+                )
+            ).alias("chunk_id", "chunk"),
+        ).select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk",
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+        off = (
+            ch.groupBy("chunk_md5")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("chunk_md5", F.lit(1).alias("hit"))
+        )
+        return ch.join(off, "chunk_md5", "left")
+
+    return memo(spark, ("strip_flagged", sf_dir), build, persist=True)
+
+
 def _strip_chunks(spark: SparkSession, sf_dir: str):
     """Shared chunk/offender/kept plumbing: returns (audit_df, kept_df)
-    where kept_df is (doc_id, chunk_id, chunk) surviving chunks."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", TX.word_tokens("text").alias("toks")
-    )
-    nz = d.filter(F.size("toks") > 0)
-    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(STRIP_CHUNK))
-    ch = nz.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(starts, lambda s: F.slice("toks", s + 1, STRIP_CHUNK))
-        ).alias("chunk_id", "chunk"),
-    ).select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        "chunk",
-        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
-    )
-    off = (
-        ch.groupBy("chunk_md5")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("chunk_md5", F.lit(1).alias("hit"))
-    )
-    flagged = ch.join(off, "chunk_md5", "left")
+    where kept_df is (doc_id, chunk_id, chunk) surviving chunks — both
+    cheap re-aggregations of the memoized flagged-chunk table."""
+    flagged = _strip_flagged(spark, sf_dir)
     kept_tokens = _ordered_tokens(
         F.collect_list(
             F.when(F.col("hit").isNull(), F.struct("chunk_id", "chunk"))

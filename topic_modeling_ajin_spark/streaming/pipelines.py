@@ -490,8 +490,10 @@ def store_hot_shingles(
     operators see the blowup coming and fix it upstream (boilerplate
     strip/gate). One groupBy over the bucketed store; output is bounded
     by the number of hot shingles."""
-    sh = spark.read.option("basePath", shingle_store_dir(store_dir)).parquet(
-        shingle_store_dir(store_dir)
+    sh = (
+        spark.read.option("basePath", shingle_store_dir(store_dir))
+        .schema(SHINGLE_STORE_SCHEMA)
+        .parquet(shingle_store_dir(store_dir))
     )
     # each doc stores its DISTINCT shingles once (replays overwrite their
     # own batch partition), so count(*) == count of holding docs
@@ -503,6 +505,18 @@ def store_hot_shingles(
     )
 
 
+# the bucketed shingle store's fixed schema (data columns + the two
+# partition columns). Declared EXPLICITLY on every read: a committed
+# batch whose docs all had <3 tokens writes an empty partition (a
+# _SUCCESS with no data files), and schema INFERENCE over a store whose
+# batches are all empty raises "Unable to infer schema" on every
+# replay — wedging the stream permanently (the same failure mode the
+# fingerprint store's _temporary handling guards against).
+SHINGLE_STORE_SCHEMA = (
+    "o_id string, o_n int, shv bigint, bucket bigint, batch bigint"
+)
+
+
 def probe_shingle_store(
     spark: SparkSession, store_dir: str, batch_id: int, buckets: list
 ) -> DataFrame:
@@ -510,14 +524,15 @@ def probe_shingle_store(
     (o_id, o_n, shv) from batches strictly earlier than ``batch_id``
     whose bucket partition is in ``buckets``. Both filters land on
     partition columns, so the scan reads ONLY matching bucket dirs
-    (``inputFiles()`` is a strict subset of the store when the batch
-    misses buckets — pinned in tests). Pruning by bucket removes only
-    rows whose shv cannot equal any probing shingle, so a downstream
-    equi-join on shv sees exactly the rows an unpruned scan would
-    contribute."""
+    (the scan's file index selects a strict subset of partitions when
+    the batch misses buckets — pinned in tests). Pruning by bucket
+    removes only rows whose shv cannot equal any probing shingle, so a
+    downstream equi-join on shv sees exactly the rows an unpruned scan
+    would contribute."""
     sh_dir = shingle_store_dir(store_dir)
     return (
         spark.read.option("basePath", sh_dir)
+        .schema(SHINGLE_STORE_SCHEMA)
         .parquet(sh_dir)
         .filter(F.col("batch") < F.lit(batch_id))
         .filter(F.col("bucket").isin(buckets))
@@ -636,11 +651,14 @@ def run_streaming_ingest_dedup(
     # O(n^2) over a long-lived stream (r6 advice). The required-column
     # set is fixed per stream (the gate flags don't change mid-run), so
     # a plain name set suffices.
-    if (drift_ref_bins is None) != (drift_out_dir is None):
+    if (drift_ref_bins is None) != (drift_out_dir is None) or (
+        drift_threshold is not None and drift_ref_bins is None
+    ):
         raise ValueError(
             "drift monitoring needs BOTH drift_ref_bins and drift_out_dir "
-            "(got one without the other) — a silent half-configuration "
-            "would look like a healthy stream with no drift audit"
+            "(and drift_threshold only makes sense with them) — a silent "
+            "half-configuration would look like a healthy stream with no "
+            "drift audit"
         )
 
     _validated: set[str] = set()
