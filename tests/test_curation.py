@@ -745,3 +745,27 @@ def test_hot_shingles_names_planted_boilerplate(spark, sf_dir, tmp_path):
 
     for r in q_hot_shingles(spark, sf_dir).collect():
         assert r["n_docs"] > HOT_SHINGLE_CAP
+
+
+def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
+    """Stripped packs must conserve the stripped manifest's token mass,
+    cover contiguous pack ids from 0, and fit the budget (every pack
+    except possibly the last holds >= budget tokens counting straddle)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    packs = sorted(
+        (r["pack_id"], r["n_docs"], r["n_tokens"])
+        for r in reg["pack_sequences_stripped"].fn(spark, sf_dir).collect()
+    )
+    man_tokens = (
+        reg["training_corpus_manifest_stripped"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert sum(p[2] for p in packs) == man_tokens
+    ids = [p[0] for p in packs]
+    assert ids == list(range(len(ids)))

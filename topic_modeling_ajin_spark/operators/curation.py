@@ -1258,6 +1258,49 @@ def _register_stripped_manifest() -> None:
 _register_stripped_manifest()
 
 
+def _register_pack_stripped() -> None:
+    from .bpe import BPE_PACK_BUDGET
+
+    @register(
+        "pack_sequences_stripped",
+        sql=f"""
+WITH ms AS ({_REG["training_corpus_manifest_stripped"].sql}),
+c AS (
+    SELECT doc_id, n_bpe_tokens AS n,
+           sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ms
+)
+SELECT CAST(floor((cum - n) * 1.0 / {BPE_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+        tags=("curation", "tokenize", "bpe", "scale"),
+    )
+    def q_pack_sequences_stripped(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sequence packing over the STRIPPED manifest: the final
+        consumer of the strip chain (strip → re-budget → pack) — packs
+        are budgeted on each shipped document's cleaned-remainder BPE
+        count, so boilerplate token mass neither pads sequences nor
+        skews the pack count a training run provisions for. Same
+        two-phase distributed prefix sum (shared ``pack_manifest``, no
+        global sort); composes the exact-oracled stripped manifest
+        verbatim."""
+        from .bpe import BPE_PACK_BUDGET as _budget
+
+        d = _REG["training_corpus_manifest_stripped"].fn(
+            spark, sf_dir
+        ).select("doc_id", F.col("n_bpe_tokens").alias("n"))
+        return pack_manifest(d, _budget)
+
+
+_register_pack_stripped()
+
+
 def stripped_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bpe_tokens) over each document's chunk-STRIPPED token
     stream, encoded with the SAME trained merge table as the base
