@@ -769,3 +769,19 @@ def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
     assert sum(p[2] for p in packs) == man_tokens
     ids = [p[0] for p in packs]
     assert ids == list(range(len(ids)))
+
+
+def test_jaccard_sweep_consistent_with_near_dup_pairs(spark, sf_dir):
+    """Pairs in bands at/above the gate threshold must sum to the exact
+    baseline's pair count (same join, same arithmetic)."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        SWEEP_BANDS,
+        q_jaccard_threshold_sweep,
+        q_ngram_jaccard_pairs,
+    )
+
+    sweep = q_jaccard_threshold_sweep(spark, sf_dir).collect()
+    n_gate = q_ngram_jaccard_pairs(spark, sf_dir).count()
+    gate_band = int(JACCARD_THRESHOLD * SWEEP_BANDS)
+    assert sum(r["n_pairs"] for r in sweep if r["band"] >= gate_band) == n_gate

@@ -210,6 +210,85 @@ def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sweep floor: pairs below this Jaccard are noise for gate tuning (and
+# the pair table below ~0.5 grows toward every-pair-sharing-one-shingle)
+SWEEP_MIN_JACCARD = 0.5
+SWEEP_BANDS = 20  # 0.05-wide bands: band k covers [k/20, (k+1)/20)
+
+
+@register(
+    "jaccard_threshold_sweep",
+    sql=f"""
+WITH {SQL_SHINGLES},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+    SELECT CAST(floor(inter * {SWEEP_BANDS}.0 / (x.n + y.n - inter))
+                AS BIGINT) AS band
+    FROM pairs
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE inter * 1.0 / (x.n + y.n - inter) >= {SWEEP_MIN_JACCARD}
+)
+SELECT band,
+       round(band * 1.0 / {SWEEP_BANDS}, 6) AS band_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM jac
+GROUP BY band
+""",
+    tags=("dedup", "eval"),
+)
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-tuning sweep: candidate near-dup pairs bucketed into
+    {1.0 / SWEEP_BANDS}-wide Jaccard bands from {SWEEP_MIN_JACCARD} up —
+    the distribution an operator reads before moving
+    ``JACCARD_THRESHOLD``: a fat band just under the current gate means
+    the corpus has a paraphrase population the gate is splitting, an
+    empty one means the threshold is free to move. Same shared-shingle
+    pair join as the exact baseline ``ngram_jaccard_pairs`` (this is a
+    tuning companion to the correctness baseline — at scale run the
+    sweep on a sample, as the docstring there advises for the baseline
+    itself). The band floor is computed as correctly-rounded double
+    division of exact integers, so both engines band identically."""
+    sh = _exploded_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        pairs.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(F.col("inter") / union >= SWEEP_MIN_JACCARD)
+        .select(
+            F.floor(F.col("inter") * SWEEP_BANDS / union)
+            .cast("bigint")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .select(
+            "band",
+            F.round(F.col("band") / SWEEP_BANDS, 6).alias("band_lo"),
+            "n_pairs",
+        )
+    )
+
+
 @register("ngram_jaccard_pairs", sql=SQL_JACCARD_PAIRS, tags=("dedup",))
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8) via
