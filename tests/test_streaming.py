@@ -1287,3 +1287,71 @@ def test_ingest_drift_threshold_alone_fails(spark, tmp_path):
             str(tmp_path / "ck"),
             drift_threshold=0.1,
         )
+
+
+def test_ingest_decontam_gate_matches_batch_semantics(spark, tmp_path):
+    """The ship-time decontam gate must (a) drop docs sharing a 5-gram
+    with the benchmark set, (b) still STORE their fingerprints/shingles
+    so a clean near-dup of a contaminated page is vetoed (the batch
+    manifest composes dedup over the full corpus, decontam prunes only
+    what ships), and (c) pass clean docs untouched."""
+    import time
+
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        DECON_NGRAM,
+    )
+
+    schema = "doc_id long, text string"
+    assert DECON_NGRAM == 5
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(9000, bench_text)], schema
+    ).write.parquet(bench_dir)
+
+    # doc 1: quotes a benchmark 5-gram inside unique text -> contaminated
+    contaminated = (
+        "alpha beta gamma delta epsilon unique1 unique2 unique3 "
+        + " ".join(f"u{i}" for i in range(22))
+    )
+    # doc 10 (later batch): near-dup of doc 1 (one tail token changed),
+    # does NOT itself contain a full benchmark 5-gram after the change?
+    # it still contains 'alpha beta gamma delta epsilon' -> also
+    # contaminated; so make doc 11 a near-dup that BREAKS the quote:
+    toks = contaminated.split()
+    clean_neardup = " ".join(["alpha", "beta", "gamma", "CHANGED"] + toks[4:])
+    # doc 2: clean unrelated
+    clean = "totally unrelated words one two three four five six seven"
+
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, contaminated), (2, clean)], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(11, clean_neardup)], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        out,
+        str(tmp_path / "ck"),
+        near_dup_jaccard=0.8,
+        decontam_bench_dir=bench_dir,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 1 contaminated (dropped at ship), 2 clean (ships), 11 is a
+    # near-dup of the CONTAMINATED doc 1 -> vetoed by the stored
+    # shingles even though 1 never shipped
+    assert kept == [2]
+    # the contaminated doc still stored its fingerprint (seen)
+    assert spark.read.parquet(store).count() == 3

@@ -553,6 +553,7 @@ def run_streaming_ingest_dedup(
     drift_ref_bins: list | None = None,
     drift_out_dir: str | None = None,
     drift_threshold: float | None = None,
+    decontam_bench_dir: str | None = None,
 ) -> None:
     """Cross-batch document ingest dedup against a PERSISTENT fingerprint
     store — the streaming twin of the batch ``incremental_dedup`` query
@@ -628,6 +629,18 @@ def run_streaming_ingest_dedup(
        audit that names the offenders before they detonate). The batch
        side of both joins broadcasts, so the store is probed in place,
        never shuffled;
+    3d. (optional decontamination gate) with ``decontam_bench_dir`` set
+       (a parquet of benchmark (doc_id, text) rows), drop any survivor
+       sharing a distinct {DECON_NGRAM}-token n-gram with the benchmark
+       set — the streaming face of ``training_corpus_manifest_decontam``.
+       The gate is STATELESS (broadcast bench-gram probe, the
+       ``decontamination_overlap`` shape) and applies at SHIP time, not
+       ingest time: contaminated docs still enter the fingerprint/
+       simhash/shingle stores and still veto their own later duplicates
+       — exactly how the batch manifest composes (dedup verdicts are
+       computed over the full corpus, decontam only prunes what ships).
+       Dropping them pre-fingerprint would silently re-admit a clean
+       near-dup of a contaminated page;
     4. append survivors to the corpus sink and their fingerprints (+
        simhashes — written unconditionally so any store can later serve
        the near-dup gate) to the store, which is what makes batch N+1
@@ -659,6 +672,25 @@ def run_streaming_ingest_dedup(
             "(and drift_threshold only makes sense with them) — a silent "
             "half-configuration would look like a healthy stream with no "
             "drift audit"
+        )
+
+    bench_grams = None
+    if decontam_bench_dir is not None:
+        from ..operators.text_analysis import DECON_NGRAM
+
+        # static benchmark gram set, built once per stream: tiny by
+        # construction (a benchmark, not a corpus), broadcast per batch
+        bench_grams = (
+            spark.read.parquet(decontam_bench_dir)
+            .select(
+                F.explode(
+                    H.shingles(
+                        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                        DECON_NGRAM,
+                    )
+                ).alias("gram")
+            )
+            .distinct()
         )
 
     _validated: set[str] = set()
@@ -988,6 +1020,26 @@ def run_streaming_ingest_dedup(
             shipped = shipped.join(
                 jdrops.distinct(), "doc_id", "left_anti"
             )
+        if bench_grams is not None:
+            from ..operators.text_analysis import DECON_NGRAM
+
+            # ship-time decontam: stateless broadcast gram probe (step
+            # 3d) — runs LAST so contaminated docs still stored/vetoed
+            g = shipped.select(
+                "doc_id",
+                F.explode(
+                    H.shingles(
+                        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                        DECON_NGRAM,
+                    )
+                ).alias("gram"),
+            )
+            contaminated = (
+                g.join(F.broadcast(bench_grams), "gram")
+                .select("doc_id")
+                .distinct()
+            )
+            shipped = shipped.join(contaminated, "doc_id", "left_anti")
         # both sinks overwrite this batch's own partition — a replayed
         # batch_id rewrites instead of appending duplicates (the same
         # idempotency pattern as the refreshing topic-assign sink).
