@@ -785,3 +785,20 @@ def test_jaccard_sweep_consistent_with_near_dup_pairs(spark, sf_dir):
     n_gate = q_ngram_jaccard_pairs(spark, sf_dir).count()
     gate_band = int(JACCARD_THRESHOLD * SWEEP_BANDS)
     assert sum(r["n_pairs"] for r in sweep if r["band"] >= gate_band) == n_gate
+
+
+def test_simhash_histogram_consistent_with_gate(spark, sf_dir):
+    """Histogram mass at/below the gate distance must equal the gate
+    query's pair count (same candidates, same bit math)."""
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        _SIMHASH_HAM_MAX,
+        q_simhash_hamming_histogram,
+        q_simhash_near_dup,
+    )
+
+    hist = q_simhash_hamming_histogram(spark, sf_dir).collect()
+    n_gate = q_simhash_near_dup(spark, sf_dir).count()
+    assert (
+        sum(r["n_pairs"] for r in hist if r["hamming"] <= _SIMHASH_HAM_MAX)
+        == n_gate
+    )

@@ -544,6 +544,85 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "simhash_hamming_histogram",
+    sql=f"""
+WITH {_SIMHASH_BODY},
+banded AS (
+    SELECT doc_id, simhash,
+           simhash % 256 AS band_lo, simhash // 256 AS band_hi
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM banded a
+    JOIN banded b
+      ON a.doc_id < b.doc_id
+     AND (a.band_lo = b.band_lo OR a.band_hi = b.band_hi)
+)
+SELECT CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+GROUP BY 1
+""",
+    tags=("text_analysis", "dedup", "eval"),
+)
+def q_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-tuning companion to ``simhash_near_dup``: the full Hamming-
+    distance histogram of the BANDED candidate pairs (no threshold) —
+    what an operator reads before moving ``_SIMHASH_HAM_MAX``: mass just
+    above the current gate means the corpus has a near-dup population
+    the gate is splitting. Candidates only, deliberately: the band join
+    IS the scale path (the histogram of all N² pairs would be the scan
+    this family exists to avoid), and the band-recall caveat is the same
+    one the gate itself carries. Same memoized simhash table, same two
+    equi-joins, one bounded aggregate."""
+    from ..cache import memo
+
+    sh = memo(
+        spark, ("simhash16", sf_dir), lambda: q_simhash16(spark, sf_dir), persist=True
+    )
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("band_lo"),
+        (F.col("simhash") / 256).cast("long").alias("band_hi"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band_lo",
+        "band_hi",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        F.col("band_lo").alias("blo"),
+        F.col("band_hi").alias("bhi"),
+    )
+    lo = a.join(
+        b, (F.col("band_lo") == F.col("blo")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    hi = a.join(
+        b, (F.col("band_hi") == F.col("bhi")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    cand = (
+        lo.select("doc_a", "doc_b", "ha", "hb")
+        .union(hi.select("doc_a", "doc_b", "ha", "hb"))
+        .distinct()
+    )
+    return (
+        cand.select(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("int")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
 # -------------------------------------------- repetition & decontamination
 
 REPETITION_NGRAM = 3
