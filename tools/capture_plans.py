@@ -174,6 +174,23 @@ SELECTED = (
         "bin marginals broadcast back — the alert query stays "
         "model-sized at any corpus scale.",
     ),
+    (
+        "bpe_regex_tokens",
+        "Global top-k over an unbounded vocabulary (r7 task 1): "
+        "`TakeOrderedAndProject` cuts the regex-token aggregate with "
+        "per-partition heaps, and the rank window evaluates over only "
+        "the k survivors — formerly a single-task sort of the whole "
+        "vocabulary (`zipf_fit` and `collocations` share the rewrite, "
+        "plan-pinned in `test_no_unbounded_rank_windows`).",
+    ),
+    (
+        "training_corpus_manifest_stripped",
+        "Strip → re-budget → ship: the base manifest is the memoized "
+        "`localCheckpoint` (LogicalRDD — milliseconds of planning); the "
+        "strip verdicts re-aggregate the persisted flagged-chunk table; "
+        "the BPE re-count is one explode + broadcast vocab join; every "
+        "manifest join is doc-keyed.",
+    ),
 )
 
 
