@@ -802,3 +802,47 @@ def test_simhash_histogram_consistent_with_gate(spark, sf_dir):
         sum(r["n_pairs"] for r in hist if r["hamming"] <= _SIMHASH_HAM_MAX)
         == n_gate
     )
+
+
+def test_mixture_sample_tokens_respects_budgets(spark, sf_dir):
+    """Per-language kept token mass must start inside the engine-computed
+    budget (straddle allowed on the last doc only), cut langs must have
+    consumed their budget, and reruns are identical (md5 order, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        MIXTOK_BUDGET,
+        q_mixture_sample_tokens,
+        q_mixture_temperature_plan_tokens,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    kept = q_mixture_sample_tokens(spark, sf_dir).collect()
+    assert kept
+    assert sorted(map(tuple, kept)) == sorted(
+        map(tuple, q_mixture_sample_tokens(spark, sf_dir).collect())
+    )
+    plan = {
+        r["lang"]: r["temp_share"]
+        for r in q_mixture_temperature_plan_tokens(spark, sf_dir).collect()
+    }
+    budgets = {l: int(s * MIXTOK_BUDGET) for l, s in plan.items()}
+    kept_by_lang: dict[str, int] = {}
+    for r in kept:
+        kept_by_lang[r["lang"]] = kept_by_lang.get(r["lang"], 0) + r["n_tokens"]
+    from topic_modeling_ajin_spark.functions import text as TX
+
+    total_by_lang = {
+        r["lang"]: r["t"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang", F.size(TX.word_tokens("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    for lang, got in kept_by_lang.items():
+        b = budgets[lang]
+        if got < total_by_lang[lang]:  # the budget actually cut this lang
+            # consumed at least the budget (last doc straddles), and the
+            # pre-straddle mass is under it
+            assert got >= b - 1, (lang, got, b)

@@ -1594,6 +1594,114 @@ def q_mixture_temperature_plan_tokens(
     )
 
 
+# global token budget for the materialized temperature mixture, and the
+# range-partition fan-out of its per-language prefix sum
+MIXTOK_BUDGET = 12_000
+MIXTOK_PARTS = 64
+_MIXTOK_STRIDE = _U32 // MIXTOK_PARTS  # u is md5-u32: ranges are uniform
+
+
+@register(
+    "mixture_sample_tokens",
+    sql=f"""
+WITH t AS ({_SQL_TOKS}),
+d AS (
+    SELECT doc_id, lang, length(toks) AS n,
+           {_md5_u32_sql("'mixtok|' || CAST(doc_id AS VARCHAR)")} AS u
+    FROM t
+),
+counts AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS m FROM d GROUP BY lang),
+tot AS (SELECT sum(sqrt(m)) AS ts FROM counts),
+bud AS (
+    SELECT lang,
+           CAST(floor(round(sqrt(m) / ts, 6) * {MIXTOK_BUDGET}) AS BIGINT) AS b
+    FROM counts CROSS JOIN tot
+),
+c AS (
+    SELECT d.doc_id, d.lang, d.n, bud.b,
+           sum(d.n) OVER (PARTITION BY d.lang ORDER BY d.u, d.doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d JOIN bud ON bud.lang = d.lang
+)
+SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens
+FROM c
+WHERE cum - n < b
+ORDER BY doc_id
+""",
+    tags=("curation", "selection", "scale"),
+)
+def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the temperature mixture by TOKEN budget: each language
+    gets floor(temp_share × {MIXTOK_BUDGET}) word-tokens (T=2 sqrt
+    shares, the ``mixture_temperature_plan_tokens`` math), filled by
+    documents in deterministic md5-shuffled order until the budget is
+    hit (a doc that STARTS inside the budget ships whole — the packing
+    convention, so budgets cut between docs, never mid-doc). This is the
+    sampler that turns the token-mass PLAN into an actual training
+    subset; ``mixture_sample`` remains the doc-count variant.
+
+    Scale: the per-language running sum is a TWO-PHASE prefix sum — the
+    md5 key is range-partitioned into {MIXTOK_PARTS} strides (uniform by
+    construction), per-(lang, stride) totals collect to the driver
+    (langs × {MIXTOK_PARTS} longs, model-sized), and the window runs
+    within (lang, stride) with broadcast prefix offsets — no language
+    ever forms one giant sort partition (the ``pack_sequences`` /
+    ``domain_cap_salted`` discipline). Budgets are engine-computed and
+    collected (langs-bounded), never re-derived driver-side."""
+    from ..cache import memo
+
+    d = memo(
+        spark,
+        ("mixtok_lengths", sf_dir),
+        lambda: _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.size(TX.word_tokens("text")).alias("n"),
+            _md5_u32(
+                F.concat(F.lit("mixtok|"), F.col("doc_id").cast("string"))
+            ).alias("u"),
+        ),
+        persist=True,
+    )
+    counts = d.groupBy("lang").agg(F.sum("n").cast("double").alias("m"))
+    tots = counts.agg(F.sum(F.sqrt("m")).alias("ts"))
+    budgets = counts.crossJoin(F.broadcast(tots)).select(
+        "lang",
+        F.floor(F.round(F.sqrt("m") / F.col("ts"), 6) * MIXTOK_BUDGET)
+        .cast("bigint")
+        .alias("b"),
+    )
+    sd = d.withColumn(
+        "pid", F.floor(F.col("u") / F.lit(_MIXTOK_STRIDE)).cast("int")
+    )
+    # phase 1: per-(lang, stride) totals -> prefix offsets per lang in
+    # stride order (strides are u-ranges, so stride order IS u order)
+    totals = sd.groupBy("lang", "pid").agg(F.sum("n").alias("t")).collect()
+    offsets: dict[tuple, int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r["lang"], r["pid"])):
+        offsets[(r["lang"], r["pid"])] = acc.get(r["lang"], 0)
+        acc[r["lang"]] = acc.get(r["lang"], 0) + r["t"]
+    if not offsets:
+        offsets[("", 0)] = 0  # empty corpus: keep create_map typed
+    off = F.create_map(
+        *[
+            F.lit(x)
+            for (lang, pid), o in offsets.items()
+            for x in (f"{lang}|{pid}", o)
+        ]
+    )
+    w = Window.partitionBy("lang", "pid").orderBy("u", "doc_id")
+    key = F.concat(F.col("lang"), F.lit("|"), F.col("pid").cast("string"))
+    c = sd.withColumn("cum", F.sum("n").over(w) + off[key])
+    return (
+        c.join(F.broadcast(budgets), "lang")
+        .filter(F.col("cum") - F.col("n") < F.col("b"))
+        .select("doc_id", "lang", F.col("n").cast("bigint").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 # registered here (not in selection.py): the oracle composes the manifest
 # SQL, which only exists once this module's registrations have run
 def _register_curated_dsir() -> None:
