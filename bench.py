@@ -59,6 +59,9 @@ HEADLINE = (
     "source_quality_psi",    # per-source quality-drift PSI monitor
     "training_corpus_manifest_decontam",  # manifest + benchmark decontam gate
     "corpus_data_card",      # one-row datasheet composing every gate
+    "training_corpus_manifest_stripped",  # strip -> re-budget -> ship
+    "curation_funnel_by_source",  # per-source gate attrition
+    "mixture_sample_tokens",  # token-budgeted mixture materialization
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
