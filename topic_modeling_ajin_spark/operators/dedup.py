@@ -164,13 +164,23 @@ GROUP BY fingerprint
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint dedup: the shuffle key is a 16-byte md5 of the cleaned
     text, not the document body — at 100 TB this is the difference between
-    shuffling terabytes and shuffling gigabytes."""
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", H.fingerprint(TX.cleaned("text")).alias("fingerprint"))
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
-    )
+    shuffling terabytes and shuffling gigabytes.
+
+    Memoized+persisted (the verdict-table discipline): the manifest
+    family, the data card, and all three funnels compose this keeper
+    table per call, and the verdict is fingerprint-sized."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            docs.select(
+                "doc_id", H.fingerprint(TX.cleaned("text")).alias("fingerprint")
+            )
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        )
+
+    return memo(spark, ("fingerprint_dedup", sf_dir), build, persist=True)
 
 
 # audit threshold: a 3-shingle held by more distinct docs than this is
@@ -489,26 +499,41 @@ SELECT DISTINCT doc_b AS discard_doc_id FROM dup
 )
 def q_near_dup_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup decision: discard the higher-id member of every near-dup pair
-    (keep-first policy, deterministic under parallelism)."""
-    sh = _exploded_shingles(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = (
-        inter.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-            >= JACCARD_THRESHOLD
+    (keep-first policy, deterministic under parallelism).
+
+    Memoized+persisted (the verdict-table discipline): the manifest
+    family, the data card, and all three funnels compose this tiny
+    discard list per call, and without the memo each action re-paid the
+    shared-shingle pair join."""
+
+    def build() -> DataFrame:
+        sh = _exploded_shingles(spark, sf_dir)
+        sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
         )
-    )
-    return jac.select(F.col("doc_b").alias("discard_doc_id")).distinct()
+        jac = (
+            inter.join(
+                sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+                "doc_a",
+            )
+            .join(
+                sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+                "doc_b",
+            )
+            .filter(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+                >= JACCARD_THRESHOLD
+            )
+        )
+        return jac.select(F.col("doc_b").alias("discard_doc_id")).distinct()
+
+    return memo(spark, ("near_dup_discard", sf_dir), build, persist=True)
 
 
 NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "newly crawled batch"
