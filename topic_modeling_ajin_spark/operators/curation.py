@@ -1010,7 +1010,7 @@ def _manifest_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         q_fingerprint_dedup,
         q_near_dup_discard,
-        q_semantic_dedup,
+        semantic_dedup_table,
     )
     from .text_analysis import q_curation_filter_report
 
@@ -1032,7 +1032,7 @@ def _manifest_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpec = q_bpe_token_counts(spark, sf_dir).select("doc_id", "n_bpe_tokens")
     # vec_id IS doc_id for the synthetic corpus (topics.py:39 precedent)
     sem = (
-        q_semantic_dedup(spark, sf_dir)
+        semantic_dedup_table(spark, sf_dir)
         .filter(F.col("kept") == 1)
         .select(F.col("vec_id").alias("doc_id"))
     )
@@ -1835,17 +1835,23 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         q_fingerprint_dedup,
         q_near_dup_discard,
-        q_semantic_dedup,
+        semantic_dedup_table,
     )
     from .retrieval import q_doc_winnow_boilerplate
     from .text_analysis import q_doc_decontam, q_quality_score
 
     d = load_table(spark, sf_dir, "documents")
+    # n_tokens comes from the memoized quality verdict table (same
+    # word-token count, per quality_stats) instead of a fresh tokenize
+    # scan per action; the remaining figures are a column-pruned scan
     one = d.agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size(TX.word_tokens("text"))).cast("bigint").alias("n_tokens"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
+    ).crossJoin(
+        q_quality_score(spark, sf_dir).agg(
+            F.sum("n_tokens").cast("bigint").alias("n_tokens")
+        )
     )
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
@@ -1878,7 +1884,9 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cnt(q_training_corpus_manifest(spark, sf_dir), "n_manifest"))
         .crossJoin(
             cnt(
-                q_semantic_dedup(spark, sf_dir).filter(F.col("kept") == 0),
+                semantic_dedup_table(spark, sf_dir).filter(
+                    F.col("kept") == 0
+                ),
                 "n_semdedup_drops",
             )
         )
@@ -2029,7 +2037,7 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         q_fingerprint_dedup,
         q_near_dup_discard,
-        q_semantic_dedup,
+        semantic_dedup_table,
     )
     from .text_analysis import q_curation_filter_report
 
@@ -2042,7 +2050,7 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("discard_doc_id").alias("doc_id"),
         F.lit(True).alias("is_near_dup"),
     )
-    sem = q_semantic_dedup(spark, sf_dir).select(
+    sem = semantic_dedup_table(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), (F.col("kept") == 1).alias("sem_ok")
     )
     mix = q_mixture_sample(spark, sf_dir).select(

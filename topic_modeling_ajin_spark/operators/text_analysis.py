@@ -99,8 +99,20 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score — the C4/Gopher-style signal mix:
     length saturation, stopword density (natural language has some),
     punctuation noise. Weights are fixed; the value is the *pipeline*:
-    score 100 TB of text with zero Python in the loop."""
-    return quality_stats(_docs(spark, sf_dir))
+    score 100 TB of text with zero Python in the loop.
+
+    Memoized+persisted (the verdict-table discipline): the data card's
+    token-mass and mean-quality figures, the PSI monitor, and the panel
+    all compose this doc-sized table per call — each used to re-pay the
+    full tokenize scan."""
+    from ..cache import memo
+
+    return memo(
+        spark,
+        ("quality_score", sf_dir),
+        lambda: quality_stats(_docs(spark, sf_dir)),
+        persist=True,
+    )
 
 
 def quality_exprs(
