@@ -141,23 +141,36 @@ def main() -> None:
     # and cached table and time the manifest built from parquet — the
     # honest end-to-end gate-stack cost. Runs LAST so the cache clearing
     # cannot pollute any warm timing; median of 3 cold builds.
+    # Cold measurements, reported SEPARATELY: summing a cold rebuild into
+    # the warm headline total would double-count the query and add a
+    # phantom regression vs earlier rounds' totals. These exist because
+    # memoized+persisted verdict tables make every semantically-equal
+    # plan a cache read (Spark's CacheManager matches canonicalized
+    # plans), so the warm medians for these headliners time the cache —
+    # honest for a warm session, but a regression in the underlying
+    # chain could hide there. Each cold run clears ALL memos and cached
+    # tables first.
+    COLD_QUERIES = (
+        "training_corpus_manifest",  # r7 task 6: the gate-stack capstone
+        "semantic_dedup",            # persisted via semantic_dedup_table
+        "source_quality_psi",        # persisted via quality_score memo
+    )
     cold_queries: dict[str, float] = {}
-    if "training_corpus_manifest" in HEADLINE:
-        from topic_modeling_ajin_spark.cache import clear_caches
+    from topic_modeling_ajin_spark.cache import clear_caches
 
+    for name in COLD_QUERIES:
+        if name not in HEADLINE:
+            continue
         cold: list[float] = []
         for _ in range(3):
             clear_caches(spark)
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            registry["training_corpus_manifest"].fn(spark, sf_dir).write.mode(
+            registry[name].fn(spark, sf_dir).write.mode(
                 "overwrite"
             ).format("noop").save()
             cold.append(time.perf_counter() - t0)
-        # reported SEPARATELY: summing the cold rebuild into the warm
-        # headline total would double-count the manifest and add a
-        # phantom regression vs earlier rounds' totals
-        cold_queries["training_corpus_manifest"] = round(median(cold), 3)
+        cold_queries[name] = round(median(cold), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
