@@ -347,3 +347,22 @@ def test_no_unbounded_rank_windows(spark, sf_dir):
         # tree prints root-first: the Window (re-rank of k survivors)
         # must appear before (= above) the TakeOrderedAndProject cut.
         assert plan.index("Window") < plan.index("TakeOrderedAndProject"), name
+
+
+def test_customer_quartiles_window_is_partitioned(spark, sf_dir):
+    """r8 verdict task 1: customer_value_quartiles was the last
+    unpartitioned ranking window (ntile(4) over the whole customer
+    table — one task sorts everything at scale). The rewrite computes
+    exact row numbers via the two-phase range-partitioned rank, so EVERY
+    window spec in the plan must be partitioned by the range-partition
+    id — an unpartitioned spec prints windowspecdefinition(<sort cols>)
+    with no pid, a partitioned one leads with pid#."""
+    import re
+
+    from topic_modeling_ajin_spark.registry import load_all
+
+    plan = _plan(load_all()["customer_value_quartiles"].fn(spark, sf_dir))
+    spots = [m.end() for m in re.finditer(r"windowspecdefinition\(", plan)]
+    assert spots, plan[:800]  # the row_number window must exist
+    for at in spots:
+        assert plan[at:].startswith("pid#"), plan[at - 30 : at + 60]

@@ -525,6 +525,49 @@ def q_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _range_partitioned_row_numbers(
+    df: DataFrame, order_cols: list, memo_key: tuple
+) -> tuple[DataFrame, int]:
+    """Exact 1-based row numbers under a TOTAL order without a global-order
+    window (the distributed sort-rank idiom; sibling of
+    ``quality_model._value_frac_ranks``, which ranks distinct values —
+    this ranks rows, so the order columns must be unique together).
+
+    (1) range-partition on the order columns so partition i holds rows
+    strictly earlier in the order than partition i+1 (persisted through
+    the memo registry: the offsets collect and the ranked path must see
+    the identical row->pid mapping); (2) row_number within each
+    partition — a PARTITIONED window, every partition ranks in parallel;
+    (3) per-partition counts (≤ one long per shuffle partition) are
+    prefix-summed on the driver and broadcast back as offsets. Returns
+    (df + ``rn``/``pid`` columns, total row count)."""
+    from ..cache import memo
+
+    spark = df.sparkSession
+    part = memo(
+        spark,
+        memo_key,
+        lambda: df.repartitionByRange(*order_cols).withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        persist=True,
+    )
+    totals = sorted(
+        part.groupBy("pid").agg(F.count("*").alias("c")).collect(),
+        key=lambda row: row["pid"],
+    )
+    offs, acc = [], 0
+    for row in totals:
+        offs.append((row["pid"], acc))
+        acc += row["c"]
+    off_df = spark.createDataFrame(offs, "pid int, off long")
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    out = part.join(F.broadcast(off_df), "pid").withColumn(
+        "rn", F.col("off") + F.row_number().over(w)
+    ).drop("off")
+    return out, acc
+
+
 @register(
     "customer_value_quartiles",
     sql="""
@@ -544,16 +587,36 @@ GROUP BY quartile
     tags=("relational", "window"),
 )
 def q_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartile banding + per-band stats. The global-order window is
-    the one operator that genuinely serializes — at 100 TB replace with
-    approx_percentile cutpoints + a bucketing join (same output, no global
-    sort); kept here in window form for surface parity."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    ranked = c.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    """ntile quartile banding + per-band stats — WITHOUT the global-order
+    window. ntile(n) is a pure function of the exact 1-based row number
+    under the total order (c_acctbal DESC, c_custkey): with N rows,
+    q = N div 4 and r = N mod 4, buckets 1..r hold q+1 rows and buckets
+    r+1..4 hold q, so quartile(rn) is one integer-DIV CASE expression.
+    Exact row numbers come from the two-phase range-partitioned rank
+    (the ``_value_frac_ranks`` idiom, quality_model.py): range-partition
+    on the sort key (the order is total — c_custkey is unique — so ranks
+    are exact), row_number WITHIN each partition (partitioned window,
+    parallel), then add per-partition offsets prefix-summed on the
+    driver (one long per shuffle partition — model-sized). Bit-identical
+    to ntile(4) OVER (ORDER BY ...) with no single-task global sort."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n_rows = _range_partitioned_row_numbers(
+        c,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        memo_key=("cvq_ranked", sf_dir),
     )
-    return ranked.groupBy("quartile").agg(
+    q, r = divmod(n_rows, 4)
+    if q == 0:  # fewer rows than buckets: ntile gives row_number itself
+        bucket = F.col("rn").cast("int")
+    else:
+        cut = r * (q + 1)
+        bucket = F.expr(
+            f"CAST(CASE WHEN rn <= {cut} THEN (rn - 1) DIV {q + 1} + 1 "
+            f"ELSE {r} + (rn - {cut} - 1) DIV {q} + 1 END AS INT)"
+        )
+    return ranked.select("c_acctbal", bucket.alias("quartile")).groupBy(
+        "quartile"
+    ).agg(
         F.count("*").alias("n"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
