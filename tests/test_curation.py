@@ -747,6 +747,43 @@ def test_hot_shingles_names_planted_boilerplate(spark, sf_dir, tmp_path):
         assert r["n_docs"] > HOT_SHINGLE_CAP
 
 
+def test_jaccard_sweep_routes_hot_shingles_out_of_pair_join(
+    spark, sf_dir, tmp_path
+):
+    """r8 verdict task 2: the sweep must be hot-shingle-guarded. Plant
+    HOT_SHINGLE_CAP+4 docs sharing a 5-token boilerplate prefix (3 hot
+    shingles, ~n²/2 candidate pairs if joined) plus one genuine near-dup
+    pair built from cold shingles: the sweep must report ONLY the cold
+    pair, with the exclusion visible in n_hot_excluded, and its plan
+    must anti-join the hot set via broadcast."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        HOT_SHINGLE_CAP,
+        q_jaccard_threshold_sweep,
+    )
+
+    n = HOT_SHINGLE_CAP + 4
+    rows = [
+        (i, f"common nav footer shared block unique{i}a unique{i}b unique{i}c")
+        for i in range(n)
+    ]
+    # near-dup pair over cold shingles: 10 tokens, last differs ->
+    # 7 shared / 9 union = 0.7778 -> band floor(7*20/9) = 15
+    alpha = " ".join(f"alpha{i}" for i in range(10))
+    rows.append((1000, alpha))
+    rows.append((1001, " ".join(alpha.split()[:-1]) + " beta"))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = q_jaccard_threshold_sweep(spark, str(d))
+    got = [(r["band"], r["n_pairs"], r["n_hot_excluded"]) for r in out.collect()]
+    assert got == [(15, 1, 3)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
     """Stripped packs must conserve the stripped manifest's token mass,
     cover contiguous pack ids from 0, and fit the budget (every pack

@@ -230,26 +230,37 @@ SWEEP_BANDS = 20  # 0.05-wide bands: band k covers [k/20, (k+1)/20)
     "jaccard_threshold_sweep",
     sql=f"""
 WITH {SQL_SHINGLES},
+hot AS (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING count(*) > {HOT_SHINGLE_CAP}
+),
+cold AS (
+    SELECT s.doc_id, s.shingle FROM sh s
+    WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
+),
+csz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
 jac AS (
     SELECT CAST(floor(inter * {SWEEP_BANDS}.0 / (x.n + y.n - inter))
                 AS BIGINT) AS band
     FROM pairs
-    JOIN sz x ON x.doc_id = doc_a
-    JOIN sz y ON y.doc_id = doc_b
+    JOIN csz x ON x.doc_id = doc_a
+    JOIN csz y ON y.doc_id = doc_b
     WHERE inter * 1.0 / (x.n + y.n - inter) >= {SWEEP_MIN_JACCARD}
-)
+),
+nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_excluded FROM hot)
 SELECT band,
        round(band * 1.0 / {SWEEP_BANDS}, 6) AS band_lo,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM jac
-GROUP BY band
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       nh.n_hot_excluded AS n_hot_excluded
+FROM jac CROSS JOIN nh
+GROUP BY band, nh.n_hot_excluded
 """,
-    tags=("dedup", "eval"),
+    tags=("dedup", "eval", "scale"),
 )
 def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-tuning sweep: candidate near-dup pairs bucketed into
@@ -257,30 +268,55 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distribution an operator reads before moving
     ``JACCARD_THRESHOLD``: a fat band just under the current gate means
     the corpus has a paraphrase population the gate is splitting, an
-    empty one means the threshold is free to move. Same shared-shingle
-    pair join as the exact baseline ``ngram_jaccard_pairs`` (this is a
-    tuning companion to the correctness baseline — at scale run the
-    sweep on a sample, as the docstring there advises for the baseline
-    itself). The band floor is computed as correctly-rounded double
-    division of exact integers, so both engines band identically."""
+    empty one means the threshold is free to move.
+
+    Unlike the deliberately-exact baseline ``ngram_jaccard_pairs``, this
+    is a tool an operator runs REPEATEDLY, so it is hot-shingle-guarded
+    (the ``winnowing_overlap_pairs`` pattern): shingles held by more
+    than {HOT_SHINGLE_CAP} docs — exactly the set ``hot_shingles``
+    names — are routed OUT of the pair join via a broadcast anti-join
+    before it can fan out quadratically (d docs sharing one boilerplate
+    shingle → ~d²/2 candidate pairs). Jaccard is then computed over the
+    non-hot shingle sets on BOTH engines (sizes and intersections from
+    the filtered table — a consistent definition, not a biased count),
+    and the ``n_hot_excluded`` column reports how many shingles the
+    guard removed so the bias is visible, never silent. For gate tuning
+    the cap's effect is negligible by construction: a >{HOT_SHINGLE_CAP}
+    -doc shingle is corpus boilerplate that belongs to the strip/gate
+    family, not to the near-dup distribution. The band floor is
+    correctly-rounded double division of exact integers, so both
+    engines band identically."""
     sh = _exploded_shingles(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    hot = memo(
+        spark,
+        ("sweep_hot_shingles", sf_dir),
+        lambda: sh.groupBy("shingle")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > HOT_SHINGLE_CAP)
+        .select("shingle"),
+        persist=True,
+    )
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    csz = cold.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    n_hot = hot.agg(
+        F.count("*").cast("bigint").alias("n_hot_excluded")
+    )
     union = F.col("na") + F.col("nb") - F.col("inter")
     return (
         pairs.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            csz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
         )
         .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            csz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
         .filter(F.col("inter") / union >= SWEEP_MIN_JACCARD)
@@ -291,10 +327,12 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("band")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(n_hot))
         .select(
             "band",
             F.round(F.col("band") / SWEEP_BANDS, 6).alias("band_lo"),
             "n_pairs",
+            "n_hot_excluded",
         )
     )
 
