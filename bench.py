@@ -150,10 +150,19 @@ def main() -> None:
     # honest for a warm session, but a regression in the underlying
     # chain could hide there. Each cold run clears ALL memos and cached
     # tables first.
+    # r8 verdict task 3: EVERY cache-backed headliner gets a cold entry —
+    # the r8 list covered only three, so a regression in the chains
+    # behind the card / panel / strip / funnel memos could hide.
     COLD_QUERIES = (
         "training_corpus_manifest",  # r7 task 6: the gate-stack capstone
         "semantic_dedup",            # persisted via semantic_dedup_table
         "source_quality_psi",        # persisted via quality_score memo
+        "corpus_data_card",          # composes ~10 memoized verdict tables
+        "quality_model_score",       # trained-gate memo (features+weights)
+        "quality_panel",             # quality + model + perplexity memos
+        "strip_boilerplate_chunks",  # the _strip_flagged chunk-table memo
+        "curation_funnel_by_source",  # fingerprint/near-dup/quality memos
+        "training_corpus_manifest_stripped",  # manifest memo + strip memo
     )
     cold_queries: dict[str, float] = {}
     from topic_modeling_ajin_spark.cache import clear_caches
