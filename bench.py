@@ -62,6 +62,7 @@ HEADLINE = (
     "training_corpus_manifest_stripped",  # strip -> re-budget -> ship
     "curation_funnel_by_source",  # per-source gate attrition
     "mixture_sample_tokens",  # token-budgeted mixture materialization
+    "training_corpus_manifest_tokens",  # manifest gated on the token budget
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
@@ -163,6 +164,7 @@ def main() -> None:
         "strip_boilerplate_chunks",  # the _strip_flagged chunk-table memo
         "curation_funnel_by_source",  # fingerprint/near-dup/quality memos
         "training_corpus_manifest_stripped",  # manifest memo + strip memo
+        "training_corpus_manifest_tokens",  # premix memo + token sampler
     )
     cold_queries: dict[str, float] = {}
     from topic_modeling_ajin_spark.cache import clear_caches

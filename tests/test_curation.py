@@ -241,6 +241,76 @@ def test_staged_pipeline_matches_one_query_manifest(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{out2}/doc_boilerplate")
 
 
+def test_manifest_tokens_is_gates_intersect_token_mixture(spark, sf_dir):
+    """r8 verdict task 4: training_corpus_manifest_tokens must ship
+    exactly the docs that pass every non-mixture gate (quality rules,
+    exact-dedup keeper, near-dup anti-join, SemDeDup) AND sit in the
+    token-budgeted mixture — the gate set replicated here from the
+    individually-oracled component queries, not from the manifest's own
+    plumbing. Carried columns must match the component sources too."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    keep = {
+        r["doc_id"]
+        for r in reg["curation_filter_report"].fn(spark, sf_dir).collect()
+        if r["keep"]
+    }
+    keepers = {
+        r["keeper"] for r in reg["fingerprint_dedup"].fn(spark, sf_dir).collect()
+    }
+    discards = {
+        r["discard_doc_id"]
+        for r in reg["near_dup_discard"].fn(spark, sf_dir).collect()
+    }
+    sem = {
+        r["vec_id"]
+        for r in reg["semantic_dedup"].fn(spark, sf_dir).collect()
+        if r["kept"] == 1
+    }
+    mixtok = {
+        r["doc_id"]
+        for r in reg["mixture_sample_tokens"].fn(spark, sf_dir).collect()
+    }
+    want = (keep & keepers & sem & mixtok) - discards
+    rows = reg["training_corpus_manifest_tokens"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == want and len(rows) > 0
+    # budgets flow from the BPE count table, lang from the mixture side
+    bpec = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in reg["bpe_token_counts"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["n_bpe_tokens"] == bpec[r["doc_id"]]
+
+
+def test_staged_pipeline_mixture_tokens_parity(spark, sf_dir, tmp_path):
+    """run_curation_pipeline(mixture_tokens=True) must land the token
+    sampler's verdict table and a manifest_tokens that is row-for-row
+    the one-query training_corpus_manifest_tokens."""
+    import os
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        run_curation_pipeline,
+    )
+    from topic_modeling_ajin_spark.registry import load_all
+
+    out = str(tmp_path / "pipe_tok")
+    run_curation_pipeline(spark, sf_dir, out, mixture_tokens=True)
+    assert os.path.isdir(f"{out}/mixture_sample_tokens")
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/manifest_tokens").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in load_all()["training_corpus_manifest_tokens"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_staged_selection_matches_one_query_curated_dsir(
     spark, sf_dir, tmp_path
 ):

@@ -1006,44 +1006,58 @@ def _manifest(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
     )
 
 
+def _manifest_premix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every manifest gate EXCEPT the mixture: quality rules + exact-dedup
+    keeper + near-dup anti-join + SemDeDup + the BPE budget — the shared
+    prefix of the doc-count and token-budget manifests. Memoized+persisted
+    so the two mixture policies pay the gate stack once per session."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        from .dedup import (
+            q_fingerprint_dedup,
+            q_near_dup_discard,
+            semantic_dedup_table,
+        )
+        from .text_analysis import q_curation_filter_report
+
+        from .bpe import q_bpe_token_counts
+
+        fr = q_curation_filter_report(spark, sf_dir).filter(F.col("keep"))
+        keepers = q_fingerprint_dedup(spark, sf_dir).select(
+            F.col("keeper").alias("doc_id")
+        )
+        discard = q_near_dup_discard(spark, sf_dir).select(
+            F.col("discard_doc_id").alias("doc_id")
+        )
+        bpec = q_bpe_token_counts(spark, sf_dir).select(
+            "doc_id", "n_bpe_tokens"
+        )
+        # vec_id IS doc_id for the synthetic corpus (topics.py:39 precedent)
+        sem = (
+            semantic_dedup_table(spark, sf_dir)
+            .filter(F.col("kept") == 1)
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        return (
+            fr.select("doc_id", "quality")
+            .join(keepers, "doc_id")
+            .join(F.broadcast(discard), "doc_id", "left_anti")
+            .join(sem, "doc_id")
+            .join(bpec, "doc_id")
+        )
+
+    return memo(spark, ("manifest_premix", sf_dir), build, persist=True)
+
+
 def _manifest_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import (
-        q_fingerprint_dedup,
-        q_near_dup_discard,
-        semantic_dedup_table,
-    )
-    from .text_analysis import q_curation_filter_report
-
-    from .bpe import q_bpe_token_counts
-
-    fr = q_curation_filter_report(spark, sf_dir).filter(F.col("keep"))
-    keepers = q_fingerprint_dedup(spark, sf_dir).select(
-        F.col("keeper").alias("doc_id")
-    )
-    discard = q_near_dup_discard(spark, sf_dir).select(
-        F.col("discard_doc_id").alias("doc_id")
-    )
     # lang comes from the MIXTURE side: that is documents.lang, the very
     # column the sampler's keep_rate keyed on — the filter report's lang
     # is a heuristic PREDICTION, and reporting it here would make
     # per-language manifest counts irreconcilable with mixture_plan's
     # expected n_keep (r5 review)
     mix = q_mixture_sample(spark, sf_dir).select("doc_id", "lang")
-    bpec = q_bpe_token_counts(spark, sf_dir).select("doc_id", "n_bpe_tokens")
-    # vec_id IS doc_id for the synthetic corpus (topics.py:39 precedent)
-    sem = (
-        semantic_dedup_table(spark, sf_dir)
-        .filter(F.col("kept") == 1)
-        .select(F.col("vec_id").alias("doc_id"))
-    )
-    return (
-        fr.select("doc_id", "quality")
-        .join(keepers, "doc_id")
-        .join(mix, "doc_id")
-        .join(F.broadcast(discard), "doc_id", "left_anti")
-        .join(sem, "doc_id")
-        .join(bpec, "doc_id")
-    )
+    return _manifest_premix(spark, sf_dir).join(mix, "doc_id")
 
 
 @register(
@@ -1351,6 +1365,7 @@ def run_curation_pipeline(
     select: bool = False,
     winnow: bool = False,
     strip: bool = False,
+    mixture_tokens: bool = False,
 ) -> DataFrame:
     """The 100 TB shape of ``training_corpus_manifest``: run each gate as
     its own job, WRITE its verdict table to parquet, and build the
@@ -1384,6 +1399,22 @@ def run_curation_pipeline(
         staged_manifest(spark, out_dir, strict=strict, winnow=winnow),
         f"{out_dir}/manifest",
     )
+    if mixture_tokens:
+        # curate under the TOKEN-budget mixture: the sampler's verdict
+        # table lands beside the doc-count one, and manifest_tokens is
+        # the same staged join with the mixture stage swapped — the
+        # staged twin of the one-query training_corpus_manifest_tokens
+        # (parity pinned in tests)
+        write_parquet(
+            reg["mixture_sample_tokens"].fn(spark, sf_dir),
+            f"{out_dir}/mixture_sample_tokens",
+        )
+        write_parquet(
+            staged_manifest(
+                spark, out_dir, mix_stage="mixture_sample_tokens"
+            ),
+            f"{out_dir}/manifest_tokens",
+        )
     if strip:
         # curate -> STRIP, materialized: the per-doc strip audit, the
         # cleaned texts themselves (the table downstream tokenize/pack
@@ -1447,11 +1478,14 @@ def staged_manifest(
     out_dir: str,
     strict: bool = False,
     winnow: bool = False,
+    mix_stage: str = "mixture_sample",
 ) -> DataFrame:
     """The manifest as joins over ALREADY-MATERIALIZED stage tables
     (written by ``run_curation_pipeline``) — the small plan the one-query
     manifest's 124k-line tree collapses into once each gate is parquet:
-    six scans, five doc-keyed joins, two broadcast anti-joins."""
+    six scans, five doc-keyed joins, two broadcast anti-joins.
+    ``mix_stage`` selects the mixture policy table (doc-count
+    ``mixture_sample`` or token-budget ``mixture_sample_tokens``)."""
 
     def t(stage: str) -> DataFrame:
         return spark.read.parquet(f"{out_dir}/{stage}")
@@ -1466,7 +1500,7 @@ def staged_manifest(
         .filter(F.col("kept") == 1)
         .select(F.col("vec_id").alias("doc_id"))
     )
-    mix = t("mixture_sample").select("doc_id", "lang")
+    mix = t(mix_stage).select("doc_id", "lang")
     bpec = t("bpe_token_counts").select("doc_id", "n_bpe_tokens")
     out = (
         fr.select("doc_id", "quality")
@@ -1715,6 +1749,72 @@ def _register_curated_dsir() -> None:
 
 
 _register_curated_dsir()
+
+
+# registered here (below mixture_sample_tokens) because the oracle
+# composes that query's SQL verbatim — _REG only holds it once the
+# registration above has run
+def _register_manifest_tokens() -> None:
+    @register(
+        "training_corpus_manifest_tokens",
+        sql=f"""
+WITH fr AS ({_REG["curation_filter_report"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+fp AS ({_REG["fingerprint_dedup"].sql}),
+mixt AS ({_REG["mixture_sample_tokens"].sql}),
+bpec AS ({_REG["bpe_token_counts"].sql}),
+sem AS (SELECT vec_id FROM ({_REG["semantic_dedup"].sql}) WHERE kept = 1)
+SELECT fr.doc_id, mixt.lang, fr.quality, bpec.n_bpe_tokens
+FROM fr
+JOIN fp ON fp.keeper = fr.doc_id
+JOIN mixt ON mixt.doc_id = fr.doc_id
+JOIN bpec ON bpec.doc_id = fr.doc_id
+JOIN sem ON sem.vec_id = fr.doc_id
+LEFT JOIN ndd ON ndd.discard_doc_id = fr.doc_id
+WHERE fr.keep AND ndd.discard_doc_id IS NULL
+ORDER BY fr.doc_id
+""",
+        tags=("curation", "scale", "flagship"),
+    )
+    def q_training_corpus_manifest_tokens(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The manifest whose mixture gate is the TOKEN budget (r8
+        verdict task 4): a training run is budgeted in tokens, so the
+        shipped corpus should be too — same gate ladder as
+        ``training_corpus_manifest`` (quality rules, exact-dedup keeper,
+        near-dup anti-join, SemDeDup), but ``in_mix`` is the
+        ``mixture_sample_tokens`` rule (T=2 temperature shares over
+        word-token mass, each language filled in deterministic
+        md5-shuffled order until its floor(temp_share × budget) tokens
+        are spent, whole docs only) instead of the doc-count sampler.
+
+        Scale: the shared gate prefix is the memoized+persisted
+        ``_manifest_premix`` (both mixture policies pay the gate stack
+        once); the token sampler is the two-phase range-partitioned
+        prefix sum; the manifest adds one doc-keyed join, memoized and
+        lineage-collapsed with localCheckpoint exactly like the
+        doc-count manifest."""
+        from ..cache import memo
+
+        out = memo(
+            spark,
+            ("manifest_tokens_base", sf_dir),
+            lambda: _manifest_premix(spark, sf_dir)
+            .join(
+                q_mixture_sample_tokens(spark, sf_dir).select(
+                    "doc_id", "lang"
+                ),
+                "doc_id",
+            )
+            .localCheckpoint(),
+        )
+        return out.select(
+            "doc_id", "lang", "quality", "n_bpe_tokens"
+        ).orderBy("doc_id")
+
+
+_register_manifest_tokens()
 
 
 # ------------------------------------------------- packing efficiency
