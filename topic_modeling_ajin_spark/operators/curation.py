@@ -49,13 +49,15 @@ PACK_BUDGET = 256  # tokens per training sequence
 PACK_PARTS = 32  # prefix-sum parallelism (≈ executor count at scale)
 
 
-def pack_manifest(d: DataFrame, budget: int) -> DataFrame:
-    """Two-phase distributed prefix-sum packing over a (doc_id, n) token-
-    length table: documents fill ``budget``-token training sequences in
-    doc_id order (contiguous fill — a doc may straddle a boundary; its
-    pack is where it STARTS). Shared by the word-token and BPE-token
-    packers; see ``q_pack_sequences`` for the scale rationale (no global
-    sort; driver materializes exactly {PACK_PARTS} longs)."""
+def pack_assignments(d: DataFrame, budget: int) -> DataFrame:
+    """Per-document pack assignment — (doc_id, n, pack_id) — via the
+    two-phase distributed prefix sum over a (doc_id, n) token-length
+    table: documents fill ``budget``-token training sequences in doc_id
+    order (contiguous fill — a doc may straddle a boundary; its pack is
+    where it STARTS). The per-doc form the shard EXPORT joins to the
+    shipped texts; ``pack_manifest`` is its pack-level aggregate. See
+    ``q_pack_sequences`` for the scale rationale (no global sort; driver
+    materializes exactly {PACK_PARTS} longs)."""
     hi = d.agg(F.max("doc_id")).first()[0] or 0
     stride = max(1, (int(hi) + PACK_PARTS) // PACK_PARTS)
     d = d.withColumn("pid", (F.col("doc_id") / stride).cast("int"))
@@ -73,18 +75,21 @@ def pack_manifest(d: DataFrame, budget: int) -> DataFrame:
     # phase 2: local cumsum within each stride + broadcast offset
     w = Window.partitionBy("pid").orderBy("doc_id")
     c = d.withColumn("cum", F.sum("n").over(w) + off[F.col("pid")])
-    return (
-        c.withColumn(
-            "pack_id",
-            F.floor((F.col("cum") - F.col("n")) * 1.0 / budget),
-        )
-        .groupBy("pack_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n").alias("n_tokens"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
+    return c.select(
+        "doc_id",
+        "n",
+        F.floor((F.col("cum") - F.col("n")) * 1.0 / budget).alias("pack_id"),
+    )
+
+
+def pack_manifest(d: DataFrame, budget: int) -> DataFrame:
+    """Pack-level aggregate of ``pack_assignments``. Shared by the
+    word-token and BPE-token packers."""
+    return pack_assignments(d, budget).groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
 
 
@@ -1366,6 +1371,7 @@ def run_curation_pipeline(
     winnow: bool = False,
     strip: bool = False,
     mixture_tokens: bool = False,
+    export: bool = False,
 ) -> DataFrame:
     """The 100 TB shape of ``training_corpus_manifest``: run each gate as
     its own job, WRITE its verdict table to parquet, and build the
@@ -1384,6 +1390,9 @@ def run_curation_pipeline(
     from ..registry import load_all
     from ..sources.io import write_parquet
 
+    # the shard export ships stripped texts + stripped budgets, so it
+    # requires (and therefore implies) the strip stage tables
+    strip = strip or export
     reg = load_all()
     for stage in CURATION_STAGES:
         if stage == "doc_boilerplate" and not strict:
@@ -1470,7 +1479,57 @@ def run_curation_pipeline(
             ),
             f"{out_dir}/curated_dsir_select",
         )
+    if export:
+        export_shards(spark, out_dir)
     return spark.read.parquet(f"{out_dir}/manifest").orderBy("doc_id")
+
+
+def export_shards(spark: SparkSession, out_dir: str) -> None:
+    """The artifact a trainer actually mounts (r8 verdict task 5): the
+    shipped corpus as SHARD-PARTITIONED parquet — each row a stripped
+    manifest doc carrying its cleaned text, its pack assignment, and its
+    audit md5, laid out in {N_SHARDS} hash shards.
+
+    Builds strictly from the staged parquet tables
+    (``manifest_stripped`` + ``stripped_texts``, written by the strip
+    stage): pack ids come from ``pack_assignments`` over the stripped
+    BPE budgets (the per-doc form of ``pack_sequences_stripped``), the
+    shard key is ``shuffle_shards``' deterministic md5 rule — shard =
+    md5-uniform('shard|' || doc_id) mod {N_SHARDS}, decorrelating shard
+    from every input ordering without a global sort. Scale: the heavy
+    ``cleaned_text`` column joins in LAST and moves exactly once, in the
+    partitionBy(shard) write that IS the shuffled training layout; the
+    pack/manifest side is doc-keyed metadata."""
+    from .bpe import BPE_PACK_BUDGET
+
+    ms = spark.read.parquet(f"{out_dir}/manifest_stripped")
+    assign = pack_assignments(
+        ms.select("doc_id", F.col("n_bpe_tokens").alias("n")),
+        BPE_PACK_BUDGET,
+    ).select("doc_id", "pack_id")
+    texts = spark.read.parquet(f"{out_dir}/stripped_texts")
+    shard = (
+        _md5_u32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+        % N_SHARDS
+    ).cast("int")
+    from ..sources.io import write_parquet
+
+    write_parquet(
+        ms.join(assign, "doc_id")
+        .join(texts, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "n_bpe_tokens",
+            "pack_id",
+            "cleaned_md5",
+            "cleaned_text",
+            shard.alias("shard"),
+        ),
+        f"{out_dir}/shards",
+        partition_by=("shard",),
+    )
 
 
 def staged_manifest(
