@@ -1355,3 +1355,183 @@ def test_ingest_decontam_gate_matches_batch_semantics(spark, tmp_path):
     assert kept == [2]
     # the contaminated doc still stored its fingerprint (seen)
     assert spark.read.parquet(store).count() == 3
+
+
+def test_streaming_embedding_gate_matches_batch_near_dup(spark, tmp_path):
+    """r8 verdict task 7: with near_dup_cosine set, the streaming drop
+    set must equal the batch embedding_near_dup pairs under the
+    keep-first rule (drop id_b of every pair) under in-order arrival,
+    across batch boundaries — verified against the REGISTERED batch
+    query on the same vectors. Vectors are axis-aligned so int8
+    quantization is exact and sign-LSH buckets are unambiguous."""
+    import time
+
+    from topic_modeling_ajin_spark.operators.similarity import NEAR_DUP_COS
+
+    A = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    B = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]
+    C = [-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0]
+
+    def scale(v, k):
+        return [x * k for x in v]
+
+    docs = {
+        1: ("text one", A),
+        2: ("text two", B),
+        3: ("text three", scale(A, 2.0)),   # dup of 1 (later batch)
+        4: ("text four", C),                 # kept
+        5: ("text five", scale(B, 1.5)),     # dup of 2 (later batch)
+        6: ("text six", scale(C, 3.0)),      # dup of 4, SAME batch
+        8: ("text eight", [0.0] * 8),        # zero vector: bypasses gate
+        7: ("text seven", A),                # vetoed by store (1 and 3)
+    }
+    schema = "doc_id long, text string, embedding array<double>"
+    staging = str(tmp_path / "in")
+    for batch in ((1, 2), (3, 4, 5, 6, 8), (7,)):
+        spark.createDataFrame(
+            [(i, docs[i][0], docs[i][1]) for i in batch], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        out,
+        str(tmp_path / "ck"),
+        near_dup_cosine=NEAR_DUP_COS,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+
+    # batch twin on the SAME vectors via the registered query
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, docs[i][1]) for i in sorted(docs)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    reg = load_all()
+    discards = {
+        r["id_b"] for r in reg["embedding_near_dup"].fn(spark, d).collect()
+    }
+    assert kept == sorted(set(docs) - discards) == [1, 2, 4, 8]
+
+    # every nonzero-embedding doc stored its int8 codes (drops included:
+    # 3 and 5 must veto 7); the zero vector stored nothing; each stored
+    # row sits in its sign-LSH bucket partition
+    v = (
+        spark.read.option("basePath", ST.vector_store_dir(store))
+        .schema(_p.VECTOR_STORE_SCHEMA)
+        .parquet(ST.vector_store_dir(store))
+    )
+    rows = v.collect()
+    assert len(rows) == 7  # 8 docs minus the zero vector
+    sign_bucket = lambda vec: sum(1 << i for i in range(8) if vec[i] > 0)
+    fp_to_vec = {}
+    for i, (_, vec) in docs.items():
+        if any(vec):
+            fp_to_vec[i] = vec
+    got_buckets = sorted(r["bucket"] for r in rows)
+    want_buckets = sorted(sign_bucket(v) for v in fp_to_vec.values())
+    assert got_buckets == want_buckets
+    # int8 codes: axis-aligned vectors quantize to exactly +/-127 or 0
+    for r in rows:
+        assert set(r["q"]) <= {-127, 0, 127}
+
+
+def test_streaming_vector_probe_prunes_to_batch_buckets(spark, tmp_path):
+    """The embedding gate's per-batch store probe must read a STRICT
+    subset of the vector-store files when the batch's sign-LSH buckets
+    miss partitions — and the pruned rows must equal the full scan
+    restricted to those buckets (candidates only form inside a bucket,
+    so pruning is exact)."""
+    import time
+
+    schema = "doc_id long, text string, embedding array<double>"
+    staging = str(tmp_path / "in")
+    # four docs spread over four distinct sign-LSH buckets, two batches
+    vecs = [
+        [1.0] * 8,
+        [-1.0] * 8,
+        [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0],
+        [-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0],
+    ]
+    spark.createDataFrame(
+        [(i, f"t{i}", vecs[i]) for i in (0, 1)], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i, f"t{i}", vecs[i]) for i in (2, 3)], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ck"),
+        near_dup_cosine=0.3,
+    )
+    v_dir = ST.vector_store_dir(store)
+    full = (
+        spark.read.option("basePath", v_dir)
+        .schema(_p.VECTOR_STORE_SCHEMA)
+        .parquet(v_dir)
+    )
+    all_buckets = sorted(
+        r["bucket"] for r in full.select("bucket").distinct().collect()
+    )
+    assert len(all_buckets) == 4
+    probe_buckets = all_buckets[:1]
+    probe = ST.probe_vector_store(spark, store, 99, probe_buckets)
+
+    def scanned_partitions(df):
+        def walk(node):
+            if "Scan" in node.getClass().getSimpleName():
+                return node
+            for i in range(node.children().size()):
+                r = walk(node.children().apply(i))
+                if r is not None:
+                    return r
+            return None
+
+        scan = walk(df._jdf.queryExecution().executedPlan())
+        return scan.selectedPartitions().partitionCount()
+
+    assert scanned_partitions(probe) < scanned_partitions(full)
+    expect = sorted(
+        (r["o_id"], tuple(r["q"]))
+        for r in full.filter(F.col("bucket").isin(probe_buckets))
+        .select("o_id", "q")
+        .collect()
+    )
+    assert sorted((r["o_id"], tuple(r["q"])) for r in probe.collect()) == expect
+
+
+def test_embedding_gate_requires_embedding_column(spark, tmp_path):
+    """Half-configuration must fail loudly: near_dup_cosine without an
+    embedding column on the stream would silently ship every semantic
+    duplicate."""
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame([(1, "x")], schema).write.parquet(staging)
+    stream = spark.readStream.schema(schema).parquet(staging)
+    with pytest.raises(ValueError, match="embedding"):
+        ST.run_streaming_ingest_dedup(
+            spark,
+            stream,
+            str(tmp_path / "store"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "ck"),
+            near_dup_cosine=0.3,
+        )

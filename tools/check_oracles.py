@@ -67,6 +67,10 @@ def build_cache_rules(registry) -> list[dict]:
         "training_corpus_manifest_winnow",
         "training_corpus_manifest_decontam",
         "training_corpus_manifest_stripped",
+        # r9: the token-budget mixture chain (the tokens manifest embeds
+        # the sampler verbatim; future compositions embed the manifest)
+        "mixture_sample_tokens",
+        "training_corpus_manifest_tokens",
     ):
         spec = registry.get(name)
         if spec is not None and spec.sql is not None:
@@ -307,6 +311,37 @@ def main() -> int:
         )
 
     cache = OracleCache(con, build_cache_rules(registry)) if use_cache else None
+
+    # Spark-side prewarm (r8 verdict task 6): the gate's long poles were
+    # never DuckDB (every cache rule builds sub-second) but SESSION-COLD
+    # Spark memo stacks attributed to whichever query alphabetically
+    # touches them first — corpus_data_card absorbed the whole gate
+    # ladder (~25-50 s) and plsa_k_sweep its per-K EM fits. Build those
+    # stacks ONCE here, each timed under its own named `warm` line, so
+    # every query's PASS line reports its own marginal cost and a chain
+    # regression shows on the chain's line instead of hiding inside an
+    # unrelated query. Full runs only — targeted runs should stay cheap
+    # and time exactly what they name. Pass/fail is untouched: the warm
+    # pass executes the same deterministic plans the gate then re-runs.
+    if not only:
+        for warm_name in (
+            "corpus_data_card",          # the full gate ladder's memos
+            "training_corpus_manifest_tokens",  # premix + token sampler
+            "plsa_k_sweep",              # per-K sampled EM fits
+            "canonical_docs",            # simhash CC chain
+        ):
+            spec = registry.get(warm_name)
+            if spec is None:
+                continue
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception as e:  # noqa: BLE001 — the gate line reports it
+                print(f"warm {warm_name}: failed ({e})")
+                continue
+            print(f"warm {warm_name}: {time.time() - t0:.1f}s")
 
     n_pass = n_fail = n_rows_only = 0
     for name, spec in sorted(registry.items()):

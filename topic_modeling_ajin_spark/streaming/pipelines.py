@@ -540,6 +540,59 @@ def probe_shingle_store(
     )
 
 
+# --------------------------- embedding near-dup gate store (int8 + LSH)
+
+# the embedding gate's vector store: INT8-quantized vectors in a bucketed
+# sibling table (one row per stored doc, partitioned by batch AND by the
+# sign-LSH bucket of the original embedding — the SAME axis-aligned
+# 2^LSH_BITS bucket rule as the batch ``embedding_near_dup``, whose
+# candidate pairs only ever form inside a bucket). Because the candidate
+# rule IS bucket equality, pruning the probe to this batch's buckets
+# loses nothing: a stored vector in a bucket the batch doesn't hash into
+# can never be a candidate. Quantization: symmetric per-vector int8
+# (scale = max|x|/127, the ``embedding_quantize_int8`` scheme); cosine is
+# scale-invariant, so cosine over the raw int8 codes EQUALS cosine over
+# the dequantized vectors — no scale column needed. The only divergence
+# from the batch float rule is int8 rounding (~1e-2 on cosine); a pair
+# that close to the gate is ambiguous under any fixed threshold (the
+# md5-32-collision caveat of the Jaccard gate, in quantized form).
+EMB_STORE_BUCKETS = 256  # 2^similarity.LSH_BITS
+
+
+def vector_store_dir(store_dir: str) -> str:
+    """Sibling directory holding the bucketed int8 vector store for the
+    embedding near-dup gate: ``<fingerprint store>_vectors``."""
+    return store_dir.rstrip("/") + "_vectors"
+
+
+# declared EXPLICITLY on every read (the SHINGLE_STORE_SCHEMA rationale:
+# schema inference over a store whose committed batches are all empty —
+# every doc had a zero embedding — wedges the stream permanently)
+VECTOR_STORE_SCHEMA = (
+    "o_id string, q array<tinyint>, bucket int, batch bigint"
+)
+
+
+def probe_vector_store(
+    spark: SparkSession, store_dir: str, batch_id: int, buckets: list
+) -> DataFrame:
+    """Bucket-pruned read of the embedding gate's vector store: rows
+    (o_id, q) from batches strictly earlier than ``batch_id`` whose
+    sign-LSH bucket partition is in ``buckets``. Both filters are on
+    partition columns, so the scan reads only matching bucket dirs; the
+    candidate rule is bucket equality, so pruning removes only vectors
+    that could never pair with a probing doc."""
+    v_dir = vector_store_dir(store_dir)
+    return (
+        spark.read.option("basePath", v_dir)
+        .schema(VECTOR_STORE_SCHEMA)
+        .parquet(v_dir)
+        .filter(F.col("batch") < F.lit(batch_id))
+        .filter(F.col("bucket").isin(buckets))
+        .select("o_id", "q", "bucket")
+    )
+
+
 def run_streaming_ingest_dedup(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -550,6 +603,7 @@ def run_streaming_ingest_dedup(
     min_quality_score: float = 0.5,
     near_dup_hamming: int | None = None,
     near_dup_jaccard: float | None = None,
+    near_dup_cosine: float | None = None,
     drift_ref_bins: list | None = None,
     drift_out_dir: str | None = None,
     drift_threshold: float | None = None,
@@ -629,6 +683,26 @@ def run_streaming_ingest_dedup(
        audit that names the offenders before they detonate). The batch
        side of both joins broadcasts, so the store is probed in place,
        never shuffled;
+    3c'. (optional embedding near-dup gate, r8 VERDICT task 7) with
+       ``near_dup_cosine`` set (the stream must carry an ``embedding``
+       column — enforced loudly), drop any survivor whose int8-quantized
+       embedding cosine with an EARLIER document (stored, or lower-
+       ``doc_id`` in this batch) reaches the threshold — the streaming
+       face of the batch ``embedding_near_dup`` pairs under the
+       keep-first discard rule (drop ``id_b`` of every pair), the one
+       dedup tier the ingest previously lacked (batch owned SemDeDup +
+       sign-LSH near-dup, the stream didn't). Candidates come from the
+       SAME axis-aligned sign-LSH bucket equi-join as the batch query
+       (never a similarity scan); vectors persist int8-quantized in a
+       bucketed sibling store (``vector_store_dir(store_dir)``,
+       partitioned by batch + sign-LSH bucket), and the per-batch probe
+       partition-prunes to exactly the buckets this batch's docs hash
+       into — exact pruning, since candidates only form inside a
+       bucket. Cosine is computed over the int8 codes (scale-invariant,
+       so identical to the dequantized vectors); zero/absent embeddings
+       bypass the gate and store nothing, as NULL simhash does.
+       Embedding-DROPPED docs still store their vector (the step 3b
+       discipline) so they veto later copies;
     3d. (optional decontamination gate) with ``decontam_bench_dir`` set
        (a parquet of benchmark (doc_id, text) rows), drop any survivor
        sharing a distinct {DECON_NGRAM}-token n-gram with the benchmark
@@ -673,6 +747,13 @@ def run_streaming_ingest_dedup(
             "half-configuration would look like a healthy stream with no "
             "drift audit"
         )
+    if near_dup_cosine is not None and "embedding" not in docs_stream.columns:
+        raise ValueError(
+            "near_dup_cosine requested but the stream has no 'embedding' "
+            "column — the gate would silently ship every semantic "
+            "duplicate; add the column (array<float|double>) or run "
+            "without near_dup_cosine"
+        )
 
     bench_grams = None
     if decontam_bench_dir is not None:
@@ -697,6 +778,8 @@ def run_streaming_ingest_dedup(
     # same once-per-stream discipline for the exact-Jaccard gate's
     # bucketed shingle sibling partitions
     _validated_sh: set[str] = set()
+    # and for the embedding gate's bucketed int8 vector sibling
+    _validated_vec: set[str] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -759,6 +842,36 @@ def run_streaming_ingest_dedup(
                     F.transform(H.shingles(sh_toks, 3), H.md5_base32)
                 ),
             ).withColumn("n_shingles", F.size("shingle_hashes"))
+        if near_dup_cosine is not None:
+            from ..functions import vectors as V
+            from ..operators.similarity import LSH_BITS
+
+            # sign-LSH bucket from the ORIGINAL floats (the batch
+            # embedding_near_dup bucket rule) + symmetric int8 codes
+            # (scale = max|x|/127, the embedding_quantize_int8 scheme;
+            # cosine is scale-invariant so the codes need no scale
+            # column). Zero/absent embeddings get NULL bucket and
+            # bypass the gate, as NULL simhash does.
+            emb = V.as_double(F.coalesce(F.col("embedding"), F.array()))
+            mx = F.array_max(F.transform(emb, F.abs))
+            bkt = None
+            for i in range(LSH_BITS):
+                bit = F.when(emb[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                bkt = bit if bkt is None else bkt + bit
+            fp = fp.withColumn(
+                "emb_q",
+                F.when(
+                    mx > 0,
+                    F.transform(
+                        emb,
+                        lambda x: F.round(x * F.lit(127.0) / mx).cast(
+                            "tinyint"
+                        ),
+                    ),
+                ),
+            ).withColumn(
+                "emb_bucket", F.when(mx > 0, bkt).cast("int")
+            )
         keeper = Window.partitionBy("fingerprint")
         batch_kept = (
             fp.withColumn("first_id", F.min("doc_id").over(keeper))
@@ -866,6 +979,41 @@ def run_streaming_ingest_dedup(
                             "run without near_dup_jaccard; silently "
                             "skipping the check would re-admit every "
                             "near-duplicate"
+                        )
+                if near_dup_cosine is not None:
+                    # same once-per-stream partition discipline as the
+                    # shingle sibling: every committed fingerprint batch
+                    # strictly earlier than this one must have its
+                    # vector partition, else the gate would silently
+                    # skip stored docs
+                    v_dir = vector_store_dir(store_dir)
+                    missing_v = [
+                        c
+                        for c in committed
+                        if c not in _validated_vec
+                        and int(c.split("=", 1)[1]) < batch_id
+                        and not fs.exists(
+                            spark._jvm.org.apache.hadoop.fs.Path(
+                                f"{v_dir}/{c}"
+                            )
+                        )
+                    ]
+                    _validated_vec.update(
+                        c
+                        for c in committed
+                        if c not in missing_v
+                        and int(c.split("=", 1)[1]) < batch_id
+                    )
+                    if missing_v:
+                        raise ValueError(
+                            f"embedding near-dup gate requested but the "
+                            f"vector store at {v_dir} is missing the "
+                            f"bucketed partitions {sorted(missing_v)[:5]} "
+                            "for committed fingerprint batches (legacy "
+                            "layout) — rebuild the store or run without "
+                            "near_dup_cosine; silently skipping the "
+                            "check would re-admit every semantic "
+                            "duplicate"
                         )
                 if required:
                     req = set(required)
@@ -1020,6 +1168,56 @@ def run_streaming_ingest_dedup(
             shipped = shipped.join(
                 jdrops.distinct(), "doc_id", "left_anti"
             )
+        if near_dup_cosine is not None:
+            from ..functions import vectors as V
+
+            # batch embedding_near_dup rule, streamed: drop a survivor
+            # iff its int8-code cosine with ANY earlier doc (stored, or
+            # lower-doc_id this batch) in the SAME sign-LSH bucket
+            # reaches the threshold. The batch side broadcasts; the
+            # bucket-pruned store is probed in place.
+            vec_me = batch_kept.filter(
+                F.col("emb_bucket").isNotNull()
+            ).select(
+                "doc_id",
+                F.col("emb_q").alias("qa"),
+                F.col("emb_bucket").alias("bucket"),
+            )
+            vec_others = batch_kept.filter(
+                F.col("emb_bucket").isNotNull()
+            ).select(
+                F.col("doc_id").alias("o_rank"),
+                F.col("emb_q").alias("qb"),
+                F.col("emb_bucket").alias("bucket"),
+            )
+            vcos = V.cosine(V.as_double(F.col("qa")), V.as_double(F.col("qb")))
+            vdrops = (
+                vec_others.join(F.broadcast(vec_me), "bucket")
+                .filter(F.col("o_rank") < F.col("doc_id"))
+                .filter(vcos >= F.lit(near_dup_cosine))
+                .select("doc_id")
+            )
+            if store is not None:
+                vbuckets = [
+                    r["bucket"]
+                    for r in vec_me.select("bucket").distinct().collect()
+                ]
+                vs_store = (
+                    probe_vector_store(spark, store_dir, batch_id, vbuckets)
+                    .join(F.broadcast(vec_me), "bucket")
+                    .filter(
+                        V.cosine(
+                            V.as_double(F.col("qa")),
+                            V.as_double(F.col("q")),
+                        )
+                        >= F.lit(near_dup_cosine)
+                    )
+                    .select("doc_id")
+                )
+                vdrops = vdrops.unionByName(vs_store)
+            shipped = shipped.join(
+                vdrops.distinct(), "doc_id", "left_anti"
+            )
         if bench_grams is not None:
             from ..operators.text_analysis import DECON_NGRAM
 
@@ -1047,8 +1245,30 @@ def run_streaming_ingest_dedup(
         # included — see step 3b); only the corpus sink takes the
         # near-dup-gated set.
         shipped.drop(
-            "fingerprint", "simhash", "n_shingles", "shingle_hashes"
+            "fingerprint",
+            "simhash",
+            "n_shingles",
+            "shingle_hashes",
+            "emb_q",
+            "emb_bucket",
         ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        if near_dup_cosine is not None:
+            # bucketed int8 vector sibling: one row per stored doc,
+            # partitioned by sign-LSH bucket so later batches probe only
+            # matching buckets. Written BEFORE the fingerprint partition
+            # (the shingle-store commit-ordering invariant); embedding-
+            # dropped docs still store their vector (step 3b discipline)
+            (
+                batch_kept.filter(F.col("emb_bucket").isNotNull())
+                .select(
+                    F.col("fingerprint").alias("o_id"),
+                    F.col("emb_q").alias("q"),
+                    F.col("emb_bucket").alias("bucket"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{vector_store_dir(store_dir)}/batch={batch_id}")
+            )
         if near_dup_jaccard is not None:
             # bucketed shingle sibling: one row per (doc, distinct
             # shingle), partitioned by shv % JACCARD_STORE_BUCKETS so
