@@ -646,7 +646,12 @@ def test_data_card_equals_composed_queries(spark, sf_dir):
     card = q_corpus_data_card(spark, sf_dir).collect()[0].asDict()
     reg = load_all()
     ss = q_strip_savings_report(spark, sf_dir).collect()[0]
+    ftok = reg["curation_funnel_tokens"].fn(spark, sf_dir).collect()[0]
     expect = {
+        # r8 verdict task 8: the card leads with the BPE token mass that
+        # budgets a run, pinned to the token funnel's own figures
+        "t_total": ftok["t_total"],
+        "t_mixed": ftok["t_mixed"],
         "n_unique_docs": q_fingerprint_dedup(spark, sf_dir).count(),
         "n_near_dup_discards": q_near_dup_discard(spark, sf_dir).count(),
         "n_semdedup_drops": q_semantic_dedup(spark, sf_dir)

@@ -71,6 +71,8 @@ def build_cache_rules(registry) -> list[dict]:
         # the sampler verbatim; future compositions embed the manifest)
         "mixture_sample_tokens",
         "training_corpus_manifest_tokens",
+        # r9: the data card composes the token funnel verbatim
+        "curation_funnel_tokens",
     ):
         spec = registry.get(name)
         if spec is not None and spec.sql is not None:
