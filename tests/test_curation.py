@@ -671,6 +671,9 @@ def test_data_card_equals_composed_queries(spark, sf_dir):
         "n_manifest_stripped": reg["training_corpus_manifest_stripped"]
         .fn(spark, sf_dir)
         .count(),
+        "n_manifest_tokens": reg["training_corpus_manifest_tokens"]
+        .fn(spark, sf_dir)
+        .count(),
     }
     for k, v in expect.items():
         assert card[k] == v, (k, card[k], v)
@@ -930,6 +933,30 @@ def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
     )
     man_tokens = (
         reg["training_corpus_manifest_stripped"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_bpe_tokens"))
+        .collect()[0][0]
+    )
+    assert sum(p[2] for p in packs) == man_tokens
+    ids = [p[0] for p in packs]
+    assert ids == list(range(len(ids)))
+
+
+def test_pack_sequences_tokens_conserves_manifest_mass(spark, sf_dir):
+    """Token-budget packs must conserve the tokens manifest's BPE mass
+    and cover contiguous pack ids from 0 — the stripped-pack discipline
+    applied to the r9 chain's final consumer."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    packs = sorted(
+        (r["pack_id"], r["n_docs"], r["n_tokens"])
+        for r in reg["pack_sequences_tokens"].fn(spark, sf_dir).collect()
+    )
+    man_tokens = (
+        reg["training_corpus_manifest_tokens"]
         .fn(spark, sf_dir)
         .agg(F.sum("n_bpe_tokens"))
         .collect()[0][0]

@@ -1876,6 +1876,47 @@ ORDER BY fr.doc_id
 _register_manifest_tokens()
 
 
+def _register_pack_tokens() -> None:
+    from .bpe import BPE_PACK_BUDGET
+
+    @register(
+        "pack_sequences_tokens",
+        sql=f"""
+WITH mt AS ({_REG["training_corpus_manifest_tokens"].sql}),
+c AS (
+    SELECT doc_id, n_bpe_tokens AS n,
+           sum(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM mt
+)
+SELECT CAST(floor((cum - n) * 1.0 / {BPE_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+""",
+        tags=("curation", "tokenize", "bpe", "scale"),
+    )
+    def q_pack_sequences_tokens(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sequence packing over the TOKEN-BUDGET manifest — the final
+        consumer of the token-mixture chain (budget by tokens → ship by
+        tokens → pack by tokens), the ``pack_sequences_stripped``
+        discipline applied to the r9 manifest variant. Same two-phase
+        distributed prefix sum (shared ``pack_manifest``, no global
+        sort); composes the exact-oracled tokens manifest verbatim."""
+        from .bpe import BPE_PACK_BUDGET as _budget
+
+        d = _REG["training_corpus_manifest_tokens"].fn(spark, sf_dir).select(
+            "doc_id", F.col("n_bpe_tokens").alias("n")
+        )
+        return pack_manifest(d, _budget)
+
+
+_register_pack_tokens()
+
+
 # ------------------------------------------------- packing efficiency
 
 
@@ -1942,6 +1983,7 @@ ss AS ({_REG["strip_savings_report"].sql}),
 mw AS ({_REG["training_corpus_manifest_winnow"].sql}),
 md AS ({_REG["training_corpus_manifest_decontam"].sql}),
 ms AS ({_REG["training_corpus_manifest_stripped"].sql}),
+mt AS ({_REG["training_corpus_manifest_tokens"].sql}),
 ftok AS ({_REG["curation_funnel_tokens"].sql}),
 toks AS (SELECT CAST(sum(length(t.toks)) AS BIGINT) AS n
          FROM ({_SQL_TOKS}) t)
@@ -1967,6 +2009,7 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM mw) AS n_manifest_winnow,
        (SELECT CAST(count(*) AS BIGINT) FROM md) AS n_manifest_decontam,
        (SELECT CAST(count(*) AS BIGINT) FROM ms) AS n_manifest_stripped,
+       (SELECT CAST(count(*) AS BIGINT) FROM mt) AS n_manifest_tokens,
        (SELECT round(CAST(sum(CAST(quality AS DECIMAL(18, 6))) AS DOUBLE)
                      / count(*), 6) FROM qs) AS mean_quality
 """
@@ -1988,8 +2031,9 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     figures composed verbatim — r8 verdict task 8) — language/source
     spread, the FULL gate ladder's tallies — exact dedup, near-dup,
     SemDeDup drops, winnow-flagged docs, contamination, boilerplate
-    token savings, rule-gate pass — the four manifest sizes
-    (base/winnow/decontam/stripped), and mean heuristic quality (r7
+    token savings, rule-gate pass — the five manifest sizes
+    (base/winnow/decontam/stripped/token-budget), and mean heuristic
+    quality (r7
     verdict task 4: the card must not under-report the pipeline it
     summarizes). Every figure composes a REGISTERED query verbatim, so
     the card can never disagree with the gates it summarizes; each
@@ -2088,6 +2132,12 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_manifest_stripped",
             )
         )
+        .crossJoin(
+            cnt(
+                _REG["training_corpus_manifest_tokens"].fn(spark, sf_dir),
+                "n_manifest_tokens",
+            )
+        )
         .crossJoin(qmean)
         .crossJoin(
             q_curation_funnel_tokens(spark, sf_dir).select(
@@ -2112,6 +2162,7 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_manifest_winnow",
             "n_manifest_decontam",
             "n_manifest_stripped",
+            "n_manifest_tokens",
             "mean_quality",
         )
     )
