@@ -1535,3 +1535,47 @@ def test_embedding_gate_requires_embedding_column(spark, tmp_path):
             str(tmp_path / "ck"),
             near_dup_cosine=0.3,
         )
+
+
+def test_store_hot_buckets_audit(spark, tmp_path):
+    """store_hot_buckets must name exactly the sign-LSH buckets holding
+    more than cap stored vectors, fullest first — the pre-detonation
+    audit for the uncapped embedding candidate join."""
+    import time
+
+    schema = "doc_id long, text string, embedding array<double>"
+    staging = str(tmp_path / "in")
+    # 5 docs share the all-positive bucket (255); 2 sit alone elsewhere.
+    # Distinct magnitudes keep the cosines below any plausible drop,
+    # but the audit counts ALL stored vectors regardless of drops.
+    rows = [
+        (i, f"hot doc {i}", [1.0 + i, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+        for i in range(5)
+    ] + [
+        (10, "cold a", [-1.0] * 8),
+        (11, "cold b", [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0]),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    store = str(tmp_path / "store")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        store,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ck"),
+        near_dup_cosine=0.999999,
+    )
+    got = [
+        (r["bucket"], r["n_docs"])
+        for r in ST.store_hot_buckets(spark, store, cap=3).collect()
+    ]
+    assert got == [(255, 5)]
+    # healthy store under the default cap: nothing named
+    assert ST.store_hot_buckets(spark, store).count() == 0

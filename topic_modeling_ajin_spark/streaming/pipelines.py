@@ -573,6 +573,42 @@ VECTOR_STORE_SCHEMA = (
 )
 
 
+# audit threshold for store_hot_buckets: a sign-LSH bucket holding more
+# stored vectors than this fans the embedding gate's candidate join out
+# (every new doc hashing there compares against the whole bucket)
+EMB_HOT_BUCKET_CAP = 64
+
+
+def store_hot_buckets(
+    spark: SparkSession,
+    store_dir: str,
+    cap: int = EMB_HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Audit the embedding gate's vector store for overloaded sign-LSH
+    buckets: buckets holding more than ``cap`` stored vectors, with
+    their counts, fullest first — the ``store_hot_shingles`` convention
+    for the embedding tier. Axis-aligned sign-LSH degrades when the
+    embedding distribution is anisotropic (most mass on one side of the
+    early axes): candidates pile into a few buckets and the per-batch
+    candidate join grows with bucket occupancy, not corpus size. The
+    gate stays uncapped (parity with the batch ``embedding_near_dup``
+    rule); this audit is how operators see the skew coming and fix it
+    upstream (more planes, a learned rotation, or coarse-cluster
+    bucketing). One groupBy over the bucketed store; output bounded by
+    the number of hot buckets."""
+    v = (
+        spark.read.option("basePath", vector_store_dir(store_dir))
+        .schema(VECTOR_STORE_SCHEMA)
+        .parquet(vector_store_dir(store_dir))
+    )
+    return (
+        v.groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > cap)
+        .orderBy(F.desc("n_docs"), F.asc("bucket"))
+    )
+
+
 def probe_vector_store(
     spark: SparkSession, store_dir: str, batch_id: int, buckets: list
 ) -> DataFrame:
