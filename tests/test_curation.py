@@ -900,22 +900,50 @@ def test_jaccard_sweep_routes_hot_shingles_out_of_pair_join(
         (i, f"common nav footer shared block unique{i}a unique{i}b unique{i}c")
         for i in range(n)
     ]
-    # near-dup pair over cold shingles: 10 tokens, last differs ->
+    # near-dup pair over cold shingles only: 10 tokens, last differs ->
     # 7 shared / 9 union = 0.7778 -> band floor(7*20/9) = 15
-    alpha = " ".join(f"alpha{i}" for i in range(10))
+    alpha = " ".join(f"a{i}" for i in range(10))
     rows.append((1000, alpha))
     rows.append((1001, " ".join(alpha.split()[:-1]) + " beta"))
+    # near-dup pair sharing hot AND cold shingles: the boilerplate
+    # prefix (3 hot shingles) + the 10-token tail, last token differs.
+    # 15 tokens -> 13 distinct shingles; shared = 12 (3 hot + 9 cold),
+    # union = 14 -> the GATE's Jaccard is 12/14 = 0.857, band
+    # floor(12*20/14) = 17. Banding over hot-filtered sets would give
+    # 9/11 -> band 16: this row pins that the sweep keeps the gate's
+    # full-set arithmetic for pairs the guard lets through.
+    boiler = "common nav footer shared block "
+    beta = " ".join(f"b{i}" for i in range(10))  # disjoint from alpha
+    rows.append((2000, boiler + beta))
+    rows.append((2001, boiler + " ".join(beta.split()[:-1]) + " gamma"))
     d = str(tmp_path / "docs")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
         f"{d}/documents.parquet"
     )
     out = q_jaccard_threshold_sweep(spark, str(d))
-    got = [(r["band"], r["n_pairs"], r["n_hot_excluded"]) for r in out.collect()]
-    assert got == [(15, 1, 3)]
+    got = sorted(
+        (r["band"], r["n_pairs"], r["n_hot_excluded"]) for r in out.collect()
+    )
+    assert got == [(15, 1, 3), (17, 1, 3)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+    # guard-silences-nothing: a corpus whose ONLY near-dup pairs ride on
+    # hot shingles still reports the exclusion (sentinel row, 0 pairs)
+    d2 = str(tmp_path / "docs2")
+    spark.createDataFrame(
+        [
+            (i, f"common nav footer shared block unique{i}a unique{i}b unique{i}c")
+            for i in range(n)
+        ],
+        "doc_id long, text string",
+    ).write.parquet(f"{d2}/documents.parquet")
+    sentinel = q_jaccard_threshold_sweep(spark, str(d2)).collect()
+    assert [(r["band"], r["n_pairs"], r["n_hot_excluded"]) for r in sentinel] == [
+        (None, 0, 3)
+    ]
 
 
 def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
@@ -979,7 +1007,16 @@ def test_jaccard_sweep_consistent_with_near_dup_pairs(spark, sf_dir):
     sweep = q_jaccard_threshold_sweep(spark, sf_dir).collect()
     n_gate = q_ngram_jaccard_pairs(spark, sf_dir).count()
     gate_band = int(JACCARD_THRESHOLD * SWEEP_BANDS)
-    assert sum(r["n_pairs"] for r in sweep if r["band"] >= gate_band) == n_gate
+    # band is NULL on the no-surviving-pairs sentinel row (which still
+    # carries n_hot_excluded so the guard is never silent)
+    assert (
+        sum(
+            r["n_pairs"]
+            for r in sweep
+            if r["band"] is not None and r["band"] >= gate_band
+        )
+        == n_gate
+    )
 
 
 def test_simhash_histogram_consistent_with_gate(spark, sf_dir):

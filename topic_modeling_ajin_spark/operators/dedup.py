@@ -238,27 +238,39 @@ cold AS (
     SELECT s.doc_id, s.shingle FROM sh s
     WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
 ),
-csz AS (SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id),
+dh AS (
+    SELECT s.doc_id, list(s.shingle) AS hs
+    FROM sh s JOIN hot h ON h.shingle = s.shingle
+    GROUP BY s.doc_id
+),
 pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cold
     FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
-jac AS (
-    SELECT CAST(floor(inter * {SWEEP_BANDS}.0 / (x.n + y.n - inter))
-                AS BIGINT) AS band
-    FROM pairs
-    JOIN csz x ON x.doc_id = doc_a
-    JOIN csz y ON y.doc_id = doc_b
-    WHERE inter * 1.0 / (x.n + y.n - inter) >= {SWEEP_MIN_JACCARD}
+j AS (
+    SELECT p.inter_cold
+             + coalesce(length(list_intersect(ha.hs, hb.hs)), 0) AS inter,
+           x.n + y.n AS stot
+    FROM pairs p
+    JOIN sz x ON x.doc_id = p.doc_a
+    JOIN sz y ON y.doc_id = p.doc_b
+    LEFT JOIN dh ha ON ha.doc_id = p.doc_a
+    LEFT JOIN dh hb ON hb.doc_id = p.doc_b
 ),
-nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_excluded FROM hot)
-SELECT band,
-       round(band * 1.0 / {SWEEP_BANDS}, 6) AS band_lo,
-       CAST(count(*) AS BIGINT) AS n_pairs,
+jac AS (
+    SELECT CAST(floor(inter * {SWEEP_BANDS}.0 / (stot - inter))
+                AS BIGINT) AS band
+    FROM j
+    WHERE inter * 1.0 / (stot - inter) >= {SWEEP_MIN_JACCARD}
+),
+nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_excluded FROM hot),
+bands AS (SELECT band, count(*) AS c FROM jac GROUP BY band)
+SELECT b.band,
+       round(b.band * 1.0 / {SWEEP_BANDS}, 6) AS band_lo,
+       CAST(coalesce(b.c, 0) AS BIGINT) AS n_pairs,
        nh.n_hot_excluded AS n_hot_excluded
-FROM jac CROSS JOIN nh
-GROUP BY band, nh.n_hot_excluded
+FROM nh LEFT JOIN bands b ON true
 """,
     tags=("dedup", "eval", "scale"),
 )
@@ -274,19 +286,26 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a tool an operator runs REPEATEDLY, so it is hot-shingle-guarded
     (the ``winnowing_overlap_pairs`` pattern): shingles held by more
     than {HOT_SHINGLE_CAP} docs — exactly the set ``hot_shingles``
-    names — are routed OUT of the pair join via a broadcast anti-join
-    before it can fan out quadratically (d docs sharing one boilerplate
-    shingle → ~d²/2 candidate pairs). Jaccard is then computed over the
-    non-hot shingle sets on BOTH engines (sizes and intersections from
-    the filtered table — a consistent definition, not a biased count),
-    and the ``n_hot_excluded`` column reports how many shingles the
-    guard removed so the bias is visible, never silent. For gate tuning
-    the cap's effect is negligible by construction: a >{HOT_SHINGLE_CAP}
-    -doc shingle is corpus boilerplate that belongs to the strip/gate
-    family, not to the near-dup distribution. The band floor is
-    correctly-rounded double division of exact integers, so both
-    engines band identically."""
+    names — are routed OUT of the pair-forming join via a broadcast
+    anti-join before it can fan out quadratically (d docs sharing one
+    boilerplate shingle → ~d²/2 candidate pairs). The band ARITHMETIC
+    stays the gate's own: once a pair is formed by ≥1 non-hot shared
+    shingle, its hot intersection is recovered from the per-doc hot
+    lists (pair-bounded join; each list is at most n_hot long) and its
+    sizes are the FULL shingle counts, so every banded pair lands in
+    exactly the band ``ngram_jaccard_pairs``' Jaccard would give it.
+    The only pairs the guard loses are those sharing ONLY hot
+    (boilerplate) shingles — by construction the population that
+    belongs to the strip/gate family, not the near-dup distribution —
+    and ``n_hot_excluded`` reports the guard's activity on a row that
+    exists even when no pair survives (band NULL, n_pairs 0), so the
+    exclusion is never silent. The band floor is correctly-rounded
+    double division of exact integers, so both engines band
+    identically."""
     sh = _exploded_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # eager: the consumers below are concurrently-prepared broadcast
+    # subtrees, which recompute an unmaterialized cache (memo contract)
     hot = memo(
         spark,
         ("sweep_hot_shingles", sf_dir),
@@ -295,45 +314,70 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") > HOT_SHINGLE_CAP)
         .select("shingle"),
         persist=True,
+        eager=True,
     )
     cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    csz = cold.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dh = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hs"))
+    )
     a = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count("*").alias("inter_cold"))
     )
     n_hot = hot.agg(
         F.count("*").cast("bigint").alias("n_hot_excluded")
     )
-    union = F.col("na") + F.col("nb") - F.col("inter")
-    return (
+    empty = F.array().cast("array<string>")
+    inter = F.col("inter_cold") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("hsa"), empty), F.coalesce(F.col("hsb"), empty)
+        )
+    )
+    j = (
         pairs.join(
-            csz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
         )
         .join(
-            csz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
-        .filter(F.col("inter") / union >= SWEEP_MIN_JACCARD)
+        .join(
+            dh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            dh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")),
+            "doc_b",
+            "left",
+        )
+        .select(inter.alias("inter"), (F.col("na") + F.col("nb")).alias("stot"))
+    )
+    union = F.col("stot") - F.col("inter")
+    bands = (
+        j.filter(F.col("inter") / union >= SWEEP_MIN_JACCARD)
         .select(
             F.floor(F.col("inter") * SWEEP_BANDS / union)
             .cast("bigint")
             .alias("band")
         )
         .groupBy("band")
-        .agg(F.count("*").cast("bigint").alias("n_pairs"))
-        .crossJoin(F.broadcast(n_hot))
-        .select(
-            "band",
-            F.round(F.col("band") / SWEEP_BANDS, 6).alias("band_lo"),
-            "n_pairs",
-            "n_hot_excluded",
-        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # nh is one row; bands is SWEEP_BANDS-bounded and broadcasts (the
+    # preserved side of a left join cannot be the broadcast side)
+    return n_hot.join(F.broadcast(bands), F.lit(True), "left").select(
+        "band",
+        F.round(F.col("band") / SWEEP_BANDS, 6).alias("band_lo"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_pairs"),
+        "n_hot_excluded",
     )
 
 

@@ -233,6 +233,20 @@ LSH_BITS = 8  # axis-aligned hyperplane signs -> 2^8 buckets
 NEAR_DUP_COS = 0.3
 
 
+def sign_lsh_bucket(emb: F.Column) -> F.Column:
+    """THE sign-LSH candidate-bucket rule: sum of 1<<i over the first
+    {LSH_BITS} components strictly > 0. Shared by the batch
+    ``embedding_near_dup`` and the streaming ingest's vector store —
+    bucket parity between the two IS the precondition that makes the
+    store's partition pruning exact (candidates only form inside a
+    bucket), so there must be exactly one copy of this expression."""
+    bucket = None
+    for i in range(LSH_BITS):
+        bit = F.when(emb[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 @register(
     "embedding_near_dup",
     sql=f"""
@@ -267,12 +281,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production the planes come from a seeded Gaussian matrix broadcast to
     executors; axis-aligned planes keep the DuckDB oracle exact."""
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = None
-    for i in range(LSH_BITS):
-        bit = F.when(F.col("embedding")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     sig = e.select(
-        "vec_id", V.as_double("embedding").alias("emb"), bucket.alias("bucket")
+        "vec_id",
+        V.as_double("embedding").alias("emb"),
+        sign_lsh_bucket(F.col("embedding")).alias("bucket"),
     )
     a = sig.select(
         F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), "bucket"

@@ -543,10 +543,11 @@ def probe_shingle_store(
 # --------------------------- embedding near-dup gate store (int8 + LSH)
 
 # the embedding gate's vector store: INT8-quantized vectors in a bucketed
-# sibling table (one row per stored doc, partitioned by batch AND by the
-# sign-LSH bucket of the original embedding — the SAME axis-aligned
-# 2^LSH_BITS bucket rule as the batch ``embedding_near_dup``, whose
-# candidate pairs only ever form inside a bucket). Because the candidate
+# sibling table (one row per stored doc, partitioned by batch AND by
+# ``similarity.sign_lsh_bucket`` of the original embedding — the SAME
+# axis-aligned 2^LSH_BITS-bucket rule as the batch ``embedding_near_dup``,
+# whose candidate pairs only ever form inside a bucket; the rule has
+# exactly one copy, so the two faces cannot drift). Because the candidate
 # rule IS bucket equality, pruning the probe to this batch's buckets
 # loses nothing: a stored vector in a bucket the batch doesn't hash into
 # can never be a candidate. Quantization: symmetric per-vector int8
@@ -556,7 +557,6 @@ def probe_shingle_store(
 # from the batch float rule is int8 rounding (~1e-2 on cosine); a pair
 # that close to the gate is ambiguous under any fixed threshold (the
 # md5-32-collision caveat of the Jaccard gate, in quantized form).
-EMB_STORE_BUCKETS = 256  # 2^similarity.LSH_BITS
 
 
 def vector_store_dir(store_dir: str) -> str:
@@ -880,20 +880,19 @@ def run_streaming_ingest_dedup(
             ).withColumn("n_shingles", F.size("shingle_hashes"))
         if near_dup_cosine is not None:
             from ..functions import vectors as V
-            from ..operators.similarity import LSH_BITS
+            from ..operators.similarity import sign_lsh_bucket
 
-            # sign-LSH bucket from the ORIGINAL floats (the batch
-            # embedding_near_dup bucket rule) + symmetric int8 codes
-            # (scale = max|x|/127, the embedding_quantize_int8 scheme;
-            # cosine is scale-invariant so the codes need no scale
-            # column). Zero/absent embeddings get NULL bucket and
+            # sign-LSH bucket from the ORIGINAL floats — the SHARED
+            # sign_lsh_bucket expression (bucket parity with the batch
+            # embedding_near_dup is the pruning-exactness precondition,
+            # so there is exactly one copy of the rule) — + symmetric
+            # int8 codes (scale = max|x|/127, the embedding_quantize_int8
+            # scheme; cosine is scale-invariant so the codes need no
+            # scale column). Zero/absent embeddings get NULL bucket and
             # bypass the gate, as NULL simhash does.
             emb = V.as_double(F.coalesce(F.col("embedding"), F.array()))
             mx = F.array_max(F.transform(emb, F.abs))
-            bkt = None
-            for i in range(LSH_BITS):
-                bit = F.when(emb[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                bkt = bit if bkt is None else bkt + bit
+            bkt = sign_lsh_bucket(emb)
             fp = fp.withColumn(
                 "emb_q",
                 F.when(
