@@ -191,6 +191,33 @@ SELECTED = (
         "the BPE re-count is one explode + broadcast vocab join; every "
         "manifest join is doc-keyed.",
     ),
+    (
+        "customer_value_quartiles",
+        "The last unpartitioned ranking window is gone (r8 verdict "
+        "task 1): exact row numbers come from the two-phase "
+        "range-partitioned rank — every `Window` in the plan is "
+        "partitioned by the range-partition id (`windowspecdefinition("
+        "pid#...`), the per-partition offsets arrive as a "
+        "`BroadcastExchange`, and no single task ever sorts the table.",
+    ),
+    (
+        "jaccard_threshold_sweep",
+        "Hot-shingle guard: corpus-boilerplate shingles leave the "
+        "pair-forming join through a broadcast LEFT ANTI join "
+        "(`BroadcastHashJoin ... LeftAnti`) before they can fan out "
+        "quadratically; the recovered hot intersections join back "
+        "pair-bounded, so the bands keep the gate's full-set "
+        "arithmetic.",
+    ),
+    (
+        "training_corpus_manifest_tokens",
+        "The token-budget manifest: the shared gate prefix is the "
+        "memoized `_manifest_premix` (both mixture policies pay the "
+        "gate stack once); the sampler side is the two-phase "
+        "range-partitioned per-language prefix sum with broadcast "
+        "offsets; the composition is one doc-keyed join collapsed to a "
+        "`LogicalRDD` by localCheckpoint.",
+    ),
 )
 
 

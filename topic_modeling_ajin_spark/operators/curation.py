@@ -2258,7 +2258,23 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, rule_ok, is_keeper, is_near_dup, sem_ok, in_mix)
     for every document — the flag table both funnel variants aggregate.
-    Every flag joins a registered (memoized) verdict table on doc_id."""
+    Every flag joins a registered (memoized) verdict table on doc_id.
+
+    Memoized+persisted + lineage-collapsed (the verdict-table
+    discipline): FOUR registered queries compose this per call (both
+    funnels, the token funnel, and — through it — the data card), and
+    each used to re-derive the five-way flag join; the table is
+    doc-sized with seven fixed-width columns."""
+    from ..cache import memo
+
+    return memo(
+        spark,
+        ("funnel_flags", sf_dir),
+        lambda: _funnel_flags_build(spark, sf_dir).localCheckpoint(),
+    )
+
+
+def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         q_fingerprint_dedup,
         q_near_dup_discard,
