@@ -63,6 +63,7 @@ HEADLINE = (
     "curation_funnel_by_source",  # per-source gate attrition
     "mixture_sample_tokens",  # token-budgeted mixture materialization
     "training_corpus_manifest_tokens",  # manifest gated on the token budget
+    "semantic_decontam",     # embedding-space benchmark-leakage verdict
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still

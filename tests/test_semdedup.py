@@ -132,3 +132,28 @@ def test_semdedup_hot_cluster_refuses_loudly(spark, tmp_path):
     # identical vectors: cosine 1.0 > tau, centroid-cosine ties everywhere
     # -> the lowest vec_id survives, everything else is dropped
     assert got[0] == 1 and sum(got.values()) == 1
+
+
+def test_semantic_decontam_flags_planted_paraphrase(spark, tmp_path):
+    """A corpus vector colinear with a benchmark vector must be flagged
+    with max_bench_cos 1.0; an orthogonal one must surface unflagged
+    (verdict covers every corpus doc); benchmark rows themselves never
+    appear in the verdict."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        q_semantic_decontam,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # benchmark item (vec_id < 50)
+        (100, [2.0, 0.0, 0.0, 0.0]),  # paraphrase: cos 1.0 vs bench
+        (101, [0.0, 3.0, 0.0, 0.0]),  # unrelated: cos 0.0
+    ]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["doc_id"]: (r["max_bench_cos"], r["flagged"])
+        for r in q_semantic_decontam(spark, str(d)).collect()
+    }
+    assert got == {100: (1.0, True), 101: (0.0, False)}

@@ -1173,6 +1173,79 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(spark, sf_dir, k=LLOYD_K, iters=LLOYD_ITERS)
 
 
+# flag threshold for semantic decontamination: corpus docs whose max
+# cosine to any benchmark embedding reaches this are suspiciously close
+# to a held-out item. The synthetic embeddings are ~uniform (max cross
+# cosine ~0.43), so 0.35 keeps the flag path exercised with real output.
+SEM_DECON_COS = 0.35
+
+
+@register(
+    "semantic_decontam",
+    sql=f"""
+WITH e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+),
+bench AS (SELECT vec_id, emb FROM e WHERE vec_id < 50),
+corpus AS (SELECT vec_id, emb FROM e WHERE vec_id >= 50),
+m AS (
+    SELECT c.vec_id AS doc_id,
+           max(list_cosine_similarity(c.emb, b.emb)) AS mc
+    FROM corpus c CROSS JOIN bench b
+    GROUP BY c.vec_id
+)
+SELECT doc_id,
+       round(mc, 6) AS max_bench_cos,
+       mc >= {SEM_DECON_COS} AS flagged
+FROM m
+""",
+    tags=("dedup", "similarity", "curation", "scale"),
+)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination verdict — the embedding-space face of
+    the n-gram ``doc_decontam`` gate: an eval item paraphrased into the
+    training set shares no {5}-gram but still sits next to the
+    benchmark in embedding space (the SemDeDup observation applied to
+    leakage). Per corpus document: its max cosine to ANY benchmark
+    embedding and a flagged bit at >= {SEM_DECON_COS}. The held-out
+    benchmark is the same doc_id < 50 convention as ``doc_decontam``
+    (text_analysis.DECON_BENCH_MAX_DOC_ID), so the two verdicts gate
+    the same split and an operator can diff them: n-gram-flagged only
+    = verbatim copies, semantic-only = paraphrases.
+
+    Scale shape: the benchmark side is tiny by construction and
+    BROADCASTS into a nested-loop probe — O(N x |bench|) row-local
+    cosine work with no shuffle of the corpus side; the aggregation is
+    doc-keyed. For benches past broadcast size, bucket both sides with
+    ``sign_lsh_bucket`` (the ``embedding_near_dup`` shape) or probe an
+    IVF index — same verdict schema. Exactness: per-pair cosine is the
+    sequential-sum kernel both engines share; max over exact doubles is
+    exact; round-6 only on the reported column, the flag compares the
+    RAW max in both engines."""
+    from ..functions import vectors as V
+    from .text_analysis import DECON_BENCH_MAX_DOC_ID
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("emb")
+    )
+    bench = e.filter(F.col("vec_id") < DECON_BENCH_MAX_DOC_ID).select(
+        F.col("emb").alias("bemb")
+    )
+    corpus = e.filter(F.col("vec_id") >= DECON_BENCH_MAX_DOC_ID)
+    mc = (
+        corpus.crossJoin(F.broadcast(bench))
+        .groupBy(F.col("vec_id").alias("doc_id"))
+        .agg(F.max(V.cosine(F.col("emb"), F.col("bemb"))).alias("mc"))
+    )
+    return mc.select(
+        "doc_id",
+        F.round("mc", 6).alias("max_bench_cos"),
+        (F.col("mc") >= SEM_DECON_COS).alias("flagged"),
+    )
+
+
 def semantic_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized+persisted SemDeDup verdict for COMPOSITION (the manifest
     family, the data card, the funnels) — the registered query itself

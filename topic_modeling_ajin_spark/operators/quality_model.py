@@ -549,15 +549,26 @@ def q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     before picking thresholds. All three are registered exact-oracle
     queries composed verbatim; the panel adds only doc-keyed joins
     (LEFT on the LM side: docs with <2 tokens emit no bigrams and carry
-    NULL perplexity rather than vanishing from the report)."""
-    from .text_analysis import q_ngram_lm_perplexity, q_quality_score
+    NULL perplexity rather than vanishing from the report).
 
-    qs = q_quality_score(spark, sf_dir).select("doc_id", "quality")
-    ms = q_quality_model_score(spark, sf_dir).select(
-        "doc_id", F.col("score").alias("model_score")
-    )
-    lm = q_ngram_lm_perplexity(spark, sf_dir).select("doc_id", "perplexity")
-    return qs.join(ms, "doc_id").join(lm, "doc_id", "left")
+    Memoized+persisted (verdict-table discipline, r9):
+    ``quality_panel_agreement`` re-joins the panel per call, and the
+    table is doc-sized with four fixed-width columns."""
+    from ..cache import memo
+
+    def build() -> DataFrame:
+        from .text_analysis import q_ngram_lm_perplexity, q_quality_score
+
+        qs = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+        ms = q_quality_model_score(spark, sf_dir).select(
+            "doc_id", F.col("score").alias("model_score")
+        )
+        lm = q_ngram_lm_perplexity(spark, sf_dir).select(
+            "doc_id", "perplexity"
+        )
+        return qs.join(ms, "doc_id").join(lm, "doc_id", "left")
+
+    return memo(spark, ("quality_panel", sf_dir), build, persist=True)
 
 
 PSI_BINS = 10  # fixed-width bins over quality's [0, 1] range
