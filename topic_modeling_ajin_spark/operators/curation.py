@@ -2455,6 +2455,23 @@ _register_funnel_tokens()
 _register_data_card()
 
 
+# registered here, not in text_analysis: dedup's module-level SQL
+# construction imports text_analysis mid-import, so a registration there
+# would run before dedup's semantic_decontam exists — this module already
+# imports every gate source explicitly, so both verdicts are in _REG
+def _register_decontam_gap() -> None:
+    from .text_analysis import _decontam_gap_sql, q_decontam_gap_report
+
+    register(
+        "decontam_gap_report",
+        sql=_decontam_gap_sql(),
+        tags=("text_analysis", "curation", "eval"),
+    )(q_decontam_gap_report)
+
+
+_register_decontam_gap()
+
+
 def _funnel_extended_sql() -> str:
     from .text_analysis import DECON_BENCH_MAX_DOC_ID
 

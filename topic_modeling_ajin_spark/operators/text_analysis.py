@@ -875,6 +875,70 @@ def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo(spark, ("doc_decontam", sf_dir), build, persist=True)
 
 
+def _decontam_gap_sql() -> str:
+    from ..registry import REGISTRY
+
+    return f"""
+WITH dc AS ({REGISTRY["doc_decontam"].sql}),
+sd AS ({REGISTRY["semantic_decontam"].sql}),
+j AS (
+    SELECT dc.flagged AS ng, sd.flagged AS sm
+    FROM dc JOIN sd ON sd.doc_id = dc.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ng THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ngram_flagged,
+       CAST(sum(CASE WHEN sm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_semantic_flagged,
+       CAST(sum(CASE WHEN ng AND sm THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN ng AND NOT sm THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ngram_only,
+       CAST(sum(CASE WHEN sm AND NOT ng THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_semantic_only
+FROM j
+"""
+
+
+# NOTE: decontam_gap_report is REGISTERED from curation.py (the module
+# that already imports every gate source): dedup's module-level SQL
+# construction imports THIS module mid-import, so registering here would
+# run before dedup's semantic_decontam registration exists.
+
+
+def q_decontam_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row diff of the two decontamination gates — the number an
+    eval owner reads to judge whether n-gram matching is ENOUGH on this
+    corpus: ``n_ngram_only`` (verbatim copies the embedding gate's
+    threshold misses), ``n_both`` (agreement), and the one that matters,
+    ``n_semantic_only`` — docs near a benchmark item in embedding space
+    that share NO {DECON_NGRAM}-gram with it, i.e. the paraphrased
+    leakage a string-matching decontam pipeline ships. Composes the two
+    registered verdicts verbatim (same doc_id < {DECON_BENCH_MAX_DOC_ID}
+    held-out split); both are memo-backed doc-sized tables, the join is
+    doc-keyed, the output is one row."""
+    from .dedup import q_semantic_decontam
+
+    ng = q_doc_decontam(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("ng")
+    )
+    sm = q_semantic_decontam(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("sm")
+    )
+    j = ng.join(sm, "doc_id")
+
+    def n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        n(F.col("ng"), "n_ngram_flagged"),
+        n(F.col("sm"), "n_semantic_flagged"),
+        n(F.col("ng") & F.col("sm"), "n_both"),
+        n(F.col("ng") & ~F.col("sm"), "n_ngram_only"),
+        n(F.col("sm") & ~F.col("ng"), "n_semantic_only"),
+    )
+
+
 MIN_KEEP_TOKENS = 10
 MAX_KEEP_DUP = 0.3
 MIN_KEEP_QUALITY = 0.35
