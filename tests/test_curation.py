@@ -706,6 +706,34 @@ def test_funnel_by_source_sums_to_corpus_funnel(spark, sf_dir):
         assert vals == sorted(vals, reverse=True), r["source"]
 
 
+def test_funnel_tokens_by_source_sums_to_corpus_funnel(spark, sf_dir):
+    """Per-source token-funnel rows must sum to the corpus token funnel
+    exactly at every stage and be stage-monotone per row (shared flag
+    table + shared stage aggregates make disagreement structurally
+    impossible — this pins it stays that way)."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    total = reg["curation_funnel_tokens"].fn(spark, sf_dir).collect()[0].asDict()
+    rows = [
+        r.asDict()
+        for r in reg["curation_funnel_tokens_by_source"].fn(spark, sf_dir).collect()
+    ]
+    stages = [
+        "t_total",
+        "t_rule_pass",
+        "t_exact_kept",
+        "t_near_kept",
+        "t_sem_kept",
+        "t_mixed",
+    ]
+    for s in stages:
+        assert sum(r[s] for r in rows) == total[s], s
+    for r in rows:
+        vals = [r[s] for s in stages]
+        assert vals == sorted(vals, reverse=True), r["source"]
+
+
 def test_staged_strip_pipeline_matches_one_query(spark, sf_dir, tmp_path):
     """run_curation_pipeline(strip=True) must materialize cleaned texts
     whose md5 equals the audit's cleaned_md5, and a manifest_stripped

@@ -366,3 +366,41 @@ def test_customer_quartiles_window_is_partitioned(spark, sf_dir):
     assert spots, plan[:800]  # the row_number window must exist
     for at in spots:
         assert plan[at:].startswith("pid#"), plan[at - 30 : at + 60]
+
+
+def test_range_partitioned_rank_equals_window_ntile(spark):
+    """The two-phase range-partitioned exact rank + integer-DIV bucket
+    expression must reproduce ntile(4) OVER (ORDER BY ...) bit-for-bit
+    on adversarial inputs: N below the bucket count, N % 4 in every
+    residue class, and heavy ties on the sort value (broken by the
+    unique key, so the order stays total)."""
+    from pyspark.sql import Window
+
+    from topic_modeling_ajin_spark.operators.relational import (
+        _range_partitioned_row_numbers,
+    )
+
+    for n, n_vals in ((1, 1), (3, 2), (4, 3), (5, 2), (23, 4), (97, 7)):
+        rows = [(i, float((i * 7919) % n_vals)) for i in range(n)]
+        df = spark.createDataFrame(rows, "k long, v double")
+        ranked, total = _range_partitioned_row_numbers(
+            df, [F.desc("v"), F.asc("k")], memo_key=("rank_prop", n, n_vals)
+        )
+        assert total == n
+        q, r = divmod(n, 4)
+        if q == 0:
+            got = ranked.select("k", F.col("rn").cast("int").alias("b"))
+        else:
+            cut = r * (q + 1)
+            got = ranked.select(
+                "k",
+                F.expr(
+                    f"CAST(CASE WHEN rn <= {cut} THEN (rn - 1) DIV {q + 1} + 1 "
+                    f"ELSE {r} + (rn - {cut} - 1) DIV {q} + 1 END AS INT)"
+                ).alias("b"),
+            )
+        w = Window.orderBy(F.desc("v"), F.asc("k"))
+        want = df.select("k", F.ntile(4).over(w).alias("b"))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), (n, n_vals)

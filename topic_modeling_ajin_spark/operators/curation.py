@@ -2379,15 +2379,11 @@ def q_curation_funnel_by_source(
     )
 
 
-def _funnel_tokens_sql() -> str:
-    return f"""
-WITH {_funnel_flags_sql()},
-bpec AS ({_REG["bpe_token_counts"].sql}),
-ft AS (
-    SELECT f.*, b.n_bpe_tokens AS tok
-    FROM flags f JOIN bpec b ON b.doc_id = f.doc_id
-)
-SELECT CAST(sum(tok) AS BIGINT) AS t_total,
+# the token-mass stage SELECT list shared by the corpus-level and
+# per-source token funnels — ONE source of truth (the
+# _FUNNEL_STAGES_SQL discipline)
+_FUNNEL_TOKEN_STAGES_SQL = """
+       CAST(sum(tok) AS BIGINT) AS t_total,
        CAST(sum(CASE WHEN rule_ok THEN tok ELSE 0 END) AS BIGINT)
            AS t_rule_pass,
        CAST(sum(CASE WHEN rule_ok AND is_keeper THEN tok ELSE 0 END)
@@ -2399,8 +2395,34 @@ SELECT CAST(sum(tok) AS BIGINT) AS t_total,
            AS t_sem_kept,
        CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
                      AND sem_ok AND in_mix THEN tok ELSE 0 END) AS BIGINT)
-           AS t_mixed
+           AS t_mixed"""
+
+_FUNNEL_TOKENS_CTE = """bpec AS ({bpec}),
+ft AS (
+    SELECT f.*, b.n_bpe_tokens AS tok
+    FROM flags f JOIN bpec b ON b.doc_id = f.doc_id
+)"""
+
+
+def _funnel_tokens_sql() -> str:
+    cte = _FUNNEL_TOKENS_CTE.format(bpec=_REG["bpe_token_counts"].sql)
+    return f"""
+WITH {_funnel_flags_sql()},
+{cte}
+SELECT{_FUNNEL_TOKEN_STAGES_SQL}
 FROM ft
+"""
+
+
+def _funnel_tokens_by_source_sql() -> str:
+    cte = _FUNNEL_TOKENS_CTE.format(bpec=_REG["bpe_token_counts"].sql)
+    return f"""
+WITH {_funnel_flags_sql()},
+{cte}
+SELECT source,{_FUNNEL_TOKEN_STAGES_SQL}
+FROM ft
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -2410,6 +2432,11 @@ def _register_funnel_tokens() -> None:
         sql=_funnel_tokens_sql(),
         tags=("curation", "eval", "bpe"),
     )(q_curation_funnel_tokens)
+    register(
+        "curation_funnel_tokens_by_source",
+        sql=_funnel_tokens_by_source_sql(),
+        tags=("curation", "eval", "bpe"),
+    )(q_curation_funnel_tokens_by_source)
 
 
 def q_curation_funnel_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,15 +2448,47 @@ def q_curation_funnel_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative conjunctions as ``curation_funnel``, weighted by the
     memoized ``bpe_token_counts`` verdict table; one doc-keyed join, one
     aggregate."""
+    return _funnel_tokens_table(spark, sf_dir).agg(
+        *_funnel_token_stage_aggs()
+    )
+
+
+def q_curation_funnel_tokens_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The token-mass funnel PER SOURCE — which source's token budget
+    each gate eats (``curation_funnel_by_source`` told that story in
+    docs; a source of long documents can lose little of its doc count
+    and most of its token mass). Same flag table, same token weights,
+    same stage sums — one GROUP BY over the shared join, so the rows
+    sum to the corpus token funnel exactly (test-pinned); output is
+    n_sources-bounded."""
+    return (
+        _funnel_tokens_table(spark, sf_dir)
+        .groupBy("source")
+        .agg(*_funnel_token_stage_aggs())
+        .orderBy("source")
+    )
+
+
+def _funnel_tokens_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized funnel flag table weighted by the memoized BPE token
+    counts — the (flags, tok) join both token-funnel variants aggregate."""
     from .bpe import q_bpe_token_counts
 
-    tok = F.col("tok")
-    ft = _funnel_flags(spark, sf_dir).join(
+    return _funnel_flags(spark, sf_dir).join(
         q_bpe_token_counts(spark, sf_dir).select(
             "doc_id", F.col("n_bpe_tokens").alias("tok")
         ),
         "doc_id",
     )
+
+
+def _funnel_token_stage_aggs() -> list:
+    """Token-mass stage aggregates shared by both token-funnel variants
+    (the ``_funnel_stage_aggs`` discipline: one source of truth for the
+    cumulative conjunctions)."""
+    tok = F.col("tok")
 
     def cum(*conds) -> F.Column:
         acc = conds[0]
@@ -2439,14 +2498,14 @@ def q_curation_funnel_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r, k = F.col("rule_ok"), F.col("is_keeper")
     nd, s, m = ~F.col("is_near_dup"), F.col("sem_ok"), F.col("in_mix")
-    return ft.agg(
+    return [
         F.sum(tok).cast("bigint").alias("t_total"),
         cum(r).alias("t_rule_pass"),
         cum(r, k).alias("t_exact_kept"),
         cum(r, k, nd).alias("t_near_kept"),
         cum(r, k, nd, s).alias("t_sem_kept"),
         cum(r, k, nd, s, m).alias("t_mixed"),
-    )
+    ]
 
 
 _register_funnel()
