@@ -157,3 +157,45 @@ def test_semantic_decontam_flags_planted_paraphrase(spark, tmp_path):
         for r in q_semantic_decontam(spark, str(d)).collect()
     }
     assert got == {100: (1.0, True), 101: (0.0, False)}
+
+
+def test_decontam_gap_report_surfaces_embedding_coverage_gap(
+    spark, tmp_path
+):
+    """The gap report must never silently shrink to the embedded subset:
+    an n-gram-flagged doc with NO embedding shows up in n_no_embedding
+    and n_ngram_unevaluated, not in n_ngram_only (that column means the
+    semantic gate evaluated and said no)."""
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_decontam_gap_report,
+    )
+
+    docs = [
+        (1, "aa bb cc dd ee ff"),       # benchmark item (doc_id < 50)
+        (100, "aa bb cc dd ee zzz"),     # shares 5-gram; embedded near 1
+        (101, "x1 x2 x3 x4 x5 x6"),      # clean; embedded orthogonal
+        (102, "aa bb cc dd ee qqq"),     # shares 5-gram; NO embedding
+    ]
+    embs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (100, [2.0, 0.0, 0.0, 0.0]),     # cos 1.0 vs bench
+        (101, [0.0, 1.0, 0.0, 0.0]),     # cos 0.0
+    ]
+    d = str(tmp_path / "data")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = q_decontam_gap_report(spark, str(d)).collect()[0].asDict()
+    assert got == {
+        "n_docs": 3,
+        "n_no_embedding": 1,
+        "n_ngram_flagged": 2,
+        "n_semantic_flagged": 1,
+        "n_both": 1,
+        "n_ngram_only": 0,
+        "n_semantic_only": 0,
+        "n_ngram_unevaluated": 1,
+    }

@@ -2277,10 +2277,11 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every flag joins a registered (memoized) verdict table on doc_id.
 
     Memoized+persisted + lineage-collapsed (the verdict-table
-    discipline): FOUR registered queries compose this per call (both
-    funnels, the token funnel, and — through it — the data card), and
-    each used to re-derive the five-way flag join; the table is
-    doc-sized with seven fixed-width columns."""
+    discipline): the whole funnel family composes this per call — the
+    doc-count funnel and its by-source variant, the token funnel and
+    ITS by-source variant, and (through the token funnel) the data
+    card — and each used to re-derive the five-way flag join; the
+    table is doc-sized with seven fixed-width columns."""
     from ..cache import memo
 
     return memo(

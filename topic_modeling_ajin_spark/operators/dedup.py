@@ -1180,16 +1180,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_DECON_COS = 0.35
 
 
-@register(
-    "semantic_decontam",
-    sql=f"""
+def _sql_semantic_decontam() -> str:
+    # the bench split is imported, not repeated: doc_decontam's oracle
+    # interpolates the same constant, so the two gates cannot drift
+    from .text_analysis import DECON_BENCH_MAX_DOC_ID
+
+    return f"""
 WITH e AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
     FROM embeddings
 ),
-bench AS (SELECT vec_id, emb FROM e WHERE vec_id < 50),
-corpus AS (SELECT vec_id, emb FROM e WHERE vec_id >= 50),
+bench AS (SELECT vec_id, emb FROM e WHERE vec_id < {DECON_BENCH_MAX_DOC_ID}),
+corpus AS (SELECT vec_id, emb FROM e WHERE vec_id >= {DECON_BENCH_MAX_DOC_ID}),
 m AS (
     SELECT c.vec_id AS doc_id,
            max(list_cosine_similarity(c.emb, b.emb)) AS mc
@@ -1200,7 +1203,12 @@ SELECT doc_id,
        round(mc, 6) AS max_bench_cos,
        mc >= {SEM_DECON_COS} AS flagged
 FROM m
-""",
+"""
+
+
+@register(
+    "semantic_decontam",
+    sql=_sql_semantic_decontam(),
     tags=("dedup", "similarity", "curation", "scale"),
 )
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,27 +1231,35 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF index — same verdict schema. Exactness: per-pair cosine is the
     sequential-sum kernel both engines share; max over exact doubles is
     exact; round-6 only on the reported column, the flag compares the
-    RAW max in both engines."""
+    RAW max in both engines.
+
+    Memoized+persisted (the verdict-table discipline, like its n-gram
+    twin ``doc_decontam``): ``decontam_gap_report`` composes this per
+    call, and the corpus x bench cosine scan is the gate's whole cost —
+    the persisted verdict is doc-sized."""
     from ..functions import vectors as V
     from .text_analysis import DECON_BENCH_MAX_DOC_ID
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double("embedding").alias("emb")
-    )
-    bench = e.filter(F.col("vec_id") < DECON_BENCH_MAX_DOC_ID).select(
-        F.col("emb").alias("bemb")
-    )
-    corpus = e.filter(F.col("vec_id") >= DECON_BENCH_MAX_DOC_ID)
-    mc = (
-        corpus.crossJoin(F.broadcast(bench))
-        .groupBy(F.col("vec_id").alias("doc_id"))
-        .agg(F.max(V.cosine(F.col("emb"), F.col("bemb"))).alias("mc"))
-    )
-    return mc.select(
-        "doc_id",
-        F.round("mc", 6).alias("max_bench_cos"),
-        (F.col("mc") >= SEM_DECON_COS).alias("flagged"),
-    )
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", V.as_double("embedding").alias("emb")
+        )
+        bench = e.filter(F.col("vec_id") < DECON_BENCH_MAX_DOC_ID).select(
+            F.col("emb").alias("bemb")
+        )
+        corpus = e.filter(F.col("vec_id") >= DECON_BENCH_MAX_DOC_ID)
+        mc = (
+            corpus.crossJoin(F.broadcast(bench))
+            .groupBy(F.col("vec_id").alias("doc_id"))
+            .agg(F.max(V.cosine(F.col("emb"), F.col("bemb"))).alias("mc"))
+        )
+        return mc.select(
+            "doc_id",
+            F.round("mc", 6).alias("max_bench_cos"),
+            (F.col("mc") >= SEM_DECON_COS).alias("flagged"),
+        )
+
+    return memo(spark, ("semantic_decontam", sf_dir), build, persist=True)
 
 
 def semantic_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:

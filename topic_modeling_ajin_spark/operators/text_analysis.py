@@ -883,18 +883,22 @@ WITH dc AS ({REGISTRY["doc_decontam"].sql}),
 sd AS ({REGISTRY["semantic_decontam"].sql}),
 j AS (
     SELECT dc.flagged AS ng, sd.flagged AS sm
-    FROM dc JOIN sd ON sd.doc_id = dc.doc_id
+    FROM dc LEFT JOIN sd ON sd.doc_id = dc.doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN sm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_embedding,
        CAST(sum(CASE WHEN ng THEN 1 ELSE 0 END) AS BIGINT)
            AS n_ngram_flagged,
        CAST(sum(CASE WHEN sm THEN 1 ELSE 0 END) AS BIGINT)
            AS n_semantic_flagged,
        CAST(sum(CASE WHEN ng AND sm THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
-       CAST(sum(CASE WHEN ng AND NOT sm THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN ng AND sm = false THEN 1 ELSE 0 END) AS BIGINT)
            AS n_ngram_only,
        CAST(sum(CASE WHEN sm AND NOT ng THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_semantic_only
+           AS n_semantic_only,
+       CAST(sum(CASE WHEN ng AND sm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ngram_unevaluated
 FROM j
 """
 
@@ -915,7 +919,15 @@ def q_decontam_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage a string-matching decontam pipeline ships. Composes the two
     registered verdicts verbatim (same doc_id < {DECON_BENCH_MAX_DOC_ID}
     held-out split); both are memo-backed doc-sized tables, the join is
-    doc-keyed, the output is one row."""
+    doc-keyed, the output is one row.
+
+    Coverage is explicit, never silent: the n-gram verdict covers every
+    corpus DOCUMENT but the semantic verdict only docs that HAVE an
+    embedding, so the join is LEFT from the n-gram side and the report
+    carries ``n_no_embedding`` (the coverage gap) and
+    ``n_ngram_unevaluated`` (n-gram-flagged docs the semantic gate never
+    saw); ``n_ngram_only`` counts only docs where BOTH gates evaluated
+    (sm = false, not sm IS NULL)."""
     from .dedup import q_semantic_decontam
 
     ng = q_doc_decontam(spark, sf_dir).select(
@@ -924,18 +936,20 @@ def q_decontam_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = q_semantic_decontam(spark, sf_dir).select(
         "doc_id", F.col("flagged").alias("sm")
     )
-    j = ng.join(sm, "doc_id")
+    j = ng.join(sm, "doc_id", "left")
 
     def n(cond, name):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
 
     return j.agg(
         F.count("*").cast("bigint").alias("n_docs"),
+        n(F.col("sm").isNull(), "n_no_embedding"),
         n(F.col("ng"), "n_ngram_flagged"),
         n(F.col("sm"), "n_semantic_flagged"),
         n(F.col("ng") & F.col("sm"), "n_both"),
-        n(F.col("ng") & ~F.col("sm"), "n_ngram_only"),
+        n(F.col("ng") & (F.col("sm") == F.lit(False)), "n_ngram_only"),
         n(F.col("sm") & ~F.col("ng"), "n_semantic_only"),
+        n(F.col("ng") & F.col("sm").isNull(), "n_ngram_unevaluated"),
     )
 
 
