@@ -974,6 +974,75 @@ def test_jaccard_sweep_routes_hot_shingles_out_of_pair_join(
     ]
 
 
+def test_near_dup_discard_is_hot_shingle_guarded(spark, tmp_path):
+    """r9 verdict task 1: the near-dup GATE the manifest family composes
+    must route corpus-wide boilerplate shingles out of pair formation.
+    Plant HOT_SHINGLE_CAP+4 docs sharing a 5-token boilerplate prefix
+    (3 hot shingles -> ~n²/2 pairs if joined) plus three probe pairs:
+
+    - a cold near-dup pair (3000, 3001): discarded as before;
+    - a mixed pair (2000, 2001) whose Jaccard clears 0.8 ONLY with
+      full-set arithmetic (9/11 = 0.818 full vs 6/8 = 0.75 cold-only):
+      pins that guarded pairs keep the gate's exact figure;
+    - a pair (4000, 4001) connected SOLELY by hot shingles (verbatim
+      boilerplate): excluded from THIS gate by design — identical
+      copies are the fingerprint/exact-dup family's population.
+
+    The guarded pair table must stay linear in the boilerplate (2 pairs,
+    not ~n²/2) and its plan must broadcast-anti-join the hot set."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        HOT_SHINGLE_CAP,
+        hot_guarded_pair_stats,
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+    )
+
+    n = HOT_SHINGLE_CAP + 4
+    boiler = "common nav footer shared block"
+    rows = [
+        (i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(n)
+    ]
+    # mixed pair: boiler + 7-token tail, last token differs. 12 tokens ->
+    # 10 shingles (3 hot, 7 cold); shared = 3 hot + 6 cold = 9, union 11
+    # -> full Jaccard 0.818 >= 0.8; cold-only would be 6/8 = 0.75 < 0.8.
+    tail = " ".join(f"b{i}" for i in range(7))
+    rows.append((2000, f"{boiler} {tail}"))
+    rows.append((2001, f"{boiler} {' '.join(tail.split()[:-1])} gamma"))
+    # cold pair: 20 tokens, last differs -> 17/19 = 0.895 >= 0.8
+    alpha = " ".join(f"a{i}" for i in range(20))
+    rows.append((3000, alpha))
+    rows.append((3001, " ".join(alpha.split()[:-1]) + " omega"))
+    # hot-only pair: verbatim boilerplate, all 3 shingles hot
+    rows.append((4000, boiler))
+    rows.append((4001, boiler))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    stats = hot_guarded_pair_stats(spark, str(d))
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["inter"], r["stot"])
+        for r in stats.collect()
+    )
+    assert pairs == [(2000, 2001, 9, 20), (3000, 3001, 17, 36)]
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    discards = sorted(
+        r["discard_doc_id"] for r in q_near_dup_discard(spark, str(d)).collect()
+    )
+    assert discards == [2001, 3001]
+    # the hot-only dup the gate no longer sees IS caught by the exact gate
+    fp = {
+        r["keeper"]: r["n_copies"]
+        for r in q_fingerprint_dedup(spark, str(d)).collect()
+    }
+    assert fp[4000] == 2
+
+
 def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
     """Stripped packs must conserve the stripped manifest's token mass,
     cover contiguous pack ids from 0, and fit the budget (every pack

@@ -1413,14 +1413,21 @@ def run_curation_pipeline(
         # table lands beside the doc-count one, and manifest_tokens is
         # the same staged join with the mixture stage swapped — the
         # staged twin of the one-query training_corpus_manifest_tokens
-        # (parity pinned in tests)
+        # (parity pinned in tests). strict/winnow forward (r9 ADVICE):
+        # both manifests in one output dir must be gated by the SAME
+        # ladder, so a strict or winnow run's tokens twin applies the
+        # same boilerplate/winnow anti-joins as the doc-count manifest.
         write_parquet(
             reg["mixture_sample_tokens"].fn(spark, sf_dir),
             f"{out_dir}/mixture_sample_tokens",
         )
         write_parquet(
             staged_manifest(
-                spark, out_dir, mix_stage="mixture_sample_tokens"
+                spark,
+                out_dir,
+                strict=strict,
+                winnow=winnow,
+                mix_stage="mixture_sample_tokens",
             ),
             f"{out_dir}/manifest_tokens",
         )

@@ -225,11 +225,16 @@ def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 SWEEP_MIN_JACCARD = 0.5
 SWEEP_BANDS = 20  # 0.05-wide bands: band k covers [k/20, (k+1)/20)
 
-
-@register(
-    "jaccard_threshold_sweep",
-    sql=f"""
-WITH {SQL_SHINGLES},
+# Shared hot-guarded exact-Jaccard pair machinery (r9 sweep, r10 extended
+# to the near-dup GATE): shingles held by > HOT_SHINGLE_CAP docs are
+# routed OUT of the pair-forming self-join via broadcast anti-join —
+# Σ_shingle(df²) stays bounded — and once a pair is formed by ≥1 cold
+# shingle its hot intersection is recovered from per-doc hot lists so the
+# pair's Jaccard is the FULL exact figure. The only loss: pairs connected
+# SOLELY by hot (corpus-wide boilerplate) shingles — the population the
+# exact-dup and strip gates own. `gp` = guarded pairs (doc_a, doc_b,
+# inter, stot); requires the SQL_SHINGLES CTEs (sh, sz) in scope.
+SQL_HOT_GUARDED_PAIRS = f"""
 hot AS (
     SELECT shingle FROM sh GROUP BY shingle
     HAVING count(*) > {HOT_SHINGLE_CAP}
@@ -243,25 +248,117 @@ dh AS (
     FROM sh s JOIN hot h ON h.shingle = s.shingle
     GROUP BY s.doc_id
 ),
-pairs AS (
+cpairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cold
     FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
-j AS (
-    SELECT p.inter_cold
+gp AS (
+    SELECT p.doc_a, p.doc_b,
+           p.inter_cold
              + coalesce(length(list_intersect(ha.hs, hb.hs)), 0) AS inter,
            x.n + y.n AS stot
-    FROM pairs p
+    FROM cpairs p
     JOIN sz x ON x.doc_id = p.doc_a
     JOIN sz y ON y.doc_id = p.doc_b
     LEFT JOIN dh ha ON ha.doc_id = p.doc_a
     LEFT JOIN dh hb ON hb.doc_id = p.doc_b
-),
+)
+"""
+
+
+def _hot_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles held by > HOT_SHINGLE_CAP docs — the set ``hot_shingles``
+    audits and the guarded pair joins route out of pair formation.
+    Memoized+persisted and EAGER: consumers are concurrently-prepared
+    broadcast subtrees, which would recompute an unmaterialized cache."""
+    return memo(
+        spark,
+        ("hot_shingle_set", sf_dir),
+        lambda: _exploded_shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > HOT_SHINGLE_CAP)
+        .select("shingle"),
+        persist=True,
+        eager=True,
+    )
+
+
+def hot_guarded_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, inter, stot) for every pair sharing ≥1 NON-hot
+    shingle — the bounded exact-Jaccard candidate generator shared by the
+    threshold sweep and the near-dup gate (Spark face of the
+    ``SQL_HOT_GUARDED_PAIRS`` CTEs).
+
+    ``inter`` is the FULL exact shingle intersection: the cold part from
+    the guarded equi-join, the hot part recovered from per-doc hot lists
+    (pair-bounded join; each list is at most n_hot long). ``stot`` is
+    |A|+|B| over FULL shingle sets, so downstream Jaccard arithmetic is
+    exactly what the unguarded join would compute for every pair that
+    survives. Cost: Σ over cold shingles of df² — one corpus-wide
+    boilerplate shingle held by d docs no longer fans ~d²/2 rows into the
+    join."""
+    sh = _exploded_shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    hot = _hot_shingle_set(spark, sf_dir)
+    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    dh = (
+        sh.join(F.broadcast(hot), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hs"))
+    )
+    a = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_cold"))
+    )
+    empty = F.array().cast("array<string>")
+    inter = F.col("inter_cold") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("hsa"), empty), F.coalesce(F.col("hsb"), empty)
+        )
+    )
+    return (
+        pairs.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .join(
+            dh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            dh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            (F.col("na") + F.col("nb")).alias("stot"),
+        )
+    )
+
+
+@register(
+    "jaccard_threshold_sweep",
+    sql=f"""
+WITH {SQL_SHINGLES},
+{SQL_HOT_GUARDED_PAIRS},
 jac AS (
     SELECT CAST(floor(inter * {SWEEP_BANDS}.0 / (stot - inter))
                 AS BIGINT) AS band
-    FROM j
+    FROM gp
     WHERE inter * 1.0 / (stot - inter) >= {SWEEP_MIN_JACCARD}
 ),
 nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_excluded FROM hot),
@@ -301,64 +398,11 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists even when no pair survives (band NULL, n_pairs 0), so the
     exclusion is never silent. The band floor is correctly-rounded
     double division of exact integers, so both engines band
-    identically."""
-    sh = _exploded_shingles(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # eager: the consumers below are concurrently-prepared broadcast
-    # subtrees, which recompute an unmaterialized cache (memo contract)
-    hot = memo(
-        spark,
-        ("sweep_hot_shingles", sf_dir),
-        lambda: sh.groupBy("shingle")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") > HOT_SHINGLE_CAP)
-        .select("shingle"),
-        persist=True,
-        eager=True,
-    )
-    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    dh = (
-        sh.join(F.broadcast(hot), "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("hs"))
-    )
-    a = cold.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = cold.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_cold"))
-    )
-    n_hot = hot.agg(
+    identically. The guarded pair machinery is shared with the near-dup
+    GATE (``hot_guarded_pair_stats``)."""
+    j = hot_guarded_pair_stats(spark, sf_dir)
+    n_hot = _hot_shingle_set(spark, sf_dir).agg(
         F.count("*").cast("bigint").alias("n_hot_excluded")
-    )
-    empty = F.array().cast("array<string>")
-    inter = F.col("inter_cold") + F.size(
-        F.array_intersect(
-            F.coalesce(F.col("hsa"), empty), F.coalesce(F.col("hsb"), empty)
-        )
-    )
-    j = (
-        pairs.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .join(
-            dh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")),
-            "doc_a",
-            "left",
-        )
-        .join(
-            dh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")),
-            "doc_b",
-            "left",
-        )
-        .select(inter.alias("inter"), (F.col("na") + F.col("nb")).alias("stot"))
     )
     union = F.col("stot") - F.col("inter")
     bands = (
@@ -565,17 +609,10 @@ def lsh_pairs_from_shingled(sh: DataFrame) -> DataFrame:
     "near_dup_discard",
     sql=f"""
 WITH {SQL_SHINGLES},
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-),
-dup AS (
-    SELECT doc_b
-    FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-    WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
-)
-SELECT DISTINCT doc_b AS discard_doc_id FROM dup
+{SQL_HOT_GUARDED_PAIRS}
+SELECT DISTINCT doc_b AS discard_doc_id
+FROM gp
+WHERE inter * 1.0 / (stot - inter) >= {JACCARD_THRESHOLD}
 """,
     tags=("dedup",),
 )
@@ -583,37 +620,37 @@ def q_near_dup_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup decision: discard the higher-id member of every near-dup pair
     (keep-first policy, deterministic under parallelism).
 
+    Hot-shingle-guarded (r9 verdict's one scale-killer, closed r10): this
+    is the gate ``training_corpus_manifest`` and every funnel/card
+    composes, so its pair formation runs through
+    ``hot_guarded_pair_stats`` — shingles held by > {HOT_SHINGLE_CAP}
+    docs are broadcast-anti-joined out of the self-join (one corpus-wide
+    boilerplate shingle in d docs no longer fans ~d²/2 rows), while every
+    pair that IS formed keeps the FULL exact Jaccard (hot intersections
+    recovered from per-doc hot lists, sizes over full shingle sets). The
+    only discards lost are docs near-identical SOLELY through boilerplate
+    shingles — identical-boilerplate copies are exact dups the
+    fingerprint gate already catches, and partial-boilerplate mass is the
+    strip family's population. Guard activity is never silent
+    corpus-wide: ``hot_shingles`` names the routed set and
+    ``jaccard_threshold_sweep.n_hot_excluded`` counts it (same cap, same
+    memoized table).
+
     Memoized+persisted (the verdict-table discipline): the manifest
     family, the data card, and all three funnels compose this tiny
     discard list per call, and without the memo each action re-paid the
-    shared-shingle pair join."""
+    pair join."""
 
     def build() -> DataFrame:
-        sh = _exploded_shingles(spark, sf_dir)
-        sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
-        jac = (
-            inter.join(
-                sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-                "doc_a",
-            )
-            .join(
-                sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-                "doc_b",
-            )
-            .filter(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        j = hot_guarded_pair_stats(spark, sf_dir)
+        return (
+            j.filter(
+                F.col("inter") / (F.col("stot") - F.col("inter"))
                 >= JACCARD_THRESHOLD
             )
+            .select(F.col("doc_b").alias("discard_doc_id"))
+            .distinct()
         )
-        return jac.select(F.col("doc_b").alias("discard_doc_id")).distinct()
 
     return memo(spark, ("near_dup_discard", sf_dir), build, persist=True)
 

@@ -540,14 +540,24 @@ def _range_partitioned_row_numbers(
     partition — a PARTITIONED window, every partition ranks in parallel;
     (3) per-partition counts (≤ one long per shuffle partition) are
     prefix-summed on the driver and broadcast back as offsets. Returns
-    (df + ``rn``/``pid`` columns, total row count)."""
+    (df + ``rn``/``pid`` columns, total row count).
+
+    The partition COUNT is passed explicitly (r9 ADVICE): persist() is
+    best-effort, and on block eviction the recompute re-runs
+    repartitionByRange — with an implicit count, AQE shuffle coalescing
+    could remap rows to different pids than the offsets were computed
+    from. AQE never coalesces a user-specified count, so the eviction
+    recompute reproduces the identical row->pid mapping (range
+    boundaries come from a deterministic bounded sample of the same
+    input)."""
     from ..cache import memo
 
     spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = memo(
         spark,
         memo_key,
-        lambda: df.repartitionByRange(*order_cols).withColumn(
+        lambda: df.repartitionByRange(n_part, *order_cols).withColumn(
             "pid", F.spark_partition_id()
         ),
         persist=True,

@@ -710,15 +710,17 @@ def run_streaming_ingest_dedup(
        O(store) to O(matching buckets). The store costs O(total
        distinct shingles) — the honest price of exact-Jaccard parity;
        the SimHash gate remains the O(1)-per-doc option. The
-       shared-shingle join carries NO hot-shingle cap — deliberately:
-       the batch rule it must equal has none, and capping would
-       silently change the drop set (a corpus-wide boilerplate shingle
-       inflates candidate pairs in BOTH engines identically; the
-       mitigation at that point is the boilerplate strip/gate upstream,
-       not a parity-breaking cap here — ``store_hot_shingles`` is the
-       audit that names the offenders before they detonate). The batch
-       side of both joins broadcasts, so the store is probed in place,
-       never shuffled;
+       shared-shingle join carries NO hot-shingle routing — since r10
+       the BATCH gate routes shingles held by > HOT_SHINGLE_CAP docs
+       out of pair formation (recovering their intersections from
+       per-doc hot lists, so only pairs connected SOLELY by
+       boilerplate differ), while this gate stays fully exact: on a
+       corpus with hot shingles the stream may drop boilerplate-only
+       near-identical docs the batch gate now leaves to the
+       fingerprint/strip family. ``store_hot_shingles`` is the audit
+       that names the offenders before they detonate the within-bucket
+       join. The batch side of both joins broadcasts, so the store is
+       probed in place, never shuffled;
     3c'. (optional embedding near-dup gate, r8 VERDICT task 7) with
        ``near_dup_cosine`` set (the stream must carry an ``embedding``
        column — enforced loudly), drop any survivor whose int8-quantized
@@ -735,8 +737,15 @@ def run_streaming_ingest_dedup(
        partition-prunes to exactly the buckets this batch's docs hash
        into — exact pruning, since candidates only form inside a
        bucket. Cosine is computed over the int8 codes (scale-invariant,
-       so identical to the dequantized vectors); zero/absent embeddings
-       bypass the gate and store nothing, as NULL simhash does.
+       so identical to the dequantized vectors — but the CODES are
+       per-vector max-abs quantized, so against the batch twin's
+       FLOAT-embedding cosine this gate carries a ~1e-2 quantization
+       tolerance near the threshold: a pair within about 0.01 of
+       ``near_dup_cosine`` can be kept by one face and dropped by the
+       other; do not expect exact batch/stream drop-set equality for
+       borderline pairs, and set the threshold with that margin in
+       mind); zero/absent embeddings bypass the gate and store nothing,
+       as NULL simhash does.
        Embedding-DROPPED docs still store their vector (the step 3b
        discipline) so they veto later copies;
     3d. (optional decontamination gate) with ``decontam_bench_dir`` set
