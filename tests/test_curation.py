@@ -367,6 +367,80 @@ def test_export_shards_is_the_trainer_artifact(spark, sf_dir, tmp_path):
     assert got_packs == want_packs
 
 
+def test_export_token_shards_ships_packed_token_ids(spark, sf_dir, tmp_path):
+    """r9 verdict task 2: run_curation_pipeline(export_tokens=True) must
+    ship the artifact a trainer mounts — shard-partitioned parquet of
+    packed TOKEN-ID sequences over the token-budget manifest. Reading
+    the shards back: (1) doc membership and budgets are EXACTLY the
+    registered training_corpus_manifest_tokens, and every row's
+    token_ids array matches the registered doc_token_ids oracle (ids
+    string split) with len == n_bpe_tokens — budget conservation down
+    to the id stream; (2) grouping rows by pack_id reproduces the
+    registered pack_sequences_tokens aggregate; (3) seq_pos is the
+    0-based doc_id-order position within each pack; (4) every row's
+    shard is the deterministic md5 rule on PACK id, replayed in pure
+    Python — whole packs never straddle shards."""
+    import hashlib
+    import os
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        N_SHARDS,
+        run_curation_pipeline,
+    )
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    out = str(tmp_path / "pipe_tok")
+    run_curation_pipeline(spark, sf_dir, out, export_tokens=True)
+    rows = spark.read.parquet(f"{out}/token_shards").collect()
+    mt = reg["training_corpus_manifest_tokens"].fn(spark, sf_dir).collect()
+    assert {(r["doc_id"], r["n_bpe_tokens"]) for r in rows} == {
+        (r["doc_id"], r["n_bpe_tokens"]) for r in mt
+    } and len(rows) > 0
+
+    ids = {
+        r["doc_id"]: r["token_ids"]
+        for r in reg["doc_token_ids"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        want = [int(x) for x in ids[r["doc_id"]].split()] if ids[r["doc_id"]] else []
+        assert list(r["token_ids"]) == want
+        assert len(r["token_ids"]) == r["n_bpe_tokens"]
+
+    packs: dict[int, list] = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    got_packs = sorted(
+        (
+            pid,
+            len(rs),
+            sum(r["n_bpe_tokens"] for r in rs),
+            min(r["doc_id"] for r in rs),
+            max(r["doc_id"] for r in rs),
+        )
+        for pid, rs in packs.items()
+    )
+    want_packs = sorted(
+        tuple(r) for r in reg["pack_sequences_tokens"].fn(spark, sf_dir).collect()
+    )
+    assert got_packs == want_packs
+
+    shard_dirs = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{out}/token_shards")
+        if d.startswith("shard=")
+    }
+    for pid, rs in packs.items():
+        want_pos = list(range(len(rs)))
+        got_pos = [
+            r["seq_pos"] for r in sorted(rs, key=lambda r: r["doc_id"])
+        ]
+        assert got_pos == want_pos
+        u = int(hashlib.md5(f"tshard|{pid}".encode()).hexdigest()[:8], 16)
+        shards = {r["shard"] for r in rs}
+        assert shards == {u % N_SHARDS} and shards <= shard_dirs
+
+
 def test_staged_selection_matches_one_query_curated_dsir(
     spark, sf_dir, tmp_path
 ):

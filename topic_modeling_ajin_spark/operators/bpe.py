@@ -140,7 +140,15 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
             nxt.count()  # materialize BEFORE dropping the parent
             seq.unpersist()
             seq = nxt
-        return merges, seq
+        # collapse the 12-round lineage to a LogicalRDD (the
+        # _manifest_base discipline): the final seq table is persisted,
+        # but every downstream action still re-ANALYZES the full
+        # per-round tree before the cache lookup — measured tens of
+        # seconds of pure planning per consumer (encode, doc lengths,
+        # token ids) at sf0.01
+        final = seq.localCheckpoint()
+        seq.unpersist()
+        return merges, final
 
     return memo(spark, ("bpe_fit", sf_dir), build)
 
@@ -360,6 +368,190 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = bpe_doc_lengths(spark, sf_dir)
     return d.select(
         "doc_id", "n_words", F.col("n_bpe").alias("n_bpe_tokens")
+    )
+
+
+# ----------------------------------------- token-ID encoding (r9 task 2)
+# The shard export previously shipped cleaned TEXT; a trainer mounts
+# packed token-ID sequences. These queries close that last join: a
+# deterministic piece -> id vocabulary, then per-doc id streams.
+
+
+def piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, piece_id): the trained tokenizer's id table — distinct
+    pieces of the encoded vocabulary, ids assigned by sorted piece order
+    (0-based), so both engines derive identical ids with no training
+    state beyond the merge table itself.
+
+    The global rank window is ALPHABET-bounded, not corpus-bounded:
+    after {BPE_MERGES} merges every piece is either a single character
+    or one of the {BPE_MERGES} merge outputs, so |pieces| <= distinct
+    corpus characters + {BPE_MERGES} — a plan-sweep-sanctioned window
+    input. Memoized+persisted: the word encoder and the export both
+    broadcast it."""
+
+    def build() -> DataFrame:
+        from pyspark.sql import Window
+
+        _, seq = _bpe_fit(spark, sf_dir)
+        pieces = seq.select(F.explode("seq").alias("piece")).distinct()
+        return pieces.withColumn(
+            "piece_id",
+            (F.row_number().over(Window.orderBy("piece")) - 1).cast("long"),
+        )
+
+    return memo(spark, ("piece_vocab", sf_dir), build, persist=True)
+
+
+# shared oracle CTE: the id table over the final training round
+_SQL_PIECE_VOCAB = f"""
+vocab AS (
+    SELECT piece,
+           CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS piece_id
+    FROM (SELECT DISTINCT unnest(seq) AS piece FROM seq{BPE_MERGES})
+)"""
+
+
+@register(
+    "bpe_piece_vocab",
+    sql=f"""
+WITH {_sql_bpe_rounds(BPE_MERGES)},
+{_SQL_PIECE_VOCAB}
+SELECT piece, piece_id FROM vocab
+""",
+    tags=("text_analysis", "tokenize", "bpe"),
+)
+def q_bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's piece -> id vocabulary (sorted-piece ids,
+    exact in both engines) — the table that turns piece strings into the
+    token IDS a training run consumes."""
+    return piece_vocab(spark, sf_dir)
+
+
+def word_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, np, ids array<long>): every vocabulary word's token-id
+    sequence under the trained merges — posexplode the encoded pieces,
+    join the broadcast id table, re-assemble in piece order. Vocab-sized
+    (|V| rows) and memoized+persisted: the per-doc encoder broadcasts it
+    so the corpus side never shuffles to pick up its ids."""
+
+    def build() -> DataFrame:
+        _, seq = _bpe_fit(spark, sf_dir)
+        wp = seq.select("word", F.posexplode("seq").alias("pidx", "piece"))
+        return (
+            wp.join(F.broadcast(piece_vocab(spark, sf_dir)), "piece")
+            .groupBy("word")
+            .agg(
+                F.count("*").cast("long").alias("np"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "piece_id"))),
+                    lambda x: x["piece_id"],
+                ).alias("ids"),
+            )
+        )
+
+    return memo(spark, ("word_token_ids", sf_dir), build, persist=True)
+
+
+def doc_token_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, ids array<long>) for every document: the doc's
+    token-id stream is the concatenation, in word order, of its words'
+    id sequences. One posexplode + broadcast join + per-doc re-assembly
+    (collect_list is doc-bounded); token-less docs carry (0, []).
+    Memoized + localCheckpoint (the ``_manifest_base`` discipline, not
+    bare persist): the lineage drags the 12-round BPE-fit tree, so every
+    warm action would re-pay tens of seconds of pure Catalyst analysis
+    before the cache lookup — the checkpoint collapses it to a
+    LogicalRDD. The registered string-form query and the token shard
+    export both consume it."""
+    from ..functions import text as TX
+
+    def build() -> DataFrame:
+        words = _docs(spark, sf_dir).select(
+            "doc_id", F.posexplode(TX.word_tokens("text")).alias("widx", "word")
+        )
+        agg = (
+            words.join(F.broadcast(word_token_ids(spark, sf_dir)), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("np").cast("long").alias("n_tokens"),
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("widx", "ids"))),
+                        lambda x: x["ids"],
+                    )
+                ).alias("ids"),
+            )
+        )
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+                F.coalesce(
+                    "ids", F.array().cast("array<long>")
+                ).alias("ids"),
+            )
+            .localCheckpoint()
+        )
+
+    return memo(spark, ("doc_token_id_arrays", sf_dir), build)
+
+
+@register(
+    "doc_token_ids",
+    sql=f"""
+WITH {_sql_bpe_rounds(BPE_MERGES)},
+{_SQL_PIECE_VOCAB},
+wp AS (
+    SELECT word, unnest(list_transform(range(1, length(seq) + 1),
+           i -> struct_pack(pidx := i, piece := seq[i]))) AS s
+    FROM seq{BPE_MERGES}
+),
+wp2 AS (SELECT word, s.pidx AS pidx, s.piece AS piece FROM wp),
+wid AS (
+    SELECT w.word, CAST(count(*) AS BIGINT) AS np,
+           string_agg(CAST(v.piece_id AS VARCHAR), ' ' ORDER BY w.pidx)
+               AS ids_str
+    FROM wp2 w JOIN vocab v ON v.piece = w.piece
+    GROUP BY w.word
+),
+dwx AS (
+    SELECT doc_id, unnest(list_transform(range(1, length(toks) + 1),
+           i -> struct_pack(widx := i, word := toks[i]))) AS s
+    FROM ({_SQL_TOKS})
+),
+dw2 AS (SELECT doc_id, s.widx AS widx, s.word AS word FROM dwx),
+agg AS (
+    SELECT d.doc_id,
+           CAST(sum(w.np) AS BIGINT) AS n_tokens,
+           string_agg(w.ids_str, ' ' ORDER BY d.widx) AS token_ids
+    FROM dw2 d JOIN wid w ON w.word = d.word
+    GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(a.token_ids, '') AS token_ids
+FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+""",
+    tags=("text_analysis", "tokenize", "bpe", "scale"),
+)
+def q_doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TOKEN-ID streams under the trained tokenizer:
+    (doc_id, n_tokens, space-joined ids) — the string face of
+    ``doc_token_id_arrays`` (exact-oracle-comparable; the export ships
+    the array form). ``n_tokens`` equals ``bpe_token_counts``'
+    ``n_bpe_tokens`` by construction — same words, same merge table —
+    so the id streams conserve every token budget downstream."""
+    d = doc_token_id_arrays(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(
+            F.transform(F.col("ids"), lambda x: x.cast("string")), " "
+        ).alias("token_ids"),
     )
 
 

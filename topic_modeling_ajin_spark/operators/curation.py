@@ -1372,6 +1372,7 @@ def run_curation_pipeline(
     strip: bool = False,
     mixture_tokens: bool = False,
     export: bool = False,
+    export_tokens: bool = False,
 ) -> DataFrame:
     """The 100 TB shape of ``training_corpus_manifest``: run each gate as
     its own job, WRITE its verdict table to parquet, and build the
@@ -1391,8 +1392,11 @@ def run_curation_pipeline(
     from ..sources.io import write_parquet
 
     # the shard export ships stripped texts + stripped budgets, so it
-    # requires (and therefore implies) the strip stage tables
+    # requires (and therefore implies) the strip stage tables; the
+    # token-shard export packs the TOKEN-budget manifest, so it implies
+    # the mixture_tokens stage
     strip = strip or export
+    mixture_tokens = mixture_tokens or export_tokens
     reg = load_all()
     for stage in CURATION_STAGES:
         if stage == "doc_boilerplate" and not strict:
@@ -1488,6 +1492,8 @@ def run_curation_pipeline(
         )
     if export:
         export_shards(spark, out_dir)
+    if export_tokens:
+        export_token_shards(spark, sf_dir, out_dir)
     return spark.read.parquet(f"{out_dir}/manifest").orderBy("doc_id")
 
 
@@ -1535,6 +1541,70 @@ def export_shards(spark: SparkSession, out_dir: str) -> None:
             shard.alias("shard"),
         ),
         f"{out_dir}/shards",
+        partition_by=("shard",),
+    )
+
+
+def export_token_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """The TOKEN-ID form of the trainer artifact (r9 verdict task 2):
+    ``export_shards`` ships cleaned text, but what a training run mounts
+    is packed token-id sequences — this writes shards of
+    (pack_id, seq_pos, doc_id, token_ids array<long>) over the
+    TOKEN-BUDGET manifest, closing the one join the pipeline previously
+    stopped short of.
+
+    Stages first: the per-doc id streams (``bpe.doc_token_id_arrays`` —
+    the trained tokenizer applied to every doc, ids from the registered
+    ``bpe_piece_vocab`` rule) land at ``{{out_dir}}/doc_token_ids`` as
+    their own retryable parquet table. Then pack ids come from
+    ``pack_assignments`` over the manifest's BPE budgets (the per-doc
+    form of ``pack_sequences_tokens``), ``seq_pos`` is the doc's
+    0-based position within its pack (partitioned window — packs are
+    budget-bounded), and the shard key is the deterministic md5 rule
+    keyed on PACK id ('tshard|' || pack_id), so a whole training
+    sequence always lands in one shard and a trainer never reassembles
+    across shard files. Scale: the heavy ``token_ids`` column joins in
+    LAST and moves exactly once, in the partitionBy(shard) write; all
+    other joins carry doc-keyed metadata."""
+    from ..sources.io import write_parquet
+    from .bpe import BPE_PACK_BUDGET, doc_token_id_arrays
+
+    write_parquet(
+        doc_token_id_arrays(spark, sf_dir), f"{out_dir}/doc_token_ids"
+    )
+    mt = spark.read.parquet(f"{out_dir}/manifest_tokens")
+    assign = pack_assignments(
+        mt.select("doc_id", F.col("n_bpe_tokens").alias("n")),
+        BPE_PACK_BUDGET,
+    ).select("doc_id", "pack_id")
+    toks = spark.read.parquet(f"{out_dir}/doc_token_ids").select(
+        "doc_id", F.col("ids").alias("token_ids")
+    )
+    seq_pos = (
+        F.row_number().over(Window.partitionBy("pack_id").orderBy("doc_id"))
+        - 1
+    ).cast("int")
+    shard = (
+        _md5_u32(F.concat(F.lit("tshard|"), F.col("pack_id").cast("string")))
+        % N_SHARDS
+    ).cast("int")
+    write_parquet(
+        mt.select("doc_id", "lang", "n_bpe_tokens")
+        .join(assign, "doc_id")
+        .withColumn("seq_pos", seq_pos)
+        .join(toks, "doc_id")
+        .select(
+            "pack_id",
+            "seq_pos",
+            "doc_id",
+            "lang",
+            "n_bpe_tokens",
+            "token_ids",
+            shard.alias("shard"),
+        ),
+        f"{out_dir}/token_shards",
         partition_by=("shard",),
     )
 
