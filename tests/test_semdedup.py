@@ -159,22 +159,28 @@ def test_semantic_decontam_flags_planted_paraphrase(spark, tmp_path):
     assert got == {100: (1.0, True), 101: (0.0, False)}
 
 
-def test_decontam_gap_report_surfaces_embedding_coverage_gap(
-    spark, tmp_path
-):
-    """The gap report must never silently shrink to the embedded subset:
-    an n-gram-flagged doc with NO embedding shows up in n_no_embedding
-    and n_ngram_unevaluated, not in n_ngram_only (that column means the
-    semantic gate evaluated and said no)."""
-    from topic_modeling_ajin_spark.operators.text_analysis import (
-        q_decontam_gap_report,
-    )
+def test_semantic_decontam_full_covers_missing_embeddings(spark, tmp_path):
+    """r9 verdict task 3: every corpus doc must get a semantic verdict.
+    Docs with a table embedding keep the table-space verdict verbatim;
+    a doc with NO embeddings row is verdict-ed in the HASH space (its
+    max cosine against the hash-encoded bench texts, replayed here with
+    the pure-Python kernel); a token-less missing doc reports
+    (0.0, false) — an empty doc cannot leak."""
+    import numpy as np
 
+    from topic_modeling_ajin_spark.functions.encoder import hash_embed_texts
+    from topic_modeling_ajin_spark.operators.dedup import SEM_DECON_COS
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    bench_text = "aa bb cc dd ee ff"
+    miss_text = "aa bb cc dd ee qqq"
     docs = [
-        (1, "aa bb cc dd ee ff"),       # benchmark item (doc_id < 50)
-        (100, "aa bb cc dd ee zzz"),     # shares 5-gram; embedded near 1
-        (101, "x1 x2 x3 x4 x5 x6"),      # clean; embedded orthogonal
-        (102, "aa bb cc dd ee qqq"),     # shares 5-gram; NO embedding
+        (1, bench_text),                 # benchmark item (doc_id < 50)
+        (100, "aa bb cc dd ee zzz"),     # embedded near bench
+        (101, "x1 x2 x3 x4 x5 x6"),      # embedded orthogonal
+        (102, miss_text),                # NO embeddings row -> hash space
+        (103, "   "),                    # NO embeddings row, token-less
     ]
     embs = [
         (1, [1.0, 0.0, 0.0, 0.0]),
@@ -188,14 +194,68 @@ def test_decontam_gap_report_surfaces_embedding_coverage_gap(
     spark.createDataFrame(
         embs, "vec_id long, embedding array<double>"
     ).write.parquet(f"{d}/embeddings.parquet")
+    got = {
+        r["doc_id"]: (r["max_bench_cos"], r["flagged"], r["space"])
+        for r in reg["semantic_decontam_full"].fn(spark, str(d)).collect()
+    }
+    # pure-Python hash-space replay for the missing doc
+    hb, hm = hash_embed_texts([bench_text, miss_text])
+    cos = float(np.dot(hb, hm))  # both unit-norm
+    assert got == {
+        100: (1.0, True, "table"),
+        101: (0.0, False, "table"),
+        102: (round(cos, 6), cos >= SEM_DECON_COS, "hash"),
+        103: (0.0, False, "hash"),
+    }
+
+
+def test_decontam_gap_report_closes_embedding_coverage_gap(
+    spark, tmp_path
+):
+    """r9 verdict task 3 (gap-report pin): the semantic side is now
+    semantic_decontam_full, so a doc with NO embeddings row still gets a
+    verdict — counted in n_hash_fallback, never in n_no_embedding /
+    n_ngram_unevaluated (both structurally zero: the two gates cover the
+    identical doc set, and a nonzero value means they drifted)."""
+    import numpy as np
+
+    from topic_modeling_ajin_spark.functions.encoder import hash_embed_texts
+    from topic_modeling_ajin_spark.operators.dedup import SEM_DECON_COS
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_decontam_gap_report,
+    )
+
+    bench_text = "aa bb cc dd ee ff"
+    miss_text = "aa bb cc dd ee qqq"
+    docs = [
+        (1, bench_text),                 # benchmark item (doc_id < 50)
+        (100, "aa bb cc dd ee zzz"),     # shares 5-gram; embedded near 1
+        (101, "x1 x2 x3 x4 x5 x6"),      # clean; embedded orthogonal
+        (102, miss_text),                # shares 5-gram; NO embedding
+    ]
+    embs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (100, [2.0, 0.0, 0.0, 0.0]),     # cos 1.0 vs bench
+        (101, [0.0, 1.0, 0.0, 0.0]),     # cos 0.0
+    ]
+    d = str(tmp_path / "data")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    hb, hm = hash_embed_texts([bench_text, miss_text])
+    sem_102 = bool(float(np.dot(hb, hm)) >= SEM_DECON_COS)
     got = q_decontam_gap_report(spark, str(d)).collect()[0].asDict()
     assert got == {
         "n_docs": 3,
-        "n_no_embedding": 1,
+        "n_no_embedding": 0,
+        "n_hash_fallback": 1,
         "n_ngram_flagged": 2,
-        "n_semantic_flagged": 1,
-        "n_both": 1,
-        "n_ngram_only": 0,
+        "n_semantic_flagged": 1 + int(sem_102),
+        "n_both": 1 + int(sem_102),
+        "n_ngram_only": 0 + int(not sem_102),
         "n_semantic_only": 0,
-        "n_ngram_unevaluated": 1,
+        "n_ngram_unevaluated": 0,
     }

@@ -1299,6 +1299,133 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo(spark, ("semantic_decontam", sf_dir), build, persist=True)
 
 
+def _sql_semantic_decontam_full() -> str:
+    from ..functions.encoder import sql_hash_embedding
+    from ..registry import REGISTRY
+    from .text_analysis import DECON_BENCH_MAX_DOC_ID
+
+    return f"""
+WITH sdt AS ({REGISTRY["semantic_decontam"].sql}),
+{sql_hash_embedding()},
+hdense2 AS (
+    SELECT doc_id, list(v ORDER BY dim) AS emb FROM hemb GROUP BY doc_id
+),
+hbench AS (
+    SELECT emb FROM hdense2
+    WHERE doc_id < {DECON_BENCH_MAX_DOC_ID}
+      AND list_dot_product(emb, emb) > 0
+),
+miss AS (
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id >= {DECON_BENCH_MAX_DOC_ID}
+      AND NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+),
+hm AS (
+    SELECT h.doc_id, max(list_cosine_similarity(h.emb, b.emb)) AS mc
+    FROM hdense2 h
+    JOIN miss m ON m.doc_id = h.doc_id
+    CROSS JOIN hbench b
+    WHERE list_dot_product(h.emb, h.emb) > 0
+    GROUP BY h.doc_id
+),
+hv AS (
+    SELECT m.doc_id,
+           round(coalesce(hm.mc, 0.0), 6) AS max_bench_cos,
+           coalesce(hm.mc >= {SEM_DECON_COS}, false) AS flagged
+    FROM miss m LEFT JOIN hm ON hm.doc_id = m.doc_id
+)
+SELECT doc_id, max_bench_cos, flagged, 'table' AS space FROM sdt
+UNION ALL
+SELECT doc_id, max_bench_cos, flagged, 'hash' AS space FROM hv
+"""
+
+
+def _register_semantic_decontam_full() -> None:
+    @register(
+        "semantic_decontam_full",
+        sql=_sql_semantic_decontam_full(),
+        tags=("dedup", "similarity", "curation", "scale"),
+    )
+    def q_semantic_decontam_full(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """FULL-coverage semantic decontamination (r9 verdict task 3):
+        ``semantic_decontam`` silently skipped any corpus doc with no
+        row in ``embeddings`` — at 100 TB the unembedded tail is exactly
+        where paraphrase leakage hides. This variant gives EVERY corpus
+        document a semantic verdict: docs with a table embedding keep
+        the table-space verdict verbatim (same memoized gate), docs
+        WITHOUT are routed through the exact-oracle hash-fallback
+        encoder (``encoding._hash_embedded`` — deterministic md5
+        feature-hashing over raw text, both engines bit-agree) and
+        compared against the HASH-encoded benchmark texts, since a
+        cosine across the two spaces would be meaningless. The ``space``
+        column says which face produced each verdict, so the fallback
+        is visible per row, never silent; zero-norm (token-less) docs
+        report (0.0, false) — an empty doc cannot leak.
+
+        Scale shape: both probes are broadcast nested-loop against the
+        tiny bench split (the corpus never shuffles); the hash branch
+        touches only missing-embedding docs (anti-join on the slim id
+        column). On the synthetic SFs ``embeddings`` covers every doc,
+        so the hash branch is structurally empty there — the planted
+        missing-embedding test exercises it for real."""
+        from ..functions import vectors as V
+        from .encoding import _hash_embedded
+        from .text_analysis import DECON_BENCH_MAX_DOC_ID
+
+        def build() -> DataFrame:
+            table_v = q_semantic_decontam(spark, sf_dir).select(
+                "doc_id",
+                "max_bench_cos",
+                "flagged",
+                F.lit("table").alias("space"),
+            )
+            have = load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id")
+            )
+            missing = (
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id")
+                .filter(F.col("doc_id") >= DECON_BENCH_MAX_DOC_ID)
+                .join(have, "doc_id", "left_anti")
+            )
+            h = _hash_embedded(spark, sf_dir)
+            nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
+            hbench = h.filter(
+                (F.col("doc_id") < DECON_BENCH_MAX_DOC_ID) & nz
+            ).select(F.col("embedding").alias("bemb"))
+            hm = (
+                h.filter(nz)
+                .join(missing, "doc_id")
+                .crossJoin(F.broadcast(hbench))
+                .groupBy("doc_id")
+                .agg(
+                    F.max(
+                        V.cosine(F.col("embedding"), F.col("bemb"))
+                    ).alias("mc")
+                )
+            )
+            hash_v = missing.join(hm, "doc_id", "left").select(
+                "doc_id",
+                F.round(F.coalesce("mc", F.lit(0.0)), 6).alias(
+                    "max_bench_cos"
+                ),
+                F.coalesce(
+                    F.col("mc") >= SEM_DECON_COS, F.lit(False)
+                ).alias("flagged"),
+                F.lit("hash").alias("space"),
+            )
+            return table_v.unionByName(hash_v)
+
+        return memo(
+            spark, ("semantic_decontam_full", sf_dir), build, persist=True
+        )
+
+
+_register_semantic_decontam_full()
+
+
 def semantic_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized+persisted SemDeDup verdict for COMPOSITION (the manifest
     family, the data card, the funnels) — the registered query itself

@@ -880,14 +880,16 @@ def _decontam_gap_sql() -> str:
 
     return f"""
 WITH dc AS ({REGISTRY["doc_decontam"].sql}),
-sd AS ({REGISTRY["semantic_decontam"].sql}),
+sd AS ({REGISTRY["semantic_decontam_full"].sql}),
 j AS (
-    SELECT dc.flagged AS ng, sd.flagged AS sm
+    SELECT dc.flagged AS ng, sd.flagged AS sm, sd.space AS space
     FROM dc LEFT JOIN sd ON sd.doc_id = dc.doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN sm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_no_embedding,
+       CAST(sum(CASE WHEN space = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hash_fallback,
        CAST(sum(CASE WHEN ng THEN 1 ELSE 0 END) AS BIGINT)
            AS n_ngram_flagged,
        CAST(sum(CASE WHEN sm THEN 1 ELSE 0 END) AS BIGINT)
@@ -921,20 +923,24 @@ def q_decontam_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out split); both are memo-backed doc-sized tables, the join is
     doc-keyed, the output is one row.
 
-    Coverage is explicit, never silent: the n-gram verdict covers every
-    corpus DOCUMENT but the semantic verdict only docs that HAVE an
-    embedding, so the join is LEFT from the n-gram side and the report
-    carries ``n_no_embedding`` (the coverage gap) and
-    ``n_ngram_unevaluated`` (n-gram-flagged docs the semantic gate never
-    saw); ``n_ngram_only`` counts only docs where BOTH gates evaluated
-    (sm = false, not sm IS NULL)."""
-    from .dedup import q_semantic_decontam
+    Since r10 the semantic side is ``semantic_decontam_full``, so EVERY
+    corpus doc has a semantic verdict (docs without a table embedding go
+    through the hash-fallback encoder against the hash-encoded bench).
+    ``n_hash_fallback`` reports how many verdicts came from the fallback
+    space — the honest residual: a hash-space verdict is a weaker
+    paraphrase detector than a real encoder's. ``n_no_embedding`` and
+    ``n_ngram_unevaluated`` remain as structurally-zero tripwires (both
+    gates now cover the identical doc_id >= split set; a nonzero value
+    means the two verdicts' doc sets drifted); ``n_ngram_only`` counts
+    docs where both gates evaluated (sm = false, not sm IS NULL)."""
+    from .dedup import q_semantic_decontam  # noqa: F401 (table-space twin)
+    from ..registry import REGISTRY
 
     ng = q_doc_decontam(spark, sf_dir).select(
         "doc_id", F.col("flagged").alias("ng")
     )
-    sm = q_semantic_decontam(spark, sf_dir).select(
-        "doc_id", F.col("flagged").alias("sm")
+    sm = REGISTRY["semantic_decontam_full"].fn(spark, sf_dir).select(
+        "doc_id", F.col("flagged").alias("sm"), "space"
     )
     j = ng.join(sm, "doc_id", "left")
 
@@ -944,6 +950,7 @@ def q_decontam_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         n(F.col("sm").isNull(), "n_no_embedding"),
+        n(F.col("space") == "hash", "n_hash_fallback"),
         n(F.col("ng"), "n_ngram_flagged"),
         n(F.col("sm"), "n_semantic_flagged"),
         n(F.col("ng") & F.col("sm"), "n_both"),
