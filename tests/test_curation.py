@@ -1048,6 +1048,61 @@ def test_jaccard_sweep_routes_hot_shingles_out_of_pair_join(
     ]
 
 
+def test_data_card_by_source_equals_composed_funnels(spark, sf_dir):
+    """r9 verdict task 8 (the card discipline): every cell of the
+    per-source data card must equal the composing registered query's
+    figure — both funnels' stage columns verbatim, the strip savings
+    difference, and the documents-table basics — so the card can never
+    drift from the tables it summarizes."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    card = {
+        r["source"]: r.asDict()
+        for r in reg["corpus_data_card_by_source"].fn(spark, sf_dir).collect()
+    }
+    f = {
+        r["source"]: r.asDict()
+        for r in reg["curation_funnel_by_source"].fn(spark, sf_dir).collect()
+    }
+    ft = {
+        r["source"]: r.asDict()
+        for r in reg["curation_funnel_tokens_by_source"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ss = {
+        r["source"]: r["total_tokens"] - r["total_tokens_kept"]
+        for r in reg["strip_savings_by_source"].fn(spark, sf_dir).collect()
+    }
+    from topic_modeling_ajin_spark.sources import load_table
+
+    base = {
+        r["source"]: (r["n_docs"], r["n_langs"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .collect()
+    }
+    assert set(card) == set(f) == set(ft) == set(base) and card
+    for src, row in card.items():
+        assert (row["n_docs"], row["n_langs"]) == base[src]
+        assert row["n_docs"] == f[src]["n_total"]
+        for c in ("n_rule_pass", "n_exact_kept", "n_near_kept",
+                  "n_sem_kept", "n_mixed"):
+            assert row[c] == f[src][c], (src, c)
+        for c in ("t_total", "t_rule_pass", "t_exact_kept", "t_near_kept",
+                  "t_sem_kept", "t_mixed"):
+            assert row[c] == ft[src][c], (src, c)
+        assert row["n_tokens_stripped"] == ss.get(src, 0)
+        assert 0.0 <= row["mean_quality"] <= 1.0
+
+
 def test_near_dup_discard_is_hot_shingle_guarded(spark, tmp_path):
     """r9 verdict task 1: the near-dup GATE the manifest family composes
     must route corpus-wide boilerplate shingles out of pair formation.

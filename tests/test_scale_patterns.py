@@ -404,3 +404,106 @@ def test_range_partitioned_rank_equals_window_ntile(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, want.collect())
         ), (n, n_vals)
+
+
+# ---------------------------------------------------------------------------
+# r9 verdict task 4: registry-WIDE plan-shape sweep. The per-query pins
+# above only protect queries someone remembered to pin; this iterates
+# EVERY registered query's executed plan and fails mechanically when a
+# new registration ships a bad shape. The allowlists name the deliberate
+# exceptions with their reasons — adding a name here is a conscious,
+# reviewed act.
+
+# Queries whose plan deliberately contains a BroadcastNestedLoopJoin:
+# every entry broadcasts a BOUNDED side — a one-row scalar aggregate
+# (the cross-join-a-total pattern), a K-bounded topic/centroid/plan
+# table, the tiny benchmark split, or a top-k result — so the NL probe
+# is O(rows x bounded) row-local work with no corpus shuffle.
+BNLJ_ALLOW = {
+    # one-row scalar broadcast (totals, fitted stats, thresholds)
+    "analysis_summary", "ccnet_ppl_buckets", "cms_word_counts",
+    "collocations", "daily_anomalies", "decontam_gap_report",
+    "dsir_logweights", "dsir_select", "curated_dsir_select",
+    "ewma_daily_events", "funnel_conversion", "mixture_plan",
+    "mixture_sample", "mixture_sample_tokens",
+    "mixture_temperature_plan", "mixture_temperature_plan_tokens",
+    "ngram_lm_perplexity", "q11_important_stock",
+    "q22_idle_rich_customers", "quality_panel",
+    "quality_panel_agreement", "retrieval_overlap_eval",
+    "source_distinctive_terms", "source_js_divergence",
+    "source_quality_psi", "tokenizer_compare", "vocab_drift",
+    # K-bounded topic/centroid/vocab side (K x K matrices, coherence
+    # windows, keyword tables)
+    "ctfidf_dedup_keywords", "ctfidf_keywords", "cv_coherence",
+    "doc_topic_jaccard", "keyword_substr_filter", "npmi_coherence",
+    "umass_coherence", "topic_cosine_similarity", "topic_diversity",
+    "topic_info", "topic_jaccard_overlap", "topic_labels",
+    "plsa_doc_topics", "plsa_fold_in", "plsa_topic_terms",
+    # broadcast query/bench/codebook side of a similarity probe
+    "ann_cosine_topk", "embed_ann_topk", "bm25_topk", "hard_negatives",
+    "hybrid_rrf_topk", "ivf_cosine_topk", "ivf_recall_eval",
+    "pq_adc_topk", "semantic_decontam", "semantic_decontam_full",
+    "semdedup_recall_eval", "jaccard_threshold_sweep",
+}
+
+# Queries whose plan deliberately contains an UNPARTITIONED window with
+# a bounded input (and no TakeOrderedAndProject cut below it):
+UNPART_WINDOW_ALLOW = {
+    # piece alphabet <= distinct chars + BPE_MERGES rows
+    "bpe_piece_vocab",
+    # calendar-grain daily series: rows bounded by #days in the corpus
+    "ewma_daily_events",
+}
+
+
+def test_registry_wide_plan_shape_sweep(spark, sf_dir):
+    """Every registered query's executed plan must be free of
+    CartesianProduct, of BroadcastNestedLoopJoin (unless allowlisted
+    with a bounded broadcast side), and of unpartitioned ranking
+    windows (unless the plan takes a limit-k cut below the window, or
+    the input is allowlisted as bounded). Allowlists must stay live:
+    an entry naming no registered query fails too."""
+    import re
+
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    assert BNLJ_ALLOW <= set(reg), sorted(BNLJ_ALLOW - set(reg))
+    assert UNPART_WINDOW_ALLOW <= set(reg), sorted(
+        UNPART_WINDOW_ALLOW - set(reg)
+    )
+
+    def top_first_arg(s: str) -> str:
+        depth, cur = 0, ""
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            cur += ch
+        return cur.strip()
+
+    bad = []
+    for name, spec in reg.items():
+        plan = _plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOW:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+        unpart = any(
+            " ASC" in top_first_arg(plan[m.end():])
+            or " DESC" in top_first_arg(plan[m.end():])
+            for m in re.finditer(r"windowspecdefinition\(", plan)
+        )
+        if unpart and name not in UNPART_WINDOW_ALLOW:
+            cut_below = (
+                "TakeOrderedAndProject" in plan
+                and plan.index("Window") < plan.index("TakeOrderedAndProject")
+            )
+            if not cut_below:
+                bad.append((name, "unpartitioned window"))
+    assert not bad, bad

@@ -1579,3 +1579,266 @@ def test_store_hot_buckets_audit(spark, tmp_path):
     assert got == [(255, 5)]
     # healthy store under the default cap: nothing named
     assert ST.store_hot_buckets(spark, store).count() == 0
+
+
+def test_jaccard_store_budget_refuses_degenerate_store(spark, tmp_path):
+    """r9 verdict task 6: a store detonated by corpus-wide boilerplate
+    must fail LOUDLY at the candidate budget — naming the knob and the
+    audit — instead of running the within-bucket join quadratic. The
+    same corpus under the default budget completes with the parity drop
+    set (none here: the boilerplate pairs sit far below the Jaccard
+    gate)."""
+    import time
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from topic_modeling_ajin_spark.operators.dedup import JACCARD_THRESHOLD
+
+    schema = "doc_id long, text string"
+    texts = [
+        (i, f"common nav footer unique{i}a unique{i}b unique{i}c")
+        for i in range(15)
+    ]
+
+    def stage(sub):
+        staging = str(tmp_path / sub / "in")
+        spark.createDataFrame(texts[:10], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        time.sleep(1.1)
+        spark.createDataFrame(texts[10:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        base = tmp_path / sub
+        return stream, str(base / "store"), str(base / "out"), str(base / "ck")
+
+    # batch 2 probes the 10-doc store sharing the boilerplate shingle:
+    # 10 x 5 = 50 store candidates > 10 -> loud refusal
+    stream, store, out, ck = stage("tight")
+    with pytest.raises(StreamingQueryException) as ei:
+        ST.run_streaming_ingest_dedup(
+            spark, stream, store, out, ck,
+            near_dup_jaccard=JACCARD_THRESHOLD,
+            max_jaccard_store_candidates=10,
+        )
+    assert "max_jaccard_store_candidates" in str(ei.value)
+    assert "store_hot_shingles" in str(ei.value)
+
+    # default budget: same corpus completes, nothing near-dup-dropped
+    stream, store, out, ck = stage("default")
+    ST.run_streaming_ingest_dedup(
+        spark, stream, store, out, ck, near_dup_jaccard=JACCARD_THRESHOLD
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [t[0] for t in texts]
+
+
+def test_vector_store_budget_refuses_degenerate_store(spark, tmp_path):
+    """The embedding gate's twin: all vectors landing in ONE sign-LSH
+    bucket (identical sign pattern) must fail loudly at the candidate
+    budget, naming the knob and the occupancy audit."""
+    import time
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    schema = "doc_id long, text string, embedding array<double>"
+    # all-positive components -> identical sign pattern -> ONE sign-LSH
+    # bucket; each doc dominates its own axis so pairwise cosines stay
+    # tiny (~0.02), far below the 0.99 gate — only the budget can stop
+    # the run
+    dim = 16
+    rows = [
+        (
+            i,
+            f"doc number {i} text",
+            [1.0 if j == i else 0.01 for j in range(dim)],
+        )
+        for i in range(15)
+    ]
+
+    def stage(sub):
+        staging = str(tmp_path / sub / "in")
+        spark.createDataFrame(rows[:10], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        time.sleep(1.1)
+        spark.createDataFrame(rows[10:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        base = tmp_path / sub
+        return stream, str(base / "store"), str(base / "out"), str(base / "ck")
+
+    stream, store, out, ck = stage("tight")
+    with pytest.raises(StreamingQueryException) as ei:
+        ST.run_streaming_ingest_dedup(
+            spark, stream, store, out, ck,
+            near_dup_cosine=0.99,
+            max_cosine_store_candidates=10,
+        )
+    assert "max_cosine_store_candidates" in str(ei.value)
+    assert "store_hot_buckets" in str(ei.value)
+
+    stream, store, out, ck = stage("default")
+    ST.run_streaming_ingest_dedup(
+        spark, stream, store, out, ck, near_dup_cosine=0.99
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [r[0] for r in rows]
+
+
+def _stage_documents_batches(spark, sf_dir, tmp_path, sub, n_batches=3):
+    """Stage the real documents table as n ordered micro-batch files."""
+    import time
+
+    from topic_modeling_ajin_spark.sources import load_table
+
+    docs = sorted(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    per = (len(docs) + n_batches - 1) // n_batches
+    staging = str(tmp_path / sub / "in")
+    schema = "doc_id long, lang string, text string"
+    for b in range(n_batches):
+        chunk = [tuple(r) for r in docs[b * per : (b + 1) * per]]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        time.sleep(1.1)
+    return staging, schema
+
+
+def _batch_ladder_reference(spark, sf_dir):
+    """The registered-query composition the incremental snapshot must
+    equal: rule ∧ exact-keeper ∧ ¬near-dup ∧ mixture, rows
+    (doc_id, lang, quality)."""
+    from topic_modeling_ajin_spark.operators.curation import q_mixture_sample
+    from topic_modeling_ajin_spark.operators.dedup import (
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+    )
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_curation_filter_report,
+    )
+
+    fr = {
+        r["doc_id"]: r["quality"]
+        for r in q_curation_filter_report(spark, sf_dir)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    keepers = {
+        r["keeper"] for r in q_fingerprint_dedup(spark, sf_dir).collect()
+    }
+    ndd = {
+        r["discard_doc_id"]
+        for r in q_near_dup_discard(spark, sf_dir).collect()
+    }
+    mix = {
+        r["doc_id"]: r["lang"]
+        for r in q_mixture_sample(spark, sf_dir).collect()
+    }
+    return {
+        (d, mix[d], fr[d])
+        for d in fr
+        if d in keepers and d not in ndd and d in mix
+    }, set(fr) & keepers - ndd
+
+
+def test_incremental_manifest_matches_batch_ladder(spark, sf_dir, tmp_path):
+    """r9 verdict task 5: stream the corpus in 3 ordered micro-batches
+    through run_incremental_manifest — the final snapshot must equal the
+    REGISTERED batch ladder (rule ∧ exact ∧ ¬near-dup ∧ mixture) on the
+    same corpus, and the union of append-only pool deltas must equal the
+    prefix-stable curated pool."""
+    staging, schema = _stage_documents_batches(spark, sf_dir, tmp_path, "im")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    base = tmp_path / "im"
+    out = str(base / "out")
+    ST.run_incremental_manifest(
+        spark, stream, str(base / "store"), out, str(base / "ck")
+    )
+    want_manifest, want_pool = _batch_ladder_reference(spark, sf_dir)
+    got_manifest = {
+        (r["doc_id"], r["lang"], r["quality"])
+        for r in spark.read.parquet(f"{out}/manifest").collect()
+    }
+    assert got_manifest == want_manifest and got_manifest
+    got_pool = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/pool").collect()
+    }
+    assert got_pool == want_pool
+    # the delta sink really is partitioned per batch (append-only deltas)
+    import os
+
+    parts = {
+        d for d in os.listdir(f"{out}/pool") if d.startswith("batch=")
+    }
+    assert len(parts) == 3
+
+
+def test_incremental_manifest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the WHOLE stream (fresh checkpoint, same store/out
+    dirs — every batch re-fires against already-committed state) must
+    leave the pool, the lang-count state, and the snapshot exactly as
+    the first run did: every sink overwrites its own partition, and the
+    snapshot is a pure function of the state dirs."""
+    staging, schema = _stage_documents_batches(
+        spark, sf_dir, tmp_path, "im2"
+    )
+    base = tmp_path / "im2"
+    out = str(base / "out")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        ST.run_incremental_manifest(
+            spark, stream, str(base / "store"), out, str(base / ck)
+        )
+
+    run("ck1")
+    first = {
+        "pool": sorted(
+            map(tuple, spark.read.parquet(f"{out}/pool").collect())
+        ),
+        "manifest": sorted(
+            map(tuple, spark.read.parquet(f"{out}/manifest").collect())
+        ),
+        "lang": sorted(
+            map(tuple, spark.read.parquet(f"{out}/lang_counts").collect())
+        ),
+    }
+    run("ck2")  # fresh checkpoint: full replay over committed state
+    second = {
+        "pool": sorted(
+            map(tuple, spark.read.parquet(f"{out}/pool").collect())
+        ),
+        "manifest": sorted(
+            map(tuple, spark.read.parquet(f"{out}/manifest").collect())
+        ),
+        "lang": sorted(
+            map(tuple, spark.read.parquet(f"{out}/lang_counts").collect())
+        ),
+    }
+    assert first == second and first["manifest"]

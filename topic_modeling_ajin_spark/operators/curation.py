@@ -14,7 +14,7 @@ Scale notes per op in docstrings; none uses a Python UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -316,6 +316,17 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, which is map-side partial."""
     d = _docs(spark, sf_dir)
     counts = d.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    return mixture_plan_from_counts(spark, counts)
+
+
+def mixture_plan_from_counts(
+    spark: SparkSession, counts: DataFrame
+) -> DataFrame:
+    """The mixture-plan arithmetic over ANY (lang, n double) count table
+    — factored out (r10) so the incremental-manifest stream derives its
+    corpus-so-far keep rates from the EXACT expressions the registered
+    ``mixture_plan``/``mixture_sample`` publish (one definition; the
+    batch and streaming faces cannot drift)."""
     tw = spark.createDataFrame(list(MIX_TARGETS), ["lang", "w"])
     j = counts.join(F.broadcast(tw), "lang")
     m = j.agg(F.min(F.col("n") / F.col("w")).alias("total_max"))
@@ -328,6 +339,15 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w") * F.col("total_max") / F.col("n"), 6).alias("keep_rate"),
             F.floor(F.col("w") * F.col("total_max")).alias("n_keep"),
         )
+    )
+
+
+def mixture_keep_expr(doc_id_col: str = "doc_id") -> Column:
+    """The row-local half of the mixture rule: md5-uniform('mix|'||id),
+    compared downstream against floor(keep_rate * 2^32). One definition
+    shared by ``mixture_sample`` and the incremental manifest."""
+    return _md5_u32(
+        F.concat(F.lit("mix|"), F.col(doc_id_col).cast("string"))
     )
 
 
@@ -2586,10 +2606,140 @@ def _funnel_token_stage_aggs() -> list:
     ]
 
 
+def _data_card_by_source_sql() -> str:
+    return f"""
+WITH f AS ({_funnel_by_source_sql()}),
+ft AS ({_funnel_tokens_by_source_sql()}),
+ss AS ({_REG["strip_savings_by_source"].sql}),
+q AS ({_REG["quality_score"].sql}),
+d AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+),
+qm AS (
+    SELECT doc.source,
+           round(CAST(sum(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_quality
+    FROM q JOIN documents doc ON doc.doc_id = q.doc_id
+    GROUP BY doc.source
+)
+SELECT d.source, d.n_docs, d.n_langs,
+       f.n_rule_pass, f.n_exact_kept, f.n_near_kept, f.n_sem_kept,
+       f.n_mixed,
+       ft.t_total, ft.t_rule_pass, ft.t_exact_kept, ft.t_near_kept,
+       ft.t_sem_kept, ft.t_mixed,
+       CAST(coalesce(ss.total_tokens - ss.total_tokens_kept, 0) AS BIGINT)
+           AS n_tokens_stripped,
+       qm.mean_quality
+FROM d
+JOIN f ON f.source = d.source
+JOIN ft ON ft.source = d.source
+LEFT JOIN ss ON ss.source = d.source
+JOIN qm ON qm.source = d.source
+ORDER BY d.source
+"""
+
+
+def q_corpus_data_card_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The data card PER SOURCE (r9 verdict task 8) — the datasheet a
+    source on/off decision actually reads: for each crawl source, raw
+    size and language spread, the full gate ladder in DOC counts and in
+    trained-BPE TOKEN mass (the three ``_by_source`` tables composed
+    verbatim: both funnels + the strip savings), and mean heuristic
+    quality (the corpus card's DECIMAL-exact mean, grouped). Every cell
+    equals the composing registered query's figure by construction
+    (shared code/SQL — pinned in tests, the card discipline), so the
+    per-source card can never disagree with the funnels it summarizes.
+    Scale shape: every composed table is source-bounded; the joins are
+    on the source key; the only corpus-scaled work is the already
+    memoized flag/verdict tables.
+
+    Memoized+persisted like the corpus card (one deterministic
+    n_sources-row table; each action otherwise re-probes the composed
+    sub-aggregates)."""
+    from ..cache import memo
+    from .text_analysis import q_quality_score
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        base = d.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        qm = (
+            q_quality_score(spark, sf_dir)
+            .join(d.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.round(
+                    F.sum(F.col("quality").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count("*"),
+                    6,
+                ).alias("mean_quality")
+            )
+        )
+        f = q_curation_funnel_by_source(spark, sf_dir).drop("n_total")
+        ft = _REG["curation_funnel_tokens_by_source"].fn(spark, sf_dir)
+        ss = q_strip_savings_by_source(spark, sf_dir).select(
+            "source",
+            (F.col("total_tokens") - F.col("total_tokens_kept"))
+            .cast("bigint")
+            .alias("n_tokens_stripped"),
+        )
+        return (
+            base.join(f, "source")
+            .join(ft, "source")
+            .join(ss, "source", "left")
+            .join(qm, "source")
+            .select(
+                "source",
+                "n_docs",
+                "n_langs",
+                "n_rule_pass",
+                "n_exact_kept",
+                "n_near_kept",
+                "n_sem_kept",
+                "n_mixed",
+                "t_total",
+                "t_rule_pass",
+                "t_exact_kept",
+                "t_near_kept",
+                "t_sem_kept",
+                "t_mixed",
+                F.coalesce("n_tokens_stripped", F.lit(0))
+                .cast("bigint")
+                .alias("n_tokens_stripped"),
+                "mean_quality",
+            )
+            .orderBy("source")
+        )
+
+    return memo(
+        spark,
+        ("corpus_data_card_by_source", sf_dir),
+        lambda: build().localCheckpoint(),
+    )
+
+
+def _register_data_card_by_source() -> None:
+    register(
+        "corpus_data_card_by_source",
+        sql=_data_card_by_source_sql(),
+        tags=("curation", "eval"),
+    )(q_corpus_data_card_by_source)
+
+
 _register_funnel()
 _register_funnel_by_source()
 _register_funnel_tokens()
 _register_data_card()
+_register_data_card_by_source()
 
 
 # registered here, not in text_analysis: dedup's module-level SQL

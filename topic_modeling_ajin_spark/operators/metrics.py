@@ -83,8 +83,15 @@ def q_topic_jaccard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     pairs = (
+        # broadcast the K-row label table: a plain theta join of two
+        # unkeyed sides planned as CartesianProduct (single task, no
+        # parallelism); broadcast-NL keeps the tiny-side semantics and
+        # parallelizes over the probe side's partitions
         labs.select(F.col("label").alias("i"))
-        .join(labs.select(F.col("label").alias("j")), F.col("i") < F.col("j"))
+        .join(
+            F.broadcast(labs.select(F.col("label").alias("j"))),
+            F.col("i") < F.col("j"),
+        )
         .join(inter, ["i", "j"], "left")
         .join(sizes.select(F.col("label").alias("i"), F.col("n").alias("ni")), "i")
         .join(sizes.select(F.col("label").alias("j"), F.col("n").alias("nj")), "j")

@@ -467,6 +467,24 @@ JACCARD_STORE_BUCKETS = 256
 # join (the winnowing_hot_fingerprints convention, retrieval.WINNOW_HOT_CAP)
 JACCARD_HOT_SHINGLE_CAP = 64
 
+# Per-batch candidate BUDGETS for the store probes (r9 verdict task 6,
+# the semantic_dedup discipline: a budget with loud refusal, dedup.py).
+# The within-bucket probe joins are exact and therefore uncapped in
+# SHAPE — a degenerate store (corpus-wide boilerplate shingles, an
+# anisotropic embedding distribution piling vectors into one sign-LSH
+# orthant) makes each micro-batch pay O(batch x occupancy). Before
+# running the join, each gate counts its store-candidate rows with one
+# aggregation over the already-pruned scan (Σ per-key store-count x
+# batch-count — the exact row count the join would produce) and REFUSES
+# loudly past the budget instead of running quadratic: the fix at that
+# point is upstream (strip the boilerplate, add LSH planes), and the
+# `store_hot_shingles` / `store_hot_buckets` audits name the offenders.
+# Budgets bound the STORE side (the one that grows with stream
+# lifetime); the within-batch side is micro-batch-bounded by
+# construction. None disables a budget explicitly.
+JACCARD_CANDIDATE_BUDGET = 2_000_000
+VECTOR_CANDIDATE_BUDGET = 2_000_000
+
 
 def shingle_store_dir(store_dir: str) -> str:
     """Sibling directory holding the bucketed shingle store for the
@@ -640,6 +658,8 @@ def run_streaming_ingest_dedup(
     near_dup_hamming: int | None = None,
     near_dup_jaccard: float | None = None,
     near_dup_cosine: float | None = None,
+    max_jaccard_store_candidates: int | None = JACCARD_CANDIDATE_BUDGET,
+    max_cosine_store_candidates: int | None = VECTOR_CANDIDATE_BUDGET,
     drift_ref_bins: list | None = None,
     drift_out_dir: str | None = None,
     drift_threshold: float | None = None,
@@ -719,8 +739,13 @@ def run_streaming_ingest_dedup(
        near-identical docs the batch gate now leaves to the
        fingerprint/strip family. ``store_hot_shingles`` is the audit
        that names the offenders before they detonate the within-bucket
-       join. The batch side of both joins broadcasts, so the store is
-       probed in place, never shuffled;
+       join, and the STORE probe refuses loudly past
+       ``max_jaccard_store_candidates`` candidate pairs (r10: the
+       semantic_dedup budget discipline — a boilerplate-detonated batch
+       fails at the budget with the remediation named instead of
+       running quadratic; the drop set below the budget is unchanged).
+       The batch side of both joins broadcasts, so the store is probed
+       in place, never shuffled;
     3c'. (optional embedding near-dup gate, r8 VERDICT task 7) with
        ``near_dup_cosine`` set (the stream must carry an ``embedding``
        column — enforced loudly), drop any survivor whose int8-quantized
@@ -745,7 +770,12 @@ def run_streaming_ingest_dedup(
        other; do not expect exact batch/stream drop-set equality for
        borderline pairs, and set the threshold with that margin in
        mind); zero/absent embeddings bypass the gate and store nothing,
-       as NULL simhash does.
+       as NULL simhash does. The store probe refuses loudly past
+       ``max_cosine_store_candidates`` candidate pairs (r10 budget
+       discipline — overloaded sign-LSH buckets fail at the budget with
+       ``store_hot_buckets`` named, instead of running
+       O(batch x occupancy); the drop set below the budget is
+       unchanged).
        Embedding-DROPPED docs still store their vector (the step 3b
        discipline) so they veto later copies;
     3d. (optional decontamination gate) with ``decontam_bench_dir`` set
@@ -1191,6 +1221,41 @@ def run_streaming_ingest_dedup(
                 others_store = probe_shingle_store(
                     spark, store_dir, batch_id, buckets
                 )
+                if max_jaccard_store_candidates is not None:
+                    # candidate budget with loud refusal (r9 task 6):
+                    # Σ_shv(store docs holding shv x batch docs holding
+                    # shv) is EXACTLY the row count the shared-shingle
+                    # join below would produce — one count-aggregate
+                    # over the pruned scan, far cheaper than
+                    # materializing the pairs
+                    n_cand = (
+                        others_store.groupBy("shv")
+                        .agg(F.count("*").alias("cs"))
+                        .join(
+                            F.broadcast(
+                                me.groupBy("shv").agg(
+                                    F.count("*").alias("cb")
+                                )
+                            ),
+                            "shv",
+                        )
+                        .agg(F.sum(F.col("cs") * F.col("cb")))
+                        .first()[0]
+                        or 0
+                    )
+                    if n_cand > max_jaccard_store_candidates:
+                        raise ValueError(
+                            f"exact-Jaccard gate: batch {batch_id} would "
+                            f"form {n_cand} store candidate pairs, over "
+                            f"the {max_jaccard_store_candidates} budget "
+                            "(max_jaccard_store_candidates) — the store "
+                            "holds corpus-wide boilerplate shingles "
+                            "fanning the probe join out; run "
+                            "store_hot_shingles to name them, strip the "
+                            "boilerplate upstream (or raise the budget "
+                            "deliberately) instead of letting the batch "
+                            "run quadratic"
+                        )
                 # the BATCH side broadcasts (a micro-batch is small by
                 # definition), so the store is probed in place and never
                 # shuffled — without this the per-batch shuffle grows
@@ -1246,9 +1311,44 @@ def run_streaming_ingest_dedup(
                     r["bucket"]
                     for r in vec_me.select("bucket").distinct().collect()
                 ]
+                vstore = probe_vector_store(
+                    spark, store_dir, batch_id, vbuckets
+                )
+                if max_cosine_store_candidates is not None:
+                    # candidate budget with loud refusal (r9 task 6):
+                    # Σ_bucket(store occupancy x batch docs in bucket)
+                    # is exactly the bucket-equi-join's row count
+                    n_vcand = (
+                        vstore.groupBy("bucket")
+                        .agg(F.count("*").alias("cs"))
+                        .join(
+                            F.broadcast(
+                                vec_me.groupBy("bucket").agg(
+                                    F.count("*").alias("cb")
+                                )
+                            ),
+                            "bucket",
+                        )
+                        .agg(F.sum(F.col("cs") * F.col("cb")))
+                        .first()[0]
+                        or 0
+                    )
+                    if n_vcand > max_cosine_store_candidates:
+                        raise ValueError(
+                            f"embedding near-dup gate: batch {batch_id} "
+                            f"would form {n_vcand} store candidate "
+                            f"pairs, over the "
+                            f"{max_cosine_store_candidates} budget "
+                            "(max_cosine_store_candidates) — the vector "
+                            "store's sign-LSH buckets are overloaded "
+                            "(anisotropic embeddings); run "
+                            "store_hot_buckets to see the occupancy, "
+                            "add planes / a rotation upstream (or raise "
+                            "the budget deliberately) instead of "
+                            "letting the batch run quadratic"
+                        )
                 vs_store = (
-                    probe_vector_store(spark, store_dir, batch_id, vbuckets)
-                    .join(F.broadcast(vec_me), "bucket")
+                    vstore.join(F.broadcast(vec_me), "bucket")
                     .filter(
                         V.cosine(
                             V.as_double(F.col("qa")),
@@ -1340,6 +1440,271 @@ def run_streaming_ingest_dedup(
             "overwrite"
         ).parquet(f"{store_dir}/batch={batch_id}")
         batch_kept.unpersist()
+
+    (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+# ------------------------------------------ incremental manifest (delta)
+
+# the pool delta's fixed read schema (the SHINGLE_STORE_SCHEMA rationale:
+# a committed batch whose docs all fail the gates writes an empty
+# partition, and schema inference over all-empty stores wedges replays)
+POOL_SCHEMA = "doc_id long, lang string, quality double, batch bigint"
+LANG_COUNTS_SCHEMA = "lang string, n long, batch bigint"
+
+
+def run_incremental_manifest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_jaccard_store_candidates: int | None = JACCARD_CANDIDATE_BUDGET,
+) -> None:
+    """Incremental TRAINING-CORPUS MANIFEST (r9 verdict task 5): the
+    streaming ingest store composed with the manifest's gate ladder, so
+    a production ingest gets a per-batch manifest DELTA instead of a
+    full-corpus rebuild. The stream carries (doc_id, lang, text);
+    arrival must be in doc_id order across batches (the keep-first
+    gates' precondition, as for ``run_streaming_ingest_dedup``).
+
+    Per micro-batch, inside ``foreachBatch``:
+
+    1. RULE gate: ``curation_filter_report_for`` — the registered batch
+       query's exact expression tree (one definition), row-local;
+    2. EXACT gate: md5 fingerprint, keep-first within the batch, then
+       anti-join against the fingerprint store of strictly earlier
+       batches (``incremental_dedup``'s shape, made stateful);
+    3. NEAR-DUP gate: exact 3-shingle Jaccard >= the batch
+       ``JACCARD_THRESHOLD`` against any earlier doc — lower doc_id in
+       this batch or the bucketed shingle store (one representative per
+       fingerprint: exact copies share shingle sets, so the pair
+       universe is unchanged) — bucket-pruned probe, candidate budget
+       with loud refusal (``max_jaccard_store_candidates``). NOTE: this
+       face is fully exact; the r10 batch gate routes corpus-wide
+       boilerplate (> HOT_SHINGLE_CAP docs per shingle) out of pair
+       formation, so on a corpus WITH hot shingles the stream may drop
+       boilerplate-only near-identicals the batch gate now leaves to
+       the fingerprint/strip family — the parity domain is corpora
+       below the cap (any healthy one);
+    4. the PREFIX-STABLE verdicts (rule ∧ exact-keeper ∧ not-near-dup)
+       land as the append-only POOL delta at ``out_dir/pool/batch=<id>``
+       — rows (doc_id, lang, quality), each batch overwriting its own
+       partition (replay-idempotent); per-lang counts of ALL batch docs
+       (the mixture plan counts the raw corpus) land beside it at
+       ``out_dir/lang_counts/batch=<id>``;
+    5. the MIXTURE policy layer is re-applied per batch over the
+       corpus-so-far: keep rates from ``mixture_plan_from_counts`` (the
+       registered plan's exact arithmetic) over the summed lang-count
+       state, the md5 rule from ``mixture_keep_expr`` (the registered
+       sample's exact predicate) over the pool-so-far — and the
+       manifest SNAPSHOT ``out_dir/manifest`` is overwritten wholly
+       (idempotent by construction: a pure function of the state dirs).
+
+    Parity contract (pinned in tests): after the last batch, the
+    snapshot equals the batch composition rule ∧ exact ∧ ¬near-dup ∧
+    mixture of the REGISTERED queries on the same corpus — i.e. the
+    ``training_corpus_manifest`` ladder minus its two corpus-global
+    MODEL layers (SemDeDup clustering and the trained-BPE re-budget),
+    which depend on full-corpus model state (k-means centroids, the
+    merge table) and are the periodic-rebuild layer by design: run
+    ``training_corpus_manifest`` over the shipped pool on whatever
+    cadence the models retrain. The delta layer is what must never
+    require a full-corpus pass — and here it never does: per batch the
+    corpus-scaled work is one rule-gate scan of the batch, one
+    fixed-width fingerprint anti-join, one bucket-pruned shingle probe,
+    and a K-row rate table; only the doc-keyed POOL (already gated,
+    manifest-sized) is rescanned by the mixture re-rank."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import (
+        _U32,
+        mixture_keep_expr,
+        mixture_plan_from_counts,
+    )
+    from ..operators.dedup import JACCARD_THRESHOLD
+    from ..operators.text_analysis import curation_filter_report_for
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_store = fs.exists(jpath)
+
+        verdicts = curation_filter_report_for(
+            batch_df.select("doc_id", "text")
+        ).select("doc_id", "quality", "keep")
+        sh_toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+        fp = (
+            batch_df.select("doc_id", "lang", "text")
+            .withColumn(
+                "fingerprint", H.fingerprint(TX.cleaned("text"))
+            )
+            .withColumn(
+                "shingle_hashes",
+                F.array_distinct(
+                    F.transform(H.shingles(sh_toks, 3), H.md5_base32)
+                ),
+            )
+            .withColumn("n_shingles", F.size("shingle_hashes"))
+            .join(verdicts, "doc_id")
+        ).persist()
+
+        # exact gate over ALL docs (a rule-failed doc still vetoes later
+        # copies, exactly as the batch fingerprint_dedup's keeper rule)
+        first = Window.partitionBy("fingerprint")
+        flagged = fp.withColumn("first_id", F.min("doc_id").over(first))
+        if has_store:
+            seen = (
+                spark.read.option("basePath", store_dir)
+                .schema("fingerprint string, batch bigint")
+                .parquet(store_dir)
+                .filter(F.col("batch") < F.lit(batch_id))
+                .select("fingerprint")
+                .withColumn("in_store", F.lit(True))
+            )
+            flagged = flagged.join(seen, "fingerprint", "left")
+        else:
+            flagged = flagged.withColumn("in_store", F.lit(None).cast("boolean"))
+        flagged = flagged.withColumn(
+            "is_keeper",
+            (F.col("doc_id") == F.col("first_id"))
+            & F.col("in_store").isNull(),
+        )
+
+        # near-dup gate over per-fingerprint representatives (exact
+        # copies share shingle sets, so the pair universe is unchanged)
+        reps = flagged.filter(
+            (F.col("doc_id") == F.col("first_id"))
+            & (F.col("n_shingles") > 0)
+        )
+        me = reps.select(
+            "doc_id",
+            F.col("n_shingles").alias("n"),
+            F.explode("shingle_hashes").alias("shv"),
+        )
+        others_batch = reps.select(
+            F.col("doc_id").alias("o_rank"),
+            F.col("n_shingles").alias("o_n"),
+            F.explode("shingle_hashes").alias("shv"),
+        )
+        jac = F.col("i") / (F.col("n") + F.col("o_n") - F.col("i"))
+        drops = (
+            others_batch.join(F.broadcast(me), "shv")
+            .filter(F.col("o_rank") < F.col("doc_id"))
+            .groupBy("doc_id", "n", "o_rank", "o_n")
+            .agg(F.count("*").alias("i"))
+            .filter(jac >= F.lit(JACCARD_THRESHOLD))
+            .select("doc_id")
+        )
+        if has_store:
+            buckets = [
+                r["bucket"]
+                for r in me.select(
+                    F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)).alias(
+                        "bucket"
+                    )
+                )
+                .distinct()
+                .collect()
+            ]
+            others_store = probe_shingle_store(
+                spark, store_dir, batch_id, buckets
+            )
+            if max_jaccard_store_candidates is not None:
+                n_cand = (
+                    others_store.groupBy("shv")
+                    .agg(F.count("*").alias("cs"))
+                    .join(
+                        F.broadcast(
+                            me.groupBy("shv").agg(F.count("*").alias("cb"))
+                        ),
+                        "shv",
+                    )
+                    .agg(F.sum(F.col("cs") * F.col("cb")))
+                    .first()[0]
+                    or 0
+                )
+                if n_cand > max_jaccard_store_candidates:
+                    raise ValueError(
+                        f"incremental manifest: batch {batch_id} would "
+                        f"form {n_cand} store candidate pairs, over the "
+                        f"{max_jaccard_store_candidates} budget "
+                        "(max_jaccard_store_candidates) — run "
+                        "store_hot_shingles and strip the boilerplate "
+                        "upstream instead of letting the batch run "
+                        "quadratic"
+                    )
+            store_drops = (
+                others_store.join(F.broadcast(me), "shv")
+                .groupBy("doc_id", "n", "o_id", "o_n")
+                .agg(F.count("*").alias("i"))
+                .filter(jac >= F.lit(JACCARD_THRESHOLD))
+                .select("doc_id")
+            )
+            drops = drops.unionByName(store_drops)
+
+        pool = (
+            flagged.filter(F.col("keep") & F.col("is_keeper"))
+            .join(drops.distinct(), "doc_id", "left_anti")
+            .select("doc_id", "lang", "quality")
+        )
+        pool.write.mode("overwrite").parquet(
+            f"{out_dir}/pool/batch={batch_id}"
+        )
+        batch_df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n")
+        ).write.mode("overwrite").parquet(
+            f"{out_dir}/lang_counts/batch={batch_id}"
+        )
+
+        # stores write AFTER the pool (a crash replays the whole batch
+        # idempotently; each sink overwrites its own partition)
+        reps.select(
+            F.col("fingerprint").alias("o_id"),
+            F.col("n_shingles").alias("o_n"),
+            F.explode("shingle_hashes").alias("shv"),
+        ).withColumn(
+            "bucket", F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS))
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{shingle_store_dir(store_dir)}/batch={batch_id}"
+        )
+        fp.select("fingerprint").distinct().write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}"
+        )
+        fp.unpersist()
+
+        # mixture policy re-rank over the corpus-so-far -> snapshot
+        counts = (
+            spark.read.option("basePath", f"{out_dir}/lang_counts")
+            .schema(LANG_COUNTS_SCHEMA)
+            .parquet(f"{out_dir}/lang_counts")
+            .filter(F.col("batch") <= F.lit(batch_id))
+            .groupBy("lang")
+            .agg(F.sum("n").cast("double").alias("n"))
+        )
+        plan = mixture_plan_from_counts(spark, counts).select(
+            "lang", "keep_rate"
+        )
+        pool_all = (
+            spark.read.option("basePath", f"{out_dir}/pool")
+            .schema(POOL_SCHEMA)
+            .parquet(f"{out_dir}/pool")
+            .filter(F.col("batch") <= F.lit(batch_id))
+        )
+        snap = (
+            pool_all.join(F.broadcast(plan), "lang")
+            .filter(
+                mixture_keep_expr() < F.floor(F.col("keep_rate") * _U32)
+            )
+            .select("doc_id", "lang", "quality")
+        )
+        snap.write.mode("overwrite").parquet(f"{out_dir}/manifest")
 
     (
         docs_stream.writeStream.foreachBatch(process)
