@@ -1,0 +1,146 @@
+"""Measured runtime-vs-rows scaling exponents (r9 verdict task 7).
+
+SCALE.md claims near-linearity for the flagship chains; this harness
+MEASURES it instead of asserting it: each representative headliner runs
+COLD (all memos and cached tables cleared before every timed run) at
+every available scale factor, and the reported exponent is the
+least-squares slope of log(runtime) vs log(primary-table rows) over the
+distinct input sizes (sf0.001 and sf0.01 share the 500-row documents
+table, so documents-based queries contribute two distinct points:
+500 -> 5000 rows).
+
+Interpretation: a genuinely linear distributed chain measures BELOW 1.0
+at these sizes (fixed per-job scheduling amortizes as data grows); a
+quadratic pair join measures well above. The cap (1.4 for every claimed
+near-linear chain) leaves headroom for timing noise while failing a
+superlinear regression mechanically.
+
+Usage:
+    python tools/scaling_exponents.py            # all claimed queries
+    python tools/scaling_exponents.py word_count # subset
+
+Prints one table row per query and exits 1 if any exponent exceeds its
+cap — the CI form of SCALE.md's linearity claims.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+# query -> (primary table, exponent cap). All five are documents-driven;
+# every one is claimed near-linear in SCALE.md (the LSH guard, the
+# broadcast-vocab BM25 cut, the gate-ladder manifest, pointer-jumping CC).
+CLAIMS: dict[str, tuple[str, float]] = {
+    "word_count": ("documents", 1.4),
+    "minhash_lsh_pairs": ("documents", 1.4),
+    "bm25_topk": ("documents", 1.4),
+    "training_corpus_manifest": ("documents", 1.4),
+    "dedup_components": ("documents", 1.4),
+}
+
+
+def _rows(spark, sf_dir: str, table: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+
+
+def measure_cold(spark, fn, sf_dir: str, runs: int) -> float:
+    """Median cold runtime: every run clears all memos and cached tables
+    first, then executes fully through the no-op sink (the bench.py
+    convention — no collect() discount)."""
+    from topic_modeling_ajin_spark.cache import clear_caches
+
+    ts = []
+    for _ in range(runs):
+        clear_caches(spark)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts.append(time.perf_counter() - t0)
+    s = sorted(ts)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def exponent(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log(t) vs log(n) over DISTINCT sizes; same-
+    size points (the shared 500-row documents table) are merged by median
+    before the fit."""
+    by_n: dict[int, list[float]] = {}
+    for n, t in points:
+        by_n.setdefault(n, []).append(t)
+    xs, ys = [], []
+    for n, ts in sorted(by_n.items()):
+        s = sorted(ts)
+        m = len(s)
+        med = s[m // 2] if m % 2 else (s[m // 2 - 1] + s[m // 2]) / 2
+        xs.append(math.log(n))
+        ys.append(math.log(max(med, 1e-9)))
+    if len(xs) < 2:
+        raise ValueError("need >= 2 distinct input sizes to fit a slope")
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+
+
+def run(names: list[str] | None = None, runs: int = 3, spark=None) -> dict:
+    """Measure exponents for ``names`` (default: every CLAIMS entry).
+    Returns {name: {"exponent": e, "cap": cap, "times": {sf: sec}}}."""
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.session import get_spark
+
+    reg = load_all()
+    spark = spark or get_spark("scaling")
+    # absorb per-cluster startup (codegen, parquet reader, noop sink)
+    spark.range(1).count()
+    out: dict[str, dict] = {}
+    for name in names or list(CLAIMS):
+        table, cap = CLAIMS[name]
+        pts, times = [], {}
+        for sf_dir in SF_DIRS:
+            n = _rows(spark, sf_dir, table)
+            t = measure_cold(spark, reg[name].fn, sf_dir, runs)
+            pts.append((n, t))
+            times[os.path.basename(sf_dir)] = round(t, 3)
+        out[name] = {
+            "exponent": round(exponent(pts), 3),
+            "cap": cap,
+            "times": times,
+        }
+    return out
+
+
+def main() -> None:
+    names = sys.argv[1:] or None
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    res = run(names, runs=runs)
+    bad = []
+    print(f"{'query':35s} {'exponent':>8s} {'cap':>5s}  times (cold median)")
+    for name, r in res.items():
+        flag = ""
+        if r["exponent"] > r["cap"]:
+            bad.append(name)
+            flag = "  <-- SUPERLINEAR"
+        print(
+            f"{name:35s} {r['exponent']:8.3f} {r['cap']:5.1f}  "
+            f"{r['times']}{flag}"
+        )
+    if bad:
+        raise SystemExit(
+            f"superlinear exponent on claimed-near-linear queries: {bad}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1046,9 +1046,17 @@ def q_curation_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_filter_report_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_filter_report_for(_docs(spark, sf_dir))
+
+
+def curation_filter_report_for(df: DataFrame) -> DataFrame:
+    """The rule-gate verdict for ANY (doc_id, text) DataFrame — the
+    row-local, stateless core of ``curation_filter_report``, factored
+    out (r10) so the incremental-manifest stream applies the EXACT same
+    expression tree per micro-batch as the registered batch query (one
+    definition; the two faces cannot drift)."""
     from ..functions import hashing as H
 
-    df = _docs(spark, sf_dir)
     staged = df.select(
         "doc_id", "text", TX.word_tokens("text").alias("toks")
     ).select(
