@@ -64,6 +64,9 @@ HEADLINE = (
     "mixture_sample_tokens",  # token-budgeted mixture materialization
     "training_corpus_manifest_tokens",  # manifest gated on the token budget
     "semantic_decontam",     # embedding-space benchmark-leakage verdict
+    "semantic_decontam_full",  # + hash-fallback coverage of unembedded docs
+    "doc_token_ids",         # per-doc trained-BPE token-id streams
+    "corpus_data_card_by_source",  # per-source datasheet (both funnels)
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
@@ -166,6 +169,10 @@ def main() -> None:
         "curation_funnel_by_source",  # fingerprint/near-dup/quality memos
         "training_corpus_manifest_stripped",  # manifest memo + strip memo
         "training_corpus_manifest_tokens",  # premix memo + token sampler
+        # r10 cache-backed headliners
+        "semantic_decontam_full",    # table + hash-fallback verdict memos
+        "doc_token_ids",             # BPE fit + id-table + doc-array memos
+        "corpus_data_card_by_source",  # composes both by-source funnels
     )
     cold_queries: dict[str, float] = {}
     from topic_modeling_ajin_spark.cache import clear_caches

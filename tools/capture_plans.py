@@ -218,6 +218,33 @@ SELECTED = (
         "offsets; the composition is one doc-keyed join collapsed to a "
         "`LogicalRDD` by localCheckpoint.",
     ),
+    (
+        "near_dup_discard",
+        "The manifest's near-dup GATE, hot-shingle-guarded (r10): the "
+        "same broadcast LEFT ANTI routing as the sweep — boilerplate "
+        "shingles never reach the pair-forming self-join, hot "
+        "intersections rejoin pair-bounded — so the one plan the r9 "
+        "verdict would not sign off for 100 TB is now Σ cold-df² "
+        "bounded while every surviving pair keeps the full exact "
+        "Jaccard.",
+    ),
+    (
+        "semantic_decontam_full",
+        "Full-coverage semantic decontamination: both probe branches "
+        "are broadcast nested-loop against the tiny bench split (the "
+        "corpus never shuffles); the hash-fallback branch touches only "
+        "missing-embedding docs via a slim-id anti-join, and the union "
+        "is verdict-typed per row (`space`).",
+    ),
+    (
+        "doc_token_ids",
+        "Per-doc token-id streams: the vocabulary-side id table "
+        "broadcasts (alphabet-bounded vocab window), the corpus pays "
+        "one posexplode + broadcast join + doc-keyed re-assembly, and "
+        "the memoized array table is a localCheckpoint LogicalRDD — "
+        "the 12-round BPE-fit lineage is never re-analyzed by "
+        "consumers.",
+    ),
 )
 
 
