@@ -749,7 +749,13 @@ def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("l_extendedprice").alias("v"))
         )
 
-    val = memo(spark, ("q11_val", sf_dir), build_val, persist=True)
+    # eager: `tot` below is a concurrently-prepared BROADCAST subtree —
+    # an unmaterialized lazy persist would recompute the lineitem
+    # scan+shuffle in the broadcast thread while the probe side computes
+    # it again (the memo contract's documented race; gate line measured
+    # 16.2 s lazy -> 9.3 s eager at sf0.01, the residual being the
+    # honest scan+shuffle once)
+    val = memo(spark, ("q11_val", sf_dir), build_val, persist=True, eager=True)
     tot = val.agg(F.round(0.001 * F.sum("v"), 2).alias("threshold"))
     return (
         val.crossJoin(F.broadcast(tot))
