@@ -1842,3 +1842,60 @@ def test_incremental_manifest_replay_is_idempotent(spark, sf_dir, tmp_path):
         ),
     }
     assert first == second and first["manifest"]
+
+
+def test_incremental_manifest_decontam_gate_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """With decontam_bench_dir staged from the corpus's benchmark
+    stand-ins (doc_id < DECON_BENCH_MAX_DOC_ID), the final snapshot must
+    equal the registered ladder with the decontamination membership
+    test: rule ∧ exact ∧ ¬near-dup ∧ mixture ∧ doc_id >= split ∧
+    ¬doc_decontam.flagged — bench members self-flag via their own grams,
+    so the id-convention membership test and the gram gate agree."""
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        DECON_BENCH_MAX_DOC_ID,
+        q_doc_decontam,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    staging, schema = _stage_documents_batches(
+        spark, sf_dir, tmp_path, "imd"
+    )
+    bench_dir = str(tmp_path / "imd" / "bench")
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DECON_BENCH_MAX_DOC_ID
+    ).select("doc_id", "text").write.parquet(bench_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    base = tmp_path / "imd"
+    out = str(base / "out")
+    ST.run_incremental_manifest(
+        spark,
+        stream,
+        str(base / "store"),
+        out,
+        str(base / "ck"),
+        decontam_bench_dir=bench_dir,
+    )
+    want_manifest, _ = _batch_ladder_reference(spark, sf_dir)
+    clean = {
+        r["doc_id"]
+        for r in q_doc_decontam(spark, sf_dir)
+        .filter(~F.col("flagged"))
+        .collect()
+    }
+    want = {
+        (d, lang, q)
+        for (d, lang, q) in want_manifest
+        if d >= DECON_BENCH_MAX_DOC_ID and d in clean
+    }
+    got = {
+        (r["doc_id"], r["lang"], r["quality"])
+        for r in spark.read.parquet(f"{out}/manifest").collect()
+    }
+    assert got == want and got

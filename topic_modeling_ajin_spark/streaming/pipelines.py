@@ -1466,6 +1466,7 @@ def run_incremental_manifest(
     out_dir: str,
     checkpoint_dir: str,
     max_jaccard_store_candidates: int | None = JACCARD_CANDIDATE_BUDGET,
+    decontam_bench_dir: str | None = None,
 ) -> None:
     """Incremental TRAINING-CORPUS MANIFEST (r9 verdict task 5): the
     streaming ingest store composed with the manifest's gate ladder, so
@@ -1486,7 +1487,17 @@ def run_incremental_manifest(
        this batch or the bucketed shingle store (one representative per
        fingerprint: exact copies share shingle sets, so the pair
        universe is unchanged) — bucket-pruned probe, candidate budget
-       with loud refusal (``max_jaccard_store_candidates``). NOTE: this
+       with loud refusal (``max_jaccard_store_candidates``);
+    3b. (optional) DECONTAM gate: with ``decontam_bench_dir`` set (a
+       parquet of benchmark (doc_id, text) rows), a pool candidate
+       sharing any distinct DECON_NGRAM-gram with the benchmark is
+       excluded — stateless broadcast gram probe, prefix-stable (the
+       bench is fixed), so it belongs in the pool delta. Benchmark
+       members themselves self-flag whenever they pass the rule gate
+       (>= 10 tokens -> >= 6 grams, all shared with themselves), so
+       with the bench staged from corpus stand-ins the delta equals
+       the registered composition's ``doc_id >= split ∧ ¬flagged``
+       membership test exactly. NOTE on the near-dup face: this
        face is fully exact; the r10 batch gate routes corpus-wide
        boilerplate (> HOT_SHINGLE_CAP docs per shingle) out of pair
        formation, so on a corpus WITH hot shingles the stream may drop
@@ -1530,6 +1541,25 @@ def run_incremental_manifest(
     )
     from ..operators.dedup import JACCARD_THRESHOLD
     from ..operators.text_analysis import curation_filter_report_for
+
+    bench_grams = None
+    if decontam_bench_dir is not None:
+        from ..operators.text_analysis import DECON_NGRAM
+
+        # static benchmark gram set, built once per stream (tiny by
+        # construction — a benchmark, not a corpus), broadcast per batch
+        bench_grams = (
+            spark.read.parquet(decontam_bench_dir)
+            .select(
+                F.explode(
+                    H.shingles(
+                        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                        DECON_NGRAM,
+                    )
+                ).alias("gram")
+            )
+            .distinct()
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
@@ -1652,9 +1682,27 @@ def run_incremental_manifest(
         pool = (
             flagged.filter(F.col("keep") & F.col("is_keeper"))
             .join(drops.distinct(), "doc_id", "left_anti")
-            .select("doc_id", "lang", "quality")
+            .select("doc_id", "lang", "quality", "text")
         )
-        pool.write.mode("overwrite").parquet(
+        if bench_grams is not None:
+            from ..operators.text_analysis import DECON_NGRAM
+
+            g = pool.select(
+                "doc_id",
+                F.explode(
+                    H.shingles(
+                        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                        DECON_NGRAM,
+                    )
+                ).alias("gram"),
+            )
+            contaminated = (
+                g.join(F.broadcast(bench_grams), "gram")
+                .select("doc_id")
+                .distinct()
+            )
+            pool = pool.join(contaminated, "doc_id", "left_anti")
+        pool.drop("text").write.mode("overwrite").parquet(
             f"{out_dir}/pool/batch={batch_id}"
         )
         batch_df.groupBy("lang").agg(
