@@ -1172,6 +1172,54 @@ def test_near_dup_discard_is_hot_shingle_guarded(spark, tmp_path):
     assert fp[4000] == 2
 
 
+def test_guarded_gate_equals_unguarded_below_the_cap(spark, tmp_path):
+    """On a corpus with NO hot shingles the guard must be a pure no-op:
+    the hot-guarded near-dup discard equals the UNGUARDED exact rule,
+    replayed here in pure Python (lower/split tokens, distinct 3-gram
+    shingles, pairwise Jaccard >= 0.8, discard the higher id) on a
+    corpus mixing near-dups, an exact pair, and unrelated docs."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        q_near_dup_discard,
+    )
+
+    texts = {}
+    base = [f"w{i}" for i in range(25)]
+    texts[1] = " ".join(base)
+    texts[2] = " ".join(base[:-1] + ["edited"])      # near-dup of 1
+    texts[3] = " ".join(base)                        # exact dup of 1
+    texts[4] = " ".join(f"x{i}" for i in range(20))  # unrelated
+    texts[5] = " ".join(
+        [f"x{i}" for i in range(19)] + ["tail"]
+    )                                                # near-dup of 4
+    texts[6] = "one two three four five six seven"   # unrelated short
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    sh = {k: shingles(v) for k, v in texts.items()}
+    expect = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= JACCARD_THRESHOLD:
+                expect.add(b)
+    got = {
+        r["discard_doc_id"]
+        for r in q_near_dup_discard(spark, str(d)).collect()
+    }
+    assert got == expect == {2, 3, 5}
+
+
 def test_pack_sequences_stripped_conserves_budget(spark, sf_dir):
     """Stripped packs must conserve the stripped manifest's token mass,
     cover contiguous pack ids from 0, and fit the budget (every pack

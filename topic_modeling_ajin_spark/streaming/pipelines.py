@@ -1590,12 +1590,19 @@ def run_incremental_manifest(
         first = Window.partitionBy("fingerprint")
         flagged = fp.withColumn("first_id", F.min("doc_id").over(first))
         if has_store:
+            # distinct: a fingerprint re-seen in several earlier batches
+            # appears in each batch partition (every batch stores ALL its
+            # docs' fingerprints so rule-failed docs still veto); without
+            # the dedup the flag join would multiply matched rows (they
+            # are all non-keepers, so the POOL is correct either way —
+            # this bounds the join output, not the verdict)
             seen = (
                 spark.read.option("basePath", store_dir)
                 .schema("fingerprint string, batch bigint")
                 .parquet(store_dir)
                 .filter(F.col("batch") < F.lit(batch_id))
                 .select("fingerprint")
+                .distinct()
                 .withColumn("in_store", F.lit(True))
             )
             flagged = flagged.join(seen, "fingerprint", "left")
