@@ -1352,3 +1352,55 @@ def test_mixture_sample_tokens_respects_budgets(spark, sf_dir):
             # consumed at least the budget (last doc straddles), and the
             # pre-straddle mass is under it
             assert got >= b - 1, (lang, got, b)
+
+
+def test_dup_cluster_histogram_conserves_corpus(spark, sf_dir):
+    """Cluster sizes weighted by cluster counts (including the singleton
+    row) must sum to the corpus size, and every histogram row must be
+    internally consistent (n_docs == cluster_size * n_clusters)."""
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.sources import load_table
+
+    reg = load_all()
+    rows = reg["dup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_mixture_policy_overlap_is_consistent(spark, sf_dir):
+    """The policy-diff cells must satisfy the set identities against the
+    composing registered samplers: counts decompose (both + only = each
+    side), and each side's figures equal the samplers' own counts."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    r = reg["mixture_policy_overlap"].fn(spark, sf_dir).collect()[0]
+    assert r["n_doc_policy"] == r["n_both"] + r["n_doc_only"]
+    assert r["n_token_policy"] == r["n_both"] + r["n_token_only"]
+    assert r["n_doc_policy"] == reg["mixture_sample"].fn(spark, sf_dir).count()
+    assert (
+        r["n_token_policy"]
+        == reg["mixture_sample_tokens"].fn(spark, sf_dir).count()
+    )
+    assert r["t_both"] <= min(r["t_doc_policy"], r["t_token_policy"])
+
+
+def test_contamination_by_source_matches_doc_decontam(spark, sf_dir):
+    """Summing the per-source rows must reproduce the corpus-wide
+    doc_decontam verdict tallies exactly."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    rows = reg["contamination_by_source"].fn(spark, sf_dir).collect()
+    dc = reg["doc_decontam"].fn(spark, sf_dir)
+    assert sum(r["n_docs"] for r in rows) == dc.count()
+    assert sum(r["n_flagged"] for r in rows) == dc.filter(
+        F.col("flagged")
+    ).count()
+    assert sum(r["n_shared_grams"] for r in rows) == (
+        dc.agg(F.sum("n_shared_grams")).collect()[0][0]
+    )

@@ -2735,11 +2735,146 @@ def _register_data_card_by_source() -> None:
     )(q_corpus_data_card_by_source)
 
 
+def _register_mixture_policy_overlap() -> None:
+    @register(
+        "mixture_policy_overlap",
+        sql=f"""
+WITH m1 AS ({_REG["mixture_sample"].sql}),
+m2 AS ({_REG["mixture_sample_tokens"].sql}),
+tok AS ({_REG["bpe_token_counts"].sql}),
+j AS (
+    SELECT coalesce(m1.doc_id, m2.doc_id) AS doc_id,
+           m1.doc_id IS NOT NULL AS in_doc,
+           m2.doc_id IS NOT NULL AS in_tok
+    FROM m1 FULL JOIN m2 ON m1.doc_id = m2.doc_id
+),
+w AS (SELECT j.*, t.n_bpe_tokens AS tk FROM j JOIN tok t ON t.doc_id = j.doc_id)
+SELECT CAST(sum(CASE WHEN in_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_policy,
+       CAST(sum(CASE WHEN in_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_token_policy,
+       CAST(sum(CASE WHEN in_doc AND in_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN in_doc AND NOT in_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+       CAST(sum(CASE WHEN in_tok AND NOT in_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_token_only,
+       CAST(sum(CASE WHEN in_doc THEN tk ELSE 0 END) AS BIGINT) AS t_doc_policy,
+       CAST(sum(CASE WHEN in_tok THEN tk ELSE 0 END) AS BIGINT) AS t_token_policy,
+       CAST(sum(CASE WHEN in_doc AND in_tok THEN tk ELSE 0 END) AS BIGINT) AS t_both
+FROM w
+""",
+        tags=("curation", "eval", "bpe"),
+    )
+    def q_mixture_policy_overlap(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """One-row diff of the two mixture POLICIES — the question a
+        mixture owner asks before switching the budget unit: does
+        sampling by token budget instead of doc count actually change
+        what ships, and by how much token mass? Composes the two
+        registered samplers verbatim (full outer join on doc_id) and
+        weighs every membership cell in trained-BPE tokens. At 100 TB
+        the join carries two already-sampled doc-id columns plus the
+        memoized token-count verdict table."""
+        from .bpe import q_bpe_token_counts
+
+        m1 = q_mixture_sample(spark, sf_dir).select(
+            "doc_id", F.lit(True).alias("in_doc")
+        )
+        m2 = _REG["mixture_sample_tokens"].fn(spark, sf_dir).select(
+            "doc_id", F.lit(True).alias("in_tok")
+        )
+        tok = q_bpe_token_counts(spark, sf_dir).select(
+            "doc_id", F.col("n_bpe_tokens").alias("tk")
+        )
+        j = (
+            m1.join(m2, "doc_id", "full")
+            .select(
+                "doc_id",
+                F.coalesce("in_doc", F.lit(False)).alias("in_doc"),
+                F.coalesce("in_tok", F.lit(False)).alias("in_tok"),
+            )
+            .join(tok, "doc_id")
+        )
+
+        def n(cond, name):
+            return (
+                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+            )
+
+        def t(cond, name):
+            return (
+                F.sum(F.when(cond, F.col("tk")).otherwise(0))
+                .cast("bigint")
+                .alias(name)
+            )
+
+        d, k = F.col("in_doc"), F.col("in_tok")
+        return j.agg(
+            n(d, "n_doc_policy"),
+            n(k, "n_token_policy"),
+            n(d & k, "n_both"),
+            n(d & ~k, "n_doc_only"),
+            n(k & ~d, "n_token_only"),
+            t(d, "t_doc_policy"),
+            t(k, "t_token_policy"),
+            t(d & k, "t_both"),
+        )
+
+
+def _register_contamination_by_source() -> None:
+    @register(
+        "contamination_by_source",
+        sql=f"""
+WITH dc AS ({_REG["doc_decontam"].sql})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dc.flagged THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+       round(sum(CASE WHEN dc.flagged THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS flagged_share,
+       CAST(sum(dc.n_shared_grams) AS BIGINT) AS n_shared_grams
+FROM dc JOIN documents d ON d.doc_id = dc.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+        tags=("curation", "eval"),
+    )
+    def q_contamination_by_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Benchmark contamination grouped by SOURCE — which crawl
+        source leaks eval data (a scraper that ingests benchmark-hosting
+        sites shows up here long before the aggregate rate moves).
+        Composes the memoized ``doc_decontam`` verdict; one doc-keyed
+        join to the source column and a source-bounded rollup — the
+        ``_by_source`` convention applied to the leakage gate."""
+        from .text_analysis import q_doc_decontam
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return (
+            q_doc_decontam(spark, sf_dir)
+            .join(d, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_flagged"),
+                F.round(
+                    F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+                    / F.count("*"),
+                    6,
+                ).alias("flagged_share"),
+                F.sum("n_shared_grams").cast("bigint").alias("n_shared_grams"),
+            )
+            .orderBy("source")
+        )
+
+
 _register_funnel()
 _register_funnel_by_source()
 _register_funnel_tokens()
 _register_data_card()
 _register_data_card_by_source()
+_register_mixture_policy_overlap()
+_register_contamination_by_source()
 
 
 # registered here, not in text_analysis: dedup's module-level SQL

@@ -813,6 +813,71 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_dup_cluster_hist() -> None:
+    from ..registry import REGISTRY
+
+    @register(
+        "dup_cluster_size_histogram",
+        sql=f"""
+WITH comp AS ({REGISTRY["dedup_components"].sql}),
+per AS (SELECT DISTINCT component, component_size FROM comp),
+hist AS (
+    SELECT CAST(component_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(component_size) AS BIGINT) AS n_docs
+    FROM per GROUP BY component_size
+),
+tot AS (SELECT count(*) AS n FROM documents),
+cov AS (SELECT coalesce(sum(n_docs), 0) AS c FROM hist)
+SELECT cluster_size, n_clusters, n_docs FROM hist
+UNION ALL
+SELECT CAST(1 AS BIGINT),
+       CAST(tot.n - cov.c AS BIGINT),
+       CAST(tot.n - cov.c AS BIGINT)
+FROM tot, cov
+""",
+        tags=("dedup", "graph", "eval"),
+    )
+    def q_dup_cluster_size_histogram(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Duplicate-cluster size distribution — the standard dedup
+        report: how many near-dup clusters of each size the corpus
+        holds, plus the singleton row (docs in no cluster, = total -
+        clustered). A fat tail here is the first sign of template/
+        boilerplate mass; the keep-one-per-component saving is
+        Σ (size-1)·n_clusters. Composes the registered
+        ``dedup_components`` closure verbatim (memoized labels), so the
+        histogram costs one component-keyed aggregate over a
+        cluster-bounded table plus a scalar corpus count."""
+        comp = REGISTRY["dedup_components"].fn(spark, sf_dir)
+        per = comp.select("component", "component_size").distinct()
+        hist = per.groupBy(
+            F.col("component_size").cast("bigint").alias("cluster_size")
+        ).agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("component_size").cast("bigint").alias("n_docs"),
+        )
+        covered = hist.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("c")
+        )
+        total = load_table(spark, sf_dir, "documents").agg(
+            F.count("*").alias("n")
+        )
+        singles = (
+            total.crossJoin(F.broadcast(covered))
+            .select(
+                F.lit(1).cast("bigint").alias("cluster_size"),
+                (F.col("n") - F.col("c")).cast("bigint").alias("n_clusters"),
+                (F.col("n") - F.col("c")).cast("bigint").alias("n_docs"),
+            )
+        )
+        return hist.unionByName(singles)
+
+
+_register_dup_cluster_hist()
+
+
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import memo
     from .text_analysis import q_simhash_near_dup
