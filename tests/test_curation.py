@@ -1404,3 +1404,91 @@ def test_contamination_by_source_matches_doc_decontam(spark, sf_dir):
     assert sum(r["n_shared_grams"] for r in rows) == (
         dc.agg(F.sum("n_shared_grams")).collect()[0][0]
     )
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small alphabet forces shared shingles; an optional boilerplate block
+# (> HOT_SHINGLE_CAP docs) exercises the guard path
+_TOK = st.sampled_from([f"t{i}" for i in range(8)])
+_DOC = st.lists(_TOK, min_size=3, max_size=10)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    # tmp_path is only a namespace: every example writes its own
+    # uuid-named subdirectory, so cross-example reuse is safe
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_DOC, min_size=4, max_size=10),
+    plant_boiler=st.booleans(),
+)
+def test_guarded_gate_property_matches_python_replay(
+    spark, tmp_path, docs, plant_boiler
+):
+    """Property (r10): on ARBITRARY corpora the hot-guarded near-dup
+    discard equals the pure-Python replay of the guarded rule (pairs
+    connected by >= 1 non-hot shingle, FULL-set Jaccard >= 0.8, discard
+    the higher id), is a subset of the unguarded brute-force rule, and
+    differs from it only on pairs connected SOLELY by hot shingles."""
+    import uuid
+
+    from topic_modeling_ajin_spark.operators.dedup import (
+        HOT_SHINGLE_CAP,
+        JACCARD_THRESHOLD,
+        q_near_dup_discard,
+    )
+
+    texts = {i: " ".join(d) for i, d in enumerate(docs)}
+    if plant_boiler:
+        # > CAP docs sharing a 5-token prefix -> 3 hot shingles
+        for j in range(HOT_SHINGLE_CAP + 2):
+            texts[100 + j] = f"b1 b2 b3 b4 b5 u{j}a u{j}b u{j}c"
+
+    def shingle_set(t):
+        toks = t.lower().split()
+        return (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else set()
+        )
+
+    sh = {k: shingle_set(v) for k, v in texts.items() if shingle_set(v)}
+    from collections import Counter
+
+    df = Counter(s for ss in sh.values() for s in ss)
+    hot = {s for s, c in df.items() if c > HOT_SHINGLE_CAP}
+
+    brute, guarded = set(), set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter_set = sh[a] & sh[b]
+            if not inter_set:
+                continue
+            j = len(inter_set) / len(sh[a] | sh[b])
+            if j >= JACCARD_THRESHOLD:
+                brute.add(b)
+                if inter_set - hot:
+                    guarded.add(b)
+
+    d = str(tmp_path / f"prop-{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["discard_doc_id"]
+        for r in q_near_dup_discard(spark, str(d)).collect()
+    }
+    assert got == guarded
+    assert got <= brute
+    for b in brute - got:
+        # every brute-only discard rides exclusively on hot shingles
+        assert any(
+            len(sh[a] & sh[b]) > 0 and not ((sh[a] & sh[b]) - hot)
+            for a in ids
+            if a < b
+        )
