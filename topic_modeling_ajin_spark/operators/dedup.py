@@ -930,7 +930,30 @@ def cc_labels_from_edges(edges: DataFrame) -> DataFrame:
         # of driver spin by round 6). Eager checkpointing truncates lineage
         # to a leaf each round — the GraphX/GraphFrames pattern for
         # iterative graph algorithms.
-        label = jumped.localCheckpoint(eager=True)
+        new = jumped.localCheckpoint(eager=True)
+        # fixed-point early exit (r10): a round that changes NO label is
+        # the fixed point — min-propagation and the jump are identity
+        # from then on, so the remaining rounds compute the same table
+        # and skipping them is value-exact (the DuckDB oracle's fixed
+        # CC_STEPS unrolling reaches the identical labels). One
+        # doc-keyed join + limit(1) count over two checkpointed leaves
+        # per round buys skipping the unneeded rounds' 3 joins each;
+        # components converge in ~log2(diameter) rounds, CC_STEPS is
+        # the worst-case ceiling.
+        changed = (
+            new.join(
+                label.select(
+                    "doc_id", F.col("comp").alias("prev")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("comp") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        label = new
+        if changed == 0:
+            break
     return label
 
 
