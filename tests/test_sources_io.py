@@ -363,3 +363,44 @@ def test_xlsx_rels_less_fallback_sheet_order(spark, tmp_path):
     s11 = read_xlsx(spark, path, sheet=11)
     (r11,) = s11.collect()
     assert r11["col"] == "s11"
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    """JSONL scan (r10): good lines parse under the explicit schema; a
+    malformed line is CAPTURED raw in the corrupt column, never silently
+    dropped; the sink round-trips; and the quarantine filter works once
+    a data column is touched (the documented Spark caveat)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from topic_modeling_ajin_spark.sources import read_jsonl, write_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 4, "text": "fourth"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(src), schema).cache()
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert {k for k in rows if k is not None} == {1, 2, 4}
+    assert rows[1]["text"] == "hello world"
+    bad = df.filter(F.col("doc_id").isNull()).collect()
+    assert len(bad) == 1
+    assert bad[0]["_corrupt_record"].startswith("{this is not json")
+
+    good = df.filter(F.col("doc_id").isNotNull()).select("doc_id", "text")
+    out = str(tmp_path / "out")
+    write_jsonl(good, out)
+    back = read_jsonl(spark, out, schema)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in back.collect()
+    ) == [(1, "hello world"), (2, "second doc"), (4, "fourth")]
+    df.unpersist()

@@ -2,10 +2,12 @@ from .io import (
     export_excel,
     load_model,
     read_csv,
+    read_jsonl,
     read_stopwords,
     read_xlsx,
     save_model,
     write_csv,
+    write_jsonl,
     write_parquet,
     write_xlsx,
 )
@@ -21,11 +23,13 @@ __all__ = [
     "load_tables",
     "parallelized",
     "read_csv",
+    "read_jsonl",
     "read_stopwords",
     "read_xlsx",
     "register_views",
     "save_model",
     "write_csv",
+    "write_jsonl",
     "write_parquet",
     "write_xlsx",
 ]

@@ -50,6 +50,49 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan — the de-facto interchange format of crawl and
+    training-data pipelines (one JSON object per line; what a CommonCrawl
+    WET post-processor or an annotation vendor actually delivers).
+
+    Explicit schema, like ``read_csv``: inference would scan the data
+    twice to guess types the caller already knows. PERMISSIVE mode with
+    a named corrupt-record column: a malformed line lands with its RAW
+    text in ``corrupt_col`` and nulls elsewhere, so ingest can
+    quarantine (filter + sink the corrupt rows) instead of silently
+    dropping them — at 100 TB a tenth of a percent of bad lines is
+    millions of documents someone must be able to audit. Spark caveat,
+    handled here: the corrupt column must be part of the read schema,
+    and a query referencing ONLY that column is rejected by Spark
+    (internal raw-record pushdown), so quarantine filters should also
+    touch a data column or cache first."""
+    if corrupt_col not in schema.fieldNames():
+        from pyspark.sql.types import StringType, StructField
+
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink (interchange with non-Spark consumers). Large
+    outputs keep their partitioning; ``single_file`` is for small report
+    tables only."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
 def read_stopwords(spark: SparkSession, path: str) -> tuple[str, ...]:
     """Text-lines stopword source (S3): one term per line, strip, drop
     blanks (``preprocessing.py:82-86``). Collected to the driver (the
