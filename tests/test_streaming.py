@@ -1899,3 +1899,46 @@ def test_incremental_manifest_decontam_gate_matches_batch(
         for r in spark.read.parquet(f"{out}/manifest").collect()
     }
     assert got == want and got
+
+
+def test_incremental_manifest_stores_one_shingle_copy_per_fingerprint(
+    spark, tmp_path
+):
+    """r10 review regression: an exact copy arriving in a LATER batch
+    must not re-store its fingerprint's shingle rows — duplicated o_id
+    rows double the per-(doc, o_id) intersection count in future probes
+    and push below-threshold pairs over the Jaccard gate. Batch 0 ships
+    A, batch 1 an exact copy of A, batch 2 a doc sharing 6 of 14 union
+    shingles with A (true J = 0.43 < 0.8; a doubled intersection would
+    compute 12/8 = 1.5 and wrongly drop it)."""
+    import time
+
+    a_text = "the is a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    d_text = "the is a0 a1 a2 a3 a4 a5 x0 x1 x2 x3"
+    schema = "doc_id long, lang string, text string"
+    staging = str(tmp_path / "in")
+    for batch in ([(1, "en", a_text)], [(10, "en", a_text)], [(20, "en", d_text)]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "out")
+    ST.run_incremental_manifest(
+        spark, stream, str(tmp_path / "store"), out, str(tmp_path / "ck")
+    )
+    pool = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/pool").collect())
+    assert pool == [1, 20]  # 10 = exact dup; 20 must NOT be near-dup-dropped
+    # the shingle store holds exactly ONE copy of A's shingle set
+    sh = spark.read.option(
+        "basePath", ST.shingle_store_dir(str(tmp_path / "store"))
+    ).parquet(ST.shingle_store_dir(str(tmp_path / "store")))
+    per_oid = {
+        r["o_id"]: r["n"]
+        for r in sh.groupBy("o_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 10 for n in per_oid.values()) and len(per_oid) == 2

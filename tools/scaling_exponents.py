@@ -123,6 +123,13 @@ def run(names: list[str] | None = None, runs: int = 3, spark=None) -> dict:
 
 def main() -> None:
     names = sys.argv[1:] or None
+    if names:
+        unknown = [n for n in names if n not in CLAIMS]
+        if unknown:
+            raise SystemExit(
+                f"unknown query name(s) {unknown}; "
+                f"claimed queries: {sorted(CLAIMS)}"
+            )
     runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     res = run(names, runs=runs)
     bad = []

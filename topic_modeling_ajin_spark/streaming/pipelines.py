@@ -486,6 +486,48 @@ JACCARD_CANDIDATE_BUDGET = 2_000_000
 VECTOR_CANDIDATE_BUDGET = 2_000_000
 
 
+def _check_store_candidate_budget(
+    store_side: DataFrame,
+    batch_side: DataFrame,
+    key: str,
+    budget: int | None,
+    batch_id: int,
+    gate: str,
+    knob: str,
+    audit: str,
+    remedy: str,
+) -> None:
+    """The candidate budget with loud refusal, ONE definition for every
+    store probe (ingest Jaccard gate, ingest vector gate, incremental
+    manifest — the 'one definition; the faces cannot drift' discipline):
+    Σ per-``key`` (store-count x batch-count) is EXACTLY the row count
+    the probe equi-join would produce — one count-aggregate over the
+    already-pruned scan, far cheaper than materializing the pairs."""
+    if budget is None:
+        return
+    n_cand = (
+        store_side.groupBy(key)
+        .agg(F.count("*").alias("cs"))
+        .join(
+            F.broadcast(
+                batch_side.groupBy(key).agg(F.count("*").alias("cb"))
+            ),
+            key,
+        )
+        .agg(F.sum(F.col("cs") * F.col("cb")))
+        .first()[0]
+        or 0
+    )
+    if n_cand > budget:
+        raise ValueError(
+            f"{gate}: batch {batch_id} would form {n_cand} store "
+            f"candidate pairs, over the {budget} budget ({knob}) — run "
+            f"{audit} to name the offenders; {remedy} (or raise the "
+            "budget deliberately) instead of letting the batch run "
+            "quadratic"
+        )
+
+
 def shingle_store_dir(store_dir: str) -> str:
     """Sibling directory holding the bucketed shingle store for the
     exact-Jaccard gate: ``<fingerprint store>_shingles``."""
@@ -1221,41 +1263,18 @@ def run_streaming_ingest_dedup(
                 others_store = probe_shingle_store(
                     spark, store_dir, batch_id, buckets
                 )
-                if max_jaccard_store_candidates is not None:
-                    # candidate budget with loud refusal (r9 task 6):
-                    # Σ_shv(store docs holding shv x batch docs holding
-                    # shv) is EXACTLY the row count the shared-shingle
-                    # join below would produce — one count-aggregate
-                    # over the pruned scan, far cheaper than
-                    # materializing the pairs
-                    n_cand = (
-                        others_store.groupBy("shv")
-                        .agg(F.count("*").alias("cs"))
-                        .join(
-                            F.broadcast(
-                                me.groupBy("shv").agg(
-                                    F.count("*").alias("cb")
-                                )
-                            ),
-                            "shv",
-                        )
-                        .agg(F.sum(F.col("cs") * F.col("cb")))
-                        .first()[0]
-                        or 0
-                    )
-                    if n_cand > max_jaccard_store_candidates:
-                        raise ValueError(
-                            f"exact-Jaccard gate: batch {batch_id} would "
-                            f"form {n_cand} store candidate pairs, over "
-                            f"the {max_jaccard_store_candidates} budget "
-                            "(max_jaccard_store_candidates) — the store "
-                            "holds corpus-wide boilerplate shingles "
-                            "fanning the probe join out; run "
-                            "store_hot_shingles to name them, strip the "
-                            "boilerplate upstream (or raise the budget "
-                            "deliberately) instead of letting the batch "
-                            "run quadratic"
-                        )
+                # candidate budget with loud refusal (r9 task 6)
+                _check_store_candidate_budget(
+                    others_store,
+                    me,
+                    "shv",
+                    max_jaccard_store_candidates,
+                    batch_id,
+                    "exact-Jaccard gate",
+                    "max_jaccard_store_candidates",
+                    "store_hot_shingles",
+                    "strip the boilerplate upstream",
+                )
                 # the BATCH side broadcasts (a micro-batch is small by
                 # definition), so the store is probed in place and never
                 # shuffled — without this the per-batch shuffle grows
@@ -1314,39 +1333,18 @@ def run_streaming_ingest_dedup(
                 vstore = probe_vector_store(
                     spark, store_dir, batch_id, vbuckets
                 )
-                if max_cosine_store_candidates is not None:
-                    # candidate budget with loud refusal (r9 task 6):
-                    # Σ_bucket(store occupancy x batch docs in bucket)
-                    # is exactly the bucket-equi-join's row count
-                    n_vcand = (
-                        vstore.groupBy("bucket")
-                        .agg(F.count("*").alias("cs"))
-                        .join(
-                            F.broadcast(
-                                vec_me.groupBy("bucket").agg(
-                                    F.count("*").alias("cb")
-                                )
-                            ),
-                            "bucket",
-                        )
-                        .agg(F.sum(F.col("cs") * F.col("cb")))
-                        .first()[0]
-                        or 0
-                    )
-                    if n_vcand > max_cosine_store_candidates:
-                        raise ValueError(
-                            f"embedding near-dup gate: batch {batch_id} "
-                            f"would form {n_vcand} store candidate "
-                            f"pairs, over the "
-                            f"{max_cosine_store_candidates} budget "
-                            "(max_cosine_store_candidates) — the vector "
-                            "store's sign-LSH buckets are overloaded "
-                            "(anisotropic embeddings); run "
-                            "store_hot_buckets to see the occupancy, "
-                            "add planes / a rotation upstream (or raise "
-                            "the budget deliberately) instead of "
-                            "letting the batch run quadratic"
-                        )
+                # candidate budget with loud refusal (r9 task 6)
+                _check_store_candidate_budget(
+                    vstore,
+                    vec_me,
+                    "bucket",
+                    max_cosine_store_candidates,
+                    batch_id,
+                    "embedding near-dup gate",
+                    "max_cosine_store_candidates",
+                    "store_hot_buckets",
+                    "add planes / a rotation upstream",
+                )
                 vs_store = (
                     vstore.join(F.broadcast(vec_me), "bucket")
                     .filter(
@@ -1583,19 +1581,17 @@ def run_incremental_manifest(
             )
             .withColumn("n_shingles", F.size("shingle_hashes"))
             .join(verdicts, "doc_id")
-        ).persist()
+        )
 
         # exact gate over ALL docs (a rule-failed doc still vetoes later
         # copies, exactly as the batch fingerprint_dedup's keeper rule)
         first = Window.partitionBy("fingerprint")
         flagged = fp.withColumn("first_id", F.min("doc_id").over(first))
         if has_store:
-            # distinct: a fingerprint re-seen in several earlier batches
-            # appears in each batch partition (every batch stores ALL its
-            # docs' fingerprints so rule-failed docs still veto); without
-            # the dedup the flag join would multiply matched rows (they
-            # are all non-keepers, so the POOL is correct either way —
-            # this bounds the join output, not the verdict)
+            # each batch stores only fingerprints NEW to the store (see
+            # the store write below), so the store is already one row
+            # per fingerprint; the distinct is a cheap belt-and-braces
+            # bound on the flag join against a hand-edited store
             seen = (
                 spark.read.option("basePath", store_dir)
                 .schema("fingerprint string, batch bigint")
@@ -1608,11 +1604,16 @@ def run_incremental_manifest(
             flagged = flagged.join(seen, "fingerprint", "left")
         else:
             flagged = flagged.withColumn("in_store", F.lit(None).cast("boolean"))
+        # persisted AFTER the store join (the ingest pipeline's
+        # batch_kept discipline, r10 review): every downstream action
+        # (bucket collect, budget count, pool write, store writes)
+        # otherwise re-scans + re-distincts the ENTIRE fingerprint
+        # store and re-runs the window per action
         flagged = flagged.withColumn(
             "is_keeper",
             (F.col("doc_id") == F.col("first_id"))
             & F.col("in_store").isNull(),
-        )
+        ).persist()
 
         # near-dup gate over per-fingerprint representatives (exact
         # copies share shingle sets, so the pair universe is unchanged)
@@ -1653,30 +1654,17 @@ def run_incremental_manifest(
             others_store = probe_shingle_store(
                 spark, store_dir, batch_id, buckets
             )
-            if max_jaccard_store_candidates is not None:
-                n_cand = (
-                    others_store.groupBy("shv")
-                    .agg(F.count("*").alias("cs"))
-                    .join(
-                        F.broadcast(
-                            me.groupBy("shv").agg(F.count("*").alias("cb"))
-                        ),
-                        "shv",
-                    )
-                    .agg(F.sum(F.col("cs") * F.col("cb")))
-                    .first()[0]
-                    or 0
-                )
-                if n_cand > max_jaccard_store_candidates:
-                    raise ValueError(
-                        f"incremental manifest: batch {batch_id} would "
-                        f"form {n_cand} store candidate pairs, over the "
-                        f"{max_jaccard_store_candidates} budget "
-                        "(max_jaccard_store_candidates) — run "
-                        "store_hot_shingles and strip the boilerplate "
-                        "upstream instead of letting the batch run "
-                        "quadratic"
-                    )
+            _check_store_candidate_budget(
+                others_store,
+                me,
+                "shv",
+                max_jaccard_store_candidates,
+                batch_id,
+                "incremental manifest",
+                "max_jaccard_store_candidates",
+                "store_hot_shingles",
+                "strip the boilerplate upstream",
+            )
             store_drops = (
                 others_store.join(F.broadcast(me), "shv")
                 .groupBy("doc_id", "n", "o_id", "o_n")
@@ -1719,8 +1707,16 @@ def run_incremental_manifest(
         )
 
         # stores write AFTER the pool (a crash replays the whole batch
-        # idempotently; each sink overwrites its own partition)
-        reps.select(
+        # idempotently; each sink overwrites its own partition). Only
+        # fingerprints NEW to the store write (r10 review): a rep whose
+        # fingerprint is already stored would duplicate that o_id's
+        # shingle rows, and a future probe's per-(doc, o_id) count(*)
+        # would then DOUBLE the intersection — inflating Jaccard past
+        # the gate for pairs the batch rule keeps (and inflating the
+        # budget count the same way). One row per fingerprint EVER is
+        # the store invariant both joins rely on.
+        new_reps = reps.filter(F.col("in_store").isNull())
+        new_reps.select(
             F.col("fingerprint").alias("o_id"),
             F.col("n_shingles").alias("o_n"),
             F.explode("shingle_hashes").alias("shv"),
@@ -1729,10 +1725,12 @@ def run_incremental_manifest(
         ).write.mode("overwrite").partitionBy("bucket").parquet(
             f"{shingle_store_dir(store_dir)}/batch={batch_id}"
         )
-        fp.select("fingerprint").distinct().write.mode("overwrite").parquet(
+        flagged.filter(F.col("in_store").isNull()).select(
+            "fingerprint"
+        ).distinct().write.mode("overwrite").parquet(
             f"{store_dir}/batch={batch_id}"
         )
-        fp.unpersist()
+        flagged.unpersist()
 
         # mixture policy re-rank over the corpus-so-far -> snapshot
         counts = (
