@@ -60,7 +60,21 @@ EMPTY_SAFE = (
     "unigram_token_counts",
     "domain_cap_salted",
     "pack_sequences_unigram",
+    # r10 additions
+    "near_dup_discard",
+    "hot_shingles",
+    "bpe_piece_vocab",
+    "doc_token_ids",
+    "semantic_decontam",
+    "semantic_decontam_full",
+    "contamination_by_source",
+    "corpus_data_card_by_source",
 )
+# Also excluded (r10): jaccard_threshold_sweep and
+# dup_cluster_size_histogram emit their never-silent sentinel/singleton
+# row even on empty input (deliberate — the guard's activity and the
+# singleton count must never vanish), and mixture_policy_overlap is a
+# one-row global aggregate.
 # Also excluded: k_anonymity_report and vocab_drift (global aggregates -> one
 # NULL-stat row on empty input, correct SQL semantics), and the PQ/IVF-PQ
 # codebook fits (a model fit on zero vectors is undefined, like MLlib fits).
@@ -101,6 +115,10 @@ NULL_TEXT_SAFE = (
     "domain_cap_sample",
     "dsir_logweights",
     "source_js_divergence",
+    # r10 additions
+    "near_dup_discard",
+    "doc_token_ids",
+    "semantic_decontam_full",
 )
 
 
