@@ -1942,3 +1942,50 @@ def test_incremental_manifest_stores_one_shingle_copy_per_fingerprint(
         for r in sh.groupBy("o_id").agg(F.count("*").alias("n")).collect()
     }
     assert all(n == 10 for n in per_oid.values()) and len(per_oid) == 2
+
+
+def test_jsonl_stream_feeds_incremental_manifest(spark, tmp_path):
+    """Crawl-shaped ingestion end to end: JSONL batches (including a
+    malformed line) stream through read_documents_jsonl_stream into
+    run_incremental_manifest — the bad line is quarantined by the rule
+    gate (null text = empty doc, fails the length floor), never crashes
+    the stream, and the good docs land in the pool."""
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    text = "the is w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    staging = tmp_path / "in"
+    staging.mkdir()
+    batches = [
+        ['{"doc_id": 1, "lang": "en", "text": "%s"}' % text,
+         "{broken json line"],
+        ['{"doc_id": 2, "lang": "en", '
+         '"text": "the is z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"}'],
+    ]
+    for i, lines in enumerate(batches):
+        (staging / f"b{i}.jsonl").write_text("\n".join(lines) + "\n")
+        time.sleep(1.1)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = ST.read_documents_jsonl_stream(
+        spark, str(staging), schema
+    ).select("doc_id", "lang", "text")
+    out = str(tmp_path / "out")
+    ST.run_incremental_manifest(
+        spark, stream, str(tmp_path / "store"), out, str(tmp_path / "ck")
+    )
+    pool = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/pool").collect()
+    )
+    assert pool == [1, 2]

@@ -75,6 +75,36 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_documents_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Streaming JSON-lines document source — the streaming face of
+    ``sources.read_jsonl`` (crawls and annotation vendors deliver JSONL;
+    this feeds it straight into the ingest/incremental-manifest gates).
+    Same contract as the batch reader: explicit schema, PERMISSIVE with
+    a named corrupt column, so malformed lines arrive as quarantine rows
+    (nulls + raw text) instead of silently vanishing mid-stream — drop
+    or sink them in the first stage of the consuming pipeline. The
+    returned stream EXCLUDES the corrupt column from downstream gate
+    columns only when the caller selects; it is carried so a
+    foreachBatch consumer can count/audit bad lines per batch."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if corrupt_col not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def hourly_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window per event_type with a 2-hour watermark —
     the streaming twin of the batch ``events_hourly`` query."""
