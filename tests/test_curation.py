@@ -1492,3 +1492,62 @@ def test_guarded_gate_property_matches_python_replay(
             for a in ids
             if a < b
         )
+
+
+def test_dedup_savings_report_matches_verdict_tables(spark, sf_dir):
+    """Every cell of the savings line must equal a recount over the
+    composing registered verdicts (docs and BPE token mass per tier)."""
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.sources import load_table
+
+    reg = load_all()
+    r = reg["dedup_savings_report"].fn(spark, sf_dir).collect()[0]
+    tok = {
+        t["doc_id"]: t["n_bpe_tokens"]
+        for t in reg["bpe_token_counts"].fn(spark, sf_dir).collect()
+    }
+    all_ids = {
+        d["doc_id"]
+        for d in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    keepers = {
+        k["keeper"] for k in reg["fingerprint_dedup"].fn(spark, sf_dir).collect()
+    }
+    ex = all_ids - keepers
+    ndd = {
+        n["discard_doc_id"]
+        for n in reg["near_dup_discard"].fn(spark, sf_dir).collect()
+    }
+    sd = {
+        s["vec_id"]
+        for s in reg["semantic_dedup"].fn(spark, sf_dir).collect()
+        if s["kept"] == 0
+    }
+    assert (r["n_exact_removed"], r["t_exact_removed"]) == (
+        len(ex),
+        sum(tok[d] for d in ex),
+    )
+    assert (r["n_near_dup_removed"], r["t_near_dup_removed"]) == (
+        len(ndd),
+        sum(tok[d] for d in ndd),
+    )
+    assert (r["n_semdedup_removed"], r["t_semdedup_removed"]) == (
+        len(sd),
+        sum(tok.get(d, 0) for d in sd),
+    )
+
+
+def test_quality_percentiles_by_source_are_ordered(spark, sf_dir):
+    """Quartiles must be monotone within each source and bounded by
+    [0, 1]; doc counts must sum to the corpus."""
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.sources import load_table
+
+    reg = load_all()
+    rows = reg["quality_percentiles_by_source"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p25"] <= r["p50"] <= r["p75"] <= 1.0
+        assert 0.0 <= r["mean_quality"] <= 1.0
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total

@@ -2868,6 +2868,133 @@ ORDER BY d.source
         )
 
 
+def _register_dedup_savings() -> None:
+    @register(
+        "dedup_savings_report",
+        sql=f"""
+WITH fp AS ({_REG["fingerprint_dedup"].sql}),
+ndd AS ({_REG["near_dup_discard"].sql}),
+sem AS ({_REG["semantic_dedup"].sql}),
+tok AS ({_REG["bpe_token_counts"].sql}),
+ex AS (
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM fp WHERE fp.keeper = d.doc_id)
+),
+sd AS (SELECT vec_id AS doc_id FROM sem WHERE kept = 0)
+SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact_removed,
+    (SELECT CAST(coalesce(sum(t.n_bpe_tokens), 0) AS BIGINT)
+     FROM ex JOIN tok t ON t.doc_id = ex.doc_id) AS t_exact_removed,
+    (SELECT CAST(count(*) AS BIGINT) FROM ndd) AS n_near_dup_removed,
+    (SELECT CAST(coalesce(sum(t.n_bpe_tokens), 0) AS BIGINT)
+     FROM ndd JOIN tok t ON t.doc_id = ndd.discard_doc_id)
+        AS t_near_dup_removed,
+    (SELECT CAST(count(*) AS BIGINT) FROM sd) AS n_semdedup_removed,
+    (SELECT CAST(coalesce(sum(t.n_bpe_tokens), 0) AS BIGINT)
+     FROM sd JOIN tok t ON t.doc_id = sd.doc_id) AS t_semdedup_removed
+""",
+        tags=("curation", "dedup", "eval", "bpe"),
+    )
+    def q_dedup_savings_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """What each dedup TIER buys — the one-row line a dataset
+        release writes next to its dedup methodology: documents and
+        trained-BPE token mass removed by the exact, near-dup, and
+        SemDeDup gates (raw per-tier verdicts, not laddered —
+        ``curation_funnel_tokens`` owns the cumulative view). Every
+        figure composes a registered memoized verdict table; the Spark
+        side is three anti/semi-join counts + token-mass joins
+        crossJoined as one-row broadcasts."""
+        from .bpe import q_bpe_token_counts
+        from .dedup import (
+            q_fingerprint_dedup,
+            q_near_dup_discard,
+            semantic_dedup_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        tok = q_bpe_token_counts(spark, sf_dir).select(
+            "doc_id", "n_bpe_tokens"
+        )
+        keepers = q_fingerprint_dedup(spark, sf_dir).select(
+            F.col("keeper").alias("doc_id")
+        )
+        ex = docs.join(keepers, "doc_id", "left_anti")
+        ndd = q_near_dup_discard(spark, sf_dir).select(
+            F.col("discard_doc_id").alias("doc_id")
+        )
+        sd = (
+            semantic_dedup_table(spark, sf_dir)
+            .filter(F.col("kept") == 0)
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+
+        def cnt_tok(df: DataFrame, n_name: str, t_name: str) -> DataFrame:
+            return df.join(tok, "doc_id", "left").agg(
+                F.count("*").cast("bigint").alias(n_name),
+                F.coalesce(F.sum("n_bpe_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias(t_name),
+            )
+
+        return (
+            cnt_tok(ex, "n_exact_removed", "t_exact_removed")
+            .crossJoin(
+                cnt_tok(ndd, "n_near_dup_removed", "t_near_dup_removed")
+            )
+            .crossJoin(
+                cnt_tok(sd, "n_semdedup_removed", "t_semdedup_removed")
+            )
+        )
+
+
+def _register_quality_percentiles_by_source() -> None:
+    @register(
+        "quality_percentiles_by_source",
+        sql=f"""
+WITH q AS ({_REG["quality_score"].sql})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(q.quality, 0.25), 6) AS p25,
+       round(quantile_cont(q.quality, 0.50), 6) AS p50,
+       round(quantile_cont(q.quality, 0.75), 6) AS p75,
+       round(avg(q.quality), 6) AS mean_quality
+FROM q JOIN documents d ON d.doc_id = q.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+        tags=("curation", "quality", "eval"),
+    )
+    def q_quality_percentiles_by_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Quality DISTRIBUTION per source, not just the mean — the
+        table that says whether a weak source is uniformly weak (shift
+        the mix) or long-tailed (tighten the gate). Exact interpolated
+        quartiles over the 6-dp quality verdict (the
+        ``price_distribution`` cross-engine percentile discipline); at
+        100 TB swap to ``approx_percentile`` — same shape, bounded
+        memory. One join of the memoized verdict to the source column,
+        a source-bounded rollup."""
+        from .text_analysis import q_quality_score
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return (
+            q_quality_score(spark, sf_dir)
+            .join(d, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.round(F.expr("percentile(quality, 0.25)"), 6).alias("p25"),
+                F.round(F.expr("percentile(quality, 0.50)"), 6).alias("p50"),
+                F.round(F.expr("percentile(quality, 0.75)"), 6).alias("p75"),
+                F.round(F.avg("quality"), 6).alias("mean_quality"),
+            )
+            .orderBy("source")
+        )
+
+
 _register_funnel()
 _register_funnel_by_source()
 _register_funnel_tokens()
@@ -2875,6 +3002,8 @@ _register_data_card()
 _register_data_card_by_source()
 _register_mixture_policy_overlap()
 _register_contamination_by_source()
+_register_dedup_savings()
+_register_quality_percentiles_by_source()
 
 
 # registered here, not in text_analysis: dedup's module-level SQL
