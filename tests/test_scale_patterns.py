@@ -509,3 +509,217 @@ def test_registry_wide_plan_shape_sweep(spark, sf_dir):
             if not cut_below:
                 bad.append((name, "unpartitioned window"))
     assert not bad, bad
+
+
+# --------------------------------------------------------------------------
+# r10 verdict task 1 (the mechanical half): every FORCED F.broadcast in the
+# package must have a boundedness justification here. A forced hint
+# overrides Spark's size checks — if the build side turns out huge the job
+# OOMs instead of degrading to a shuffle join — so it is only sound for
+# tables whose size is a DESIGN GUARANTEE. Corpus-derived unbounded tables
+# (word vocabularies, segmentation/id tables, discard lists, hot sets) must
+# go through functions.joins.vocab_broadcast (size-aware: hint under the
+# cap, plain shuffle join past it) or carry no hint at all (AQE decides
+# from true runtime size). Keys are (file relative to the package, the
+# broadcast argument's exact source text); the scan is AST-based so
+# formatting differences don't split sites. Both directions fail: a new
+# un-allowlisted F.broadcast AND a stale entry naming a site that no
+# longer exists.
+
+BROADCAST_ALLOW: dict[tuple[str, str], str] = {
+    ("functions/joins.py", "vocab"):
+        "the size-aware helper itself — hint applied only under the cap",
+    ("operators/bpe.py", "piece_vocab(spark, sf_dir)"):
+        "piece alphabet: <= distinct corpus characters + BPE_MERGES rows",
+    ("operators/clustering.py", "cb"):
+        "PQ codebook: PQ_SUB x 2^PQ_BITS rows by construction",
+    ("operators/clustering.py", "cent"):
+        "K-row centroid table (model-sized)",
+    ("operators/clustering.py",
+     "qres.select('query_id', 'coarse', F.slice('qres', m * PQ_SUB + 1,"
+     " PQ_SUB).alias('q_sub'))"):
+        "N_QUERIES-bounded query side of the ADC probe",
+    ("operators/clustering.py", "qs"):
+        "N_QUERIES-bounded query side",
+    ("operators/curation.py", "budgets"):
+        "per-language token budgets: K_langs rows",
+    ("operators/curation.py", "m"):
+        "one-row total_max aggregate",
+    ("operators/curation.py", "plan"):
+        "K_langs-row mixture plan",
+    ("operators/curation.py", "tots"):
+        "one-row totals aggregate",
+    ("operators/curation.py", "tw"):
+        "MIX_TARGETS constant table",
+    ("operators/dedup.py", "bands"):
+        "MINHASH_BANDS-row constant band table",
+    ("operators/dedup.py", "bench"):
+        "benchmark split: tiny by construction (a benchmark, not a corpus)",
+    ("operators/dedup.py", "cand"):
+        "LSH candidate pairs: band-join output, hot-bucket-capped",
+    ("operators/dedup.py", "cent"):
+        "K-row centroid table",
+    ("operators/dedup.py", "covered"):
+        "one-row coverage aggregate",
+    ("operators/dedup.py", "hbench"):
+        "hash-encoded benchmark split (tiny by construction)",
+    ("operators/encoding.py", "q"):
+        "ANN_QUERIES-bounded query side",
+    ("operators/events.py", "stats"):
+        "one-row fitted stats",
+    ("operators/frequency.py", "cells"):
+        "CMS sketch: CMS_DEPTH x CMS_WIDTH cells by construction",
+    ("operators/frequency.py", "rows"):
+        "CMS_DEPTH-row range",
+    ("operators/metrics.py", "kw"):
+        "K-topic keyword table (K x TOP_K rows)",
+    ("operators/metrics.py", "labs.select(F.col('label').alias('j'))"):
+        "K-row label list",
+    ("operators/metrics.py", "norms"):
+        "K-row per-topic norms",
+    ("operators/metrics.py", "sizes"):
+        "K-row per-topic sizes",
+    ("operators/metrics.py", "t_total"):
+        "one-row total",
+    ("operators/plsa.py", "zs"):
+        "K-row topic range",
+    ("operators/quality_model.py", "ab"):
+        "PSI_BINS-row calibration bins",
+    ("operators/quality_model.py",
+     "ab.sparkSession.range(PSI_BINS).select(F.col('id').cast('bigint')"
+     ".alias('bin'))"):
+        "PSI_BINS-row range",
+    ("operators/quality_model.py", "atot"):
+        "one-row total",
+    ("operators/quality_model.py", "off_df"):
+        "per-partition offsets: one row per shuffle partition",
+    ("operators/relational.py", "ab"):
+        "one-row avg-balance aggregate",
+    ("operators/relational.py", "c"):
+        "TPC-H customer dim (SF-bounded dimension, standard broadcast)",
+    ("operators/relational.py", "mx"):
+        "one-row max-revenue aggregate",
+    ("operators/relational.py", "n"):
+        "TPC-H nation dim: 25 rows",
+    ("operators/relational.py", "nc"):
+        "TPC-H nation projection: 25 rows",
+    ("operators/relational.py", "ns"):
+        "TPC-H nation projection: 25 rows",
+    ("operators/relational.py", "off_df"):
+        "per-partition offsets: one row per range partition",
+    ("operators/relational.py", "p"):
+        "TPC-H part dim (SF-bounded dimension)",
+    ("operators/relational.py", "r"):
+        "TPC-H region dim: 5 rows",
+    ("operators/relational.py", "s"):
+        "TPC-H supplier dim (SF-bounded dimension)",
+    ("operators/relational.py", "s.select('s_suppkey')"):
+        "TPC-H supplier key projection",
+    ("operators/relational.py", "tot"):
+        "one-row total",
+    ("operators/retrieval.py", "idf"):
+        "query-vocab idf: bounded by the query set's distinct terms",
+    ("operators/retrieval.py", "qterm"):
+        "query-term table: bounded by the query set",
+    ("operators/retrieval.py", "qvocab"):
+        "query vocabulary: bounded by the query set",
+    ("operators/retrieval.py", "stats"):
+        "one-row corpus stats",
+    ("operators/selection.py", "tots"):
+        "one-row totals",
+    ("operators/selection.py", "vocab"):
+        "top-JS_VOCAB limit cut (explicit limit-k)",
+    ("operators/selection.py", "w"):
+        "DSIR bucket weights: 2^DSIR_BUCKETS_LOG2 rows by construction",
+    ("operators/similarity.py", "centers_df"):
+        "K-row centroid table",
+    ("operators/similarity.py", "centv"):
+        "K-row centroid table",
+    ("operators/similarity.py", "q"):
+        "N_QUERIES-bounded query side",
+    ("operators/text_analysis.py", "bench"):
+        "benchmark gram set (tiny by construction)",
+    ("operators/text_analysis.py", "btot"):
+        "one-row total",
+    ("operators/text_analysis.py", "counts.withColumnRenamed('word', 'dst')"):
+        "top-TEXTRANK_VOCAB limit cut (explicit limit-k)",
+    ("operators/text_analysis.py", "counts.withColumnRenamed('word', 'src')"):
+        "top-TEXTRANK_VOCAB limit cut (explicit limit-k)",
+    ("operators/text_analysis.py", "tot"):
+        "one-row total",
+    ("operators/text_analysis.py", "tots"):
+        "one-row totals",
+    ("operators/text_analysis.py", "ua"):
+        "per-side unigram totals over the DRIFT_VOCAB cut",
+    ("operators/text_analysis.py", "ub"):
+        "per-side unigram totals over the DRIFT_VOCAB cut",
+    ("operators/text_analysis.py", "vocab"):
+        "one-row countDistinct aggregate",
+    ("operators/topics.py", "a"):
+        "one-row average-mass aggregate",
+    ("operators/topics.py", "centv"):
+        "K-row centroid table",
+    ("operators/topics.py", "ct"):
+        "K-row class-mass table",
+    ("operators/topics.py", "vocab_df"):
+        "LDA term index: bounded by the vectorizer's df-pruned vocab "
+        "(doc_frequency_pruning gates it)",
+    ("operators/unigram_lm.py", "tot"):
+        "one-row total",
+    ("streaming/pipelines.py",
+     "batch_side.groupBy(key).agg(F.count('*').alias('cb'))"):
+        "micro-batch-side key counts (bounded by the trigger batch)",
+    ("streaming/pipelines.py", "bench_grams"):
+        "benchmark gram set (tiny by construction)",
+    ("streaming/pipelines.py", "me"):
+        "micro-batch probe side (bounded by the trigger batch; the store "
+        "is probed in place, never shuffled)",
+    ("streaming/pipelines.py", "plan"):
+        "K_langs-row mixture plan",
+    ("streaming/pipelines.py", "vec_me"):
+        "micro-batch probe side (bounded by the trigger batch)",
+}
+
+
+def _broadcast_sites() -> set[tuple[str, str]]:
+    """AST scan of the package for F.broadcast(...) call sites, keyed by
+    (relative file, exact source text of the broadcast argument)."""
+    import ast
+    import pathlib
+
+    import topic_modeling_ajin_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    sites: set[tuple[str, str]] = set()
+    for p in sorted(root.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                arg = ast.unparse(node.args[0]) if node.args else ""
+                sites.add((str(p.relative_to(root)), arg))
+    return sites
+
+
+def test_no_unjustified_forced_broadcasts():
+    """Every forced F.broadcast call site in the package must carry a
+    boundedness reason in BROADCAST_ALLOW (new sites fail until someone
+    consciously justifies the build side's size guarantee), and the
+    allowlist must stay live (an entry naming a vanished site fails so
+    reasons can't rot). Corpus-unbounded sides belong in
+    vocab_broadcast or unhinted AQE joins, not here."""
+    sites = _broadcast_sites()
+    allowed = set(BROADCAST_ALLOW)
+    new = sorted(sites - allowed)
+    stale = sorted(allowed - sites)
+    assert not new, (
+        "forced F.broadcast with no boundedness justification "
+        f"(use vocab_broadcast or drop the hint): {new}"
+    )
+    assert not stale, f"stale BROADCAST_ALLOW entries: {stale}"
+    assert all(r.strip() for r in BROADCAST_ALLOW.values())

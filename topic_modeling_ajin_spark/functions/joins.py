@@ -1,0 +1,57 @@
+"""Size-aware join hints for corpus-derived build sides.
+
+A forced ``F.broadcast(...)`` overrides Spark's size checks entirely: if
+the hinted table turns out huge, the job dies with a driver/executor OOM
+instead of degrading to a shuffle join. That is fine for tables whose
+size is a DESIGN GUARANTEE (a K-row centroid table, a one-row total, a
+limit-k vocabulary, a benchmark) — and wrong for tables whose size is a
+CORPUS ACCIDENT. The canonical offender is the tokenizer-apply chain: the
+distinct-word vocabulary is tiny at test scale and 10^8-10^9 rows on
+web-scale text (URLs, hashes, typos), so a forced broadcast there is an
+OOM that only fires in production (r10 VERDICT, "What's wrong" #1).
+
+``vocab_broadcast`` is the one sanctioned way to hint such a table: it
+counts the build side (cheap by contract — callers pass persisted /
+checkpointed tables, so the count is a cache scan, and the count is paid
+once per memoized build, not per action) and returns the broadcast hint
+only under ``VOCAB_BROADCAST_CAP`` rows; above the cap it returns the
+table unhinted, leaving the join to Catalyst/AQE — a linear, spill-able
+shuffle join on the natural key.
+
+The registry-wide broadcast lint (``tests/test_scale_patterns.py``)
+enforces the complement: every remaining ``F.broadcast`` call site in the
+package must be allowlisted with a boundedness reason, so a new forced
+broadcast of a corpus-derived aggregate fails CI instead of shipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Broadcast cap for corpus-derived vocabulary tables, in ROWS. Sized for
+# short rows (a word + a few numeric columns): 2M rows x ~50 B ~ 100 MB
+# hashed relation per executor — generous on the 128 GiB test JVM and a
+# sane ceiling for production executors; a 100 TB corpus's distinct-word
+# table (10^8+) clears it by orders of magnitude and takes the shuffle
+# path. Deliberately a row count, not a byte estimate: the caller knows
+# the row width is bounded, and rows are what the cheap cache-scan count
+# measures.
+VOCAB_BROADCAST_CAP = 2_000_000
+
+
+def vocab_broadcast(
+    vocab: DataFrame,
+    n_rows: int | None = None,
+    cap: int = VOCAB_BROADCAST_CAP,
+) -> DataFrame:
+    """Return ``vocab`` with a broadcast hint iff it holds at most
+    ``cap`` rows — the size-aware replacement for a forced
+    ``F.broadcast`` on corpus-derived vocabulary tables.
+
+    ``n_rows``: pass the row count if the caller already has it;
+    otherwise it is counted here (callers must hand in persisted or
+    checkpointed tables so the count is a cache scan, not a recompute).
+    """
+    n = vocab.count() if n_rows is None else n_rows
+    return F.broadcast(vocab) if n <= cap else vocab

@@ -314,12 +314,15 @@ def bpe_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word -> piece count), re-aggregate per doc. Memoized+persisted —
     the counts query and the BPE packer both consume it.
 
-    Scale shape: the vocabulary side is |V| rows (bounded; broadcast here
-    — when a 100 TB corpus pushes |V| past broadcast size, the same plan
-    degrades to a shuffle join on the natural ``word`` key with the
-    vocab side already unique per key). The corpus side is the one
-    explode + one doc_id re-aggregate every tokenize pass pays."""
+    Scale shape: the vocabulary side is |V| rows — a corpus ACCIDENT,
+    not a design bound (web-scale text reaches 10^8+ distinct words), so
+    the hint is SIZE-AWARE (``vocab_broadcast``, r10 verdict task 1):
+    under the cap it broadcasts, past it the same plan degrades to a
+    linear shuffle join on the natural ``word`` key with the vocab side
+    already unique per key. The corpus side is the one explode + one
+    doc_id re-aggregate every tokenize pass pays."""
     from ..functions import text as TX
+    from ..functions.joins import vocab_broadcast
 
     def build() -> DataFrame:
         _, seq = _bpe_fit(spark, sf_dir)
@@ -328,7 +331,7 @@ def bpe_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(TX.word_tokens("text")).alias("word")
         )
         agg = (
-            words.join(F.broadcast(pieces), "word")
+            words.join(vocab_broadcast(pieces), "word")
             .groupBy("doc_id")
             .agg(
                 F.count("*").alias("n_words"),
@@ -431,9 +434,12 @@ def q_bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, np, ids array<long>): every vocabulary word's token-id
     sequence under the trained merges — posexplode the encoded pieces,
-    join the broadcast id table, re-assemble in piece order. Vocab-sized
-    (|V| rows) and memoized+persisted: the per-doc encoder broadcasts it
-    so the corpus side never shuffles to pick up its ids."""
+    join the broadcast id table (``piece_vocab`` is ALPHABET-bounded:
+    distinct corpus characters + {BPE_MERGES} merge outputs, so its
+    forced broadcast is a design guarantee), re-assemble in piece order.
+    Vocab-sized (|V| rows) and memoized+persisted: the per-doc encoder
+    picks it up via the size-aware ``vocab_broadcast`` so the corpus
+    side never shuffles under the cap and never OOMs past it."""
 
     def build() -> DataFrame:
         _, seq = _bpe_fit(spark, sf_dir)
@@ -463,15 +469,18 @@ def doc_token_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm action would re-pay tens of seconds of pure Catalyst analysis
     before the cache lookup — the checkpoint collapses it to a
     LogicalRDD. The registered string-form query and the token shard
-    export both consume it."""
+    export both consume it. The word->ids table is corpus-unbounded, so
+    its hint is size-aware (``vocab_broadcast`` — broadcast under the
+    cap, linear shuffle join on ``word`` past it; r10 verdict task 1)."""
     from ..functions import text as TX
+    from ..functions.joins import vocab_broadcast
 
     def build() -> DataFrame:
         words = _docs(spark, sf_dir).select(
             "doc_id", F.posexplode(TX.word_tokens("text")).alias("widx", "word")
         )
         agg = (
-            words.join(F.broadcast(word_token_ids(spark, sf_dir)), "word")
+            words.join(vocab_broadcast(word_token_ids(spark, sf_dir)), "word")
             .groupBy("doc_id")
             .agg(
                 F.sum("np").cast("long").alias("n_tokens"),

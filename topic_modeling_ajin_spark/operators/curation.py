@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.joins import vocab_broadcast
 from ..registry import register
 from ..sources import load_table, parallelized
 
@@ -391,7 +392,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan; the only corpus-sized work is reading (doc_id, lang)."""
     plan = q_mixture_plan(spark, sf_dir).select("lang", "keep_rate")
     d = _docs(spark, sf_dir)
-    u = _md5_u32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    u = mixture_keep_expr()  # the ONE definition (shared with streaming)
     return (
         d.join(F.broadcast(plan), "lang")
         .filter(u < F.floor(F.col("keep_rate") * _U32))
@@ -1025,7 +1026,7 @@ def _manifest(spark: SparkSession, sf_dir: str, strict: bool) -> DataFrame:
             .filter(F.col("flagged"))
             .select("doc_id")
         )
-        out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
+        out = out.join(vocab_broadcast(flagged), "doc_id", "left_anti")
     return out.select("doc_id", "lang", "quality", "n_bpe_tokens").orderBy(
         "doc_id"
     )
@@ -1067,7 +1068,7 @@ def _manifest_premix(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             fr.select("doc_id", "quality")
             .join(keepers, "doc_id")
-            .join(F.broadcast(discard), "doc_id", "left_anti")
+            .join(vocab_broadcast(discard), "doc_id", "left_anti")
             .join(sem, "doc_id")
             .join(bpec, "doc_id")
         )
@@ -1150,7 +1151,7 @@ def q_training_corpus_manifest_winnow(
     )
     return (
         _manifest(spark, sf_dir, strict=True)
-        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .join(vocab_broadcast(flagged), "doc_id", "left_anti")
         .select("doc_id", "lang", "quality", "n_bpe_tokens")
         .orderBy("doc_id")
     )
@@ -1346,14 +1347,16 @@ def stripped_bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget — the re-budget table the stripped manifest joins (one
     explode + broadcast vocab join + doc_id re-aggregate; docs with an
     empty remainder simply have no row)."""
+    from ..functions.joins import vocab_broadcast
     from .bpe import _bpe_fit
 
     _, seq = _bpe_fit(spark, sf_dir)
+    # corpus-unbounded vocab side -> size-aware hint (r10 verdict task 1)
     pieces = seq.select("word", F.size("seq").alias("n_pieces"))
     _, kept = _strip_chunks(spark, sf_dir)
     return (
         kept.select("doc_id", F.explode("chunk").alias("word"))
-        .join(F.broadcast(pieces), "word")
+        .join(vocab_broadcast(pieces), "word")
         .groupBy("doc_id")
         .agg(F.sum("n_pieces").cast("long").alias("n_bpe_tokens"))
     )
@@ -1662,20 +1665,20 @@ def staged_manifest(
         fr.select("doc_id", "quality")
         .join(keepers, "doc_id")
         .join(mix, "doc_id")
-        .join(F.broadcast(discard), "doc_id", "left_anti")
+        .join(vocab_broadcast(discard), "doc_id", "left_anti")
         .join(sem, "doc_id")
         .join(bpec, "doc_id")
     )
     if strict:
         flagged = t("doc_boilerplate").filter(F.col("flagged")).select("doc_id")
-        out = out.join(F.broadcast(flagged), "doc_id", "left_anti")
+        out = out.join(vocab_broadcast(flagged), "doc_id", "left_anti")
     if winnow:
         wflag = (
             t("doc_winnow_boilerplate")
             .filter(F.col("flagged"))
             .select("doc_id")
         )
-        out = out.join(F.broadcast(wflag), "doc_id", "left_anti")
+        out = out.join(vocab_broadcast(wflag), "doc_id", "left_anti")
     return out.select("doc_id", "lang", "quality", "n_bpe_tokens")
 
 
@@ -2414,7 +2417,7 @@ def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.join(fr, "doc_id", "left")
         .join(keepers, "doc_id", "left")
-        .join(F.broadcast(ndd), "doc_id", "left")
+        .join(vocab_broadcast(ndd), "doc_id", "left")
         .join(sem, "doc_id", "left")
         .join(mix, "doc_id", "left")
         .select(

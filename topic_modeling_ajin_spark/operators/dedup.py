@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..cache import memo
 from ..functions import hashing as H
 from ..functions import text as TX
+from ..functions.joins import vocab_broadcast
 from ..registry import register
 from ..sources import load_table, parallelized
 
@@ -302,9 +303,15 @@ def hot_guarded_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _exploded_shingles(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     hot = _hot_shingle_set(spark, sf_dir)
-    cold = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # the hot set is boilerplate-bounded in practice but corpus-DERIVED
+    # in the worst case, so the hint is size-aware (vocab_broadcast —
+    # the persisted memo makes the count a cache scan); past the cap
+    # both the guard anti-join and the hot-list join degrade to linear
+    # shuffle joins on the shingle key instead of an OOM
+    hotb = vocab_broadcast(hot)
+    cold = sh.join(hotb, "shingle", "left_anti")
     dh = (
-        sh.join(F.broadcast(hot), "shingle")
+        sh.join(hotb, "shingle")
         .groupBy("doc_id")
         .agg(F.collect_list("shingle").alias("hs"))
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..cache import memo
+from ..functions.joins import vocab_broadcast
 from ..registry import register
 from ..sources import load_table
 
@@ -102,8 +103,14 @@ def _fit(spark: SparkSession, sf_dir: str, k: int = PLSA_K, mod: int | None = No
 
         prev_cached: list[DataFrame] = []
         for _ in range(PLSA_ITERS):
+            # phi is K x |V| — vocab-sized, corpus-unbounded — so the
+            # hint is size-aware (vocab_broadcast, r10 verdict task 1):
+            # each round's phi is persisted below, making the count a
+            # cache scan; past the cap the E-step degrades to a linear
+            # shuffle join on word (production PLSA also df-prunes the
+            # vocabulary upstream, doc_frequency_pruning)
             num = (
-                c.join(F.broadcast(phi), "word")
+                c.join(vocab_broadcast(phi), "word")
                 .join(theta, ["doc_id", "z"])
                 .select(
                     "doc_id",
@@ -463,8 +470,10 @@ def _fold_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_cached = None
     for _ in range(FOLD_ITERS):
+        # phi comes persisted from _fit; same size-aware hint as the
+        # training E-step (vocab-sized, corpus-unbounded)
         num = (
-            cnew.join(F.broadcast(phi), "word")
+            cnew.join(vocab_broadcast(phi), "word")
             .join(theta, ["doc_id", "z"])
             .select(
                 "doc_id",

@@ -614,7 +614,11 @@ def winnow_overlap_pairs_from_fps(
         .filter(F.col("fp_docs") > hot_cap)
         .select("fp")
     )
-    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    # hot is corpus-derived (fingerprints shared by > hot_cap docs) and
+    # unpersisted here — no forced hint: AQE broadcasts the anti-join
+    # build side at its true runtime size, shuffle-joins when a
+    # boilerplate-heavy corpus outgrows it (r10 verdict task 1)
+    cold = fps.join(hot, "fp", "left_anti")
     sizes = cold.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a = cold.select(F.col("doc_id").alias("doc_a"), "fp")
     b = cold.select(F.col("doc_id").alias("doc_b"), "fp")

@@ -361,7 +361,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree is coalesced at runtime)
     dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()
-    w = tf.join(F.broadcast(dfc), "word").withColumn(
+    # dfc is vocab-sized — corpus-unbounded — and NOT persisted (a
+    # count-based vocab_broadcast would re-run the tokenize), so the
+    # join carries no forced hint: AQE sees dfc's true runtime size and
+    # broadcasts it when small, shuffle-joins when a web-scale vocab
+    # wouldn't fit (r10 verdict task 1 — the OOM-proof default)
+    w = tf.join(dfc, "word").withColumn(
         "tfidf",
         F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0),
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..cache import memo
 from ..functions import text as TX
+from ..functions.joins import vocab_broadcast
 from ..registry import register
 from ..sources import load_table, parallelized
 
@@ -104,10 +105,12 @@ def class_term_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             tc.join(F.broadcast(ct), "label")
             # wf is vocabulary-sized (slim 2 cols) — broadcast beats
-            # re-shuffling tc on word; at a vocabulary too big to
-            # broadcast this degrades gracefully to a sort-merge join
-            # by removing the hint, not by re-planning the query.
-            .join(F.broadcast(wf), "word")
+            # re-shuffling tc on word, but the vocabulary is a corpus
+            # accident, so the hint is SIZE-AWARE (vocab_broadcast,
+            # r10 verdict task 1): past the cap the join degrades to a
+            # linear shuffle on word instead of an OOM. wf derives from
+            # the persisted tc, so the count is a cache-scan aggregate.
+            .join(vocab_broadcast(wf), "word")
             .crossJoin(F.broadcast(a))
             .withColumn(
                 "wt",
@@ -947,7 +950,10 @@ def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ct.agg(F.avg("total").alias("a"))
     w = (
         tc.join(F.broadcast(ct), "label")
-        .join(F.broadcast(wf), "word")
+        # wf is vocab-sized and tc is NOT persisted here (single-use
+        # subtree) — no forced hint: AQE broadcasts wf at its true
+        # runtime size and shuffle-joins a web-scale vocabulary
+        .join(wf, "word")
         .crossJoin(F.broadcast(a))
         .withColumn(
             "wt",

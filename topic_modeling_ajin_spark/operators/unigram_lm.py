@@ -464,10 +464,13 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped (a real pipeline routes them to a byte-fallback); token-less
     documents report zeros on both engines.
 
-    Scale shape: the segment table is |V| rows and broadcasts; the corpus
-    side pays one explode + one doc_id re-aggregate — the same plan as
-    every tokenize pass."""
+    Scale shape: the segment table is |V| rows — corpus-unbounded, so
+    the hint is size-aware (``vocab_broadcast``: broadcast under the
+    cap, linear shuffle join on ``word`` past it; r10 verdict task 1);
+    the corpus side pays one explode + one doc_id re-aggregate — the
+    same plan as every tokenize pass."""
     from ..functions import text as TX
+    from ..functions.joins import vocab_broadcast
 
     _final, seg = unigram_fit(spark, sf_dir)
     pieces = seg.select("word", "n_pieces")
@@ -475,7 +478,7 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(TX.word_tokens("text")).alias("word")
     )
     agg = (
-        words.join(F.broadcast(pieces), "word", "left")
+        words.join(vocab_broadcast(pieces), "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

@@ -464,17 +464,19 @@ def streaming_enrich_events(events: DataFrame, customers: DataFrame) -> DataFram
     event pipeline needs: each micro-batch joins against the (slowly
     changing) customer dimension snapshot.
 
-    The static side is broadcast per micro-batch, so the stream never
-    shuffles and needs no watermark or state store — stream-static joins
-    are stateless by construction. At 100 TB the dimension either stays
-    broadcast-sized or the join degrades to a per-batch shuffle join;
-    either way re-planning is per-trigger, picking up dimension updates."""
+    The static side carries NO forced broadcast hint: stream-static
+    joins re-plan per trigger, so Catalyst/AQE broadcasts a
+    broadcast-sized dimension and degrades to a per-batch shuffle join
+    when the dimension outgrows it — a forced hint would turn that
+    graceful degradation into an OOM (r10 verdict task 1). Either way
+    the join is stateless (no watermark or state store) and picks up
+    dimension updates at each trigger."""
     dim = customers.select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_name").alias("user_name"),
         F.col("c_mktsegment").alias("segment"),
     )
-    return events.join(F.broadcast(dim), "user_id", "left").select(
+    return events.join(dim, "user_id", "left").select(
         "event_id", "ts", "user_id", "event_type", "value", "user_name", "segment"
     )
 
