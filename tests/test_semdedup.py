@@ -259,3 +259,87 @@ def test_decontam_gap_report_closes_embedding_coverage_gap(
         "n_semantic_only": 0,
         "n_ngram_unevaluated": 0,
     }
+
+
+def test_semantic_dedup_full_covers_missing_embeddings(spark, tmp_path):
+    """r10 verdict task 3: every corpus doc must get a SemDeDup verdict.
+    Docs with a table embedding keep the table-space verdict verbatim;
+    docs with NO embeddings row are verdict-ed in the HASH space — a
+    planted unembedded near-duplicate (identical text, so hash cosine
+    is exactly 1.0 > tau in the same sign-LSH bucket) must be dropped
+    keep-first, an unembedded singleton kept, and a token-less missing
+    doc reported (cluster=-1, kept=1). The hash-space dominance is
+    replayed here with the pure-Python hash kernel, so the expectation
+    is independent of the Spark plan."""
+    import math
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+    )
+    from topic_modeling_ajin_spark.operators.dedup import SEMDEDUP_TAU
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    texts = {
+        0: "table zero aa bb",
+        1: "table one cc dd",
+        2: "table two ee ff",
+        200: "boiler plate dup line qq ww",
+        201: "boiler plate dup line qq ww",   # unembedded NEAR-DUP of 200
+        202: "completely different words xyz uvw rst",
+        203: "   ",                            # unembedded, token-less
+    }
+    embs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    got = {
+        r["doc_id"]: (r["cluster"], r["kept"], r["space"])
+        for r in reg["semantic_dedup_full"].fn(spark, str(d)).collect()
+    }
+    assert set(got) == set(texts), "every corpus doc gets a verdict"
+    assert all(got[i][2] == "table" for i in (0, 1, 2))
+    # orthogonal table vectors: nothing dominates anything
+    assert all(got[i][1] == 1 for i in (0, 1, 2))
+
+    # pure-Python hash-space replay: bucket = sign bits of the first 8
+    # components, dominated iff a lower-id same-bucket doc has
+    # round(cos, 6) > tau
+    hvecs = dict(
+        zip((200, 201, 202), hash_embed_texts([texts[i] for i in (200, 201, 202)]))
+    )
+    bucket = lambda v: sum(1 << i for i in range(8) if v[i] > 0)  # noqa: E731
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return num / na / nb
+
+    for i in (200, 201, 202):
+        dominated = any(
+            j < i
+            and bucket(hvecs[j]) == bucket(hvecs[i])
+            and round(cos(hvecs[i], hvecs[j]), 6) > SEMDEDUP_TAU
+            for j in (200, 201, 202)
+            if j != i
+        )
+        assert got[i] == (bucket(hvecs[i]), 0 if dominated else 1, "hash")
+    # the planted premise: 201 IS dominated (dup of 200), 200/202 kept
+    assert got[200][1] == 1 and got[201][1] == 0 and got[202][1] == 1
+    # token-less missing doc: zero vector, no bucket, kept
+    assert got[203] == (-1, 1, "hash")
+
+    # the savings report's coverage column counts the hash-space rows
+    sav = reg["dedup_savings_report"].fn(spark, str(d)).collect()[0]
+    assert sav["n_sem_hash_space"] == 4
+    assert sav["n_semdedup_removed"] >= 1  # 201 at minimum

@@ -1444,6 +1444,87 @@ def test_streaming_embedding_gate_matches_batch_near_dup(spark, tmp_path):
         assert set(r["q"]) <= {-127, 0, 127}
 
 
+def test_streaming_cosine_gate_two_tier_is_float_exact(spark, tmp_path):
+    """r10 verdict task 6: pairs whose int8-quantized cosine STRADDLES
+    the threshold (int8 >= t, float < t) must be KEPT — the float
+    confirm tier decides, so the stream's drop set equals the batch
+    float rule exactly where the old one-tier int8 gate mis-dropped.
+    Both straddle paths are planted: against the persisted vector STORE
+    (cross-batch) and within one batch. A true duplicate still drops.
+
+    The two pairs were searched numerically: same sign pattern (same
+    sign-LSH bucket — candidates only form inside one), float cosine
+    just under 0.9, max-abs int8 cosine just over."""
+    import math
+    import time
+
+    # pair 1: float 0.899755 < 0.9 <= int8 0.900191
+    A1 = [-0.236, 0.9574, 0.9872, -0.3634, -0.7225, 0.4686, -0.7873, -0.5289]
+    B1 = [-0.4116, 0.7103, 0.8998, -0.2002, -0.5455, 0.5883, -0.0827, -0.7458]
+    # pair 2: float 0.898532 < 0.9 <= int8 0.900068
+    A2 = [-0.9096, -0.7021, 0.901, -0.8513, 0.4006, -0.4726, 0.9883, 0.8798]
+    B2 = [-0.9781, -0.2925, 0.5181, -0.1232, 0.0596, -0.5808, 0.9997, 0.9222]
+    THR = 0.9
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    def icos(a, b):
+        mxa, mxb = max(abs(x) for x in a), max(abs(x) for x in b)
+        qa = [round(x * 127.0 / mxa) for x in a]
+        qb = [round(x * 127.0 / mxb) for x in b]
+        return cos(qa, qb)
+
+    # the planted premise, re-derived in pure python so drift in the
+    # constants fails here, not in a silent wrong-reason pass
+    assert cos(A1, B1) < THR <= icos(A1, B1)
+    assert cos(A2, B2) < THR <= icos(A2, B2)
+
+    docs = {
+        1: A1,                      # batch 1
+        2: B1,                      # batch 2: STORE straddle vs 1 -> kept
+        3: A2,                      # batch 2
+        4: B2,                      # batch 2: WITHIN-batch straddle vs 3
+        5: [x * 2.0 for x in A1],   # batch 2: true dup of 1 -> dropped
+    }
+    schema = "doc_id long, text string, embedding array<double>"
+    staging = str(tmp_path / "in")
+    for batch in ((1,), (2, 3, 4, 5)):
+        spark.createDataFrame(
+            [(i, f"text {i}", docs[i]) for i in batch], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "corpus")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        str(tmp_path / "store"),
+        out,
+        str(tmp_path / "ck"),
+        near_dup_cosine=THR,
+    )
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # pure-python batch-rule replay: drop iff float cosine >= THR with
+    # any lower-id doc in the same sign-LSH bucket (dropped docs veto)
+    bucket = lambda v: sum(1 << i for i in range(8) if v[i] > 0)  # noqa: E731
+    drops = {
+        b
+        for a in docs
+        for b in docs
+        if a < b and bucket(docs[a]) == bucket(docs[b])
+        and cos(docs[a], docs[b]) >= THR
+    }
+    assert kept == sorted(set(docs) - drops) == [1, 2, 3, 4]
+
+
 def test_streaming_vector_probe_prunes_to_batch_buckets(spark, tmp_path):
     """The embedding gate's per-batch store probe must read a STRICT
     subset of the vector-store files when the batch's sign-LSH buckets

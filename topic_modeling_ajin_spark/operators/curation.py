@@ -1850,12 +1850,42 @@ def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.size(TX.word_tokens("text")).alias("n"),
-            _md5_u32(
-                F.concat(F.lit("mixtok|"), F.col("doc_id").cast("string"))
-            ).alias("u"),
+            mixtok_u_expr(),
         ),
         persist=True,
     )
+    return token_budget_selection(d).orderBy("doc_id")
+
+
+def mixtok_u_expr(doc_id_col: str = "doc_id") -> Column:
+    """The token-mixture shuffle key: md5-uniform('mixtok|'||id),
+    aliased ``u``. One definition shared by the registered sampler and
+    the incremental manifest's token-length state (the
+    ``mixture_keep_expr`` discipline) — the two faces rank documents
+    identically or not at all."""
+    return _md5_u32(
+        F.concat(F.lit("mixtok|"), F.col(doc_id_col).cast("string"))
+    ).alias("u")
+
+
+def token_budget_selection(
+    d: DataFrame, budget: int = MIXTOK_BUDGET
+) -> DataFrame:
+    """THE token-budget mixture rule over ANY (doc_id, lang, n, u)
+    length table: per-language budget = floor(round(sqrt(m)/ts, 6) x
+    ``budget``) token mass (T=2 temperature shares over the table's OWN
+    counts), filled by documents in (u, doc_id) order until the budget
+    is hit — a doc that STARTS inside the budget ships whole. Factored
+    out (r10 verdict task 2) so the registered ``mixture_sample_tokens``
+    and the incremental manifest's per-batch re-rank share ONE
+    definition and cannot drift. Returns (doc_id, lang, n_tokens),
+    unordered — callers sort.
+
+    Scale: the per-language running sum is the two-phase
+    range-partitioned prefix sum (per-(lang, stride) totals collect as
+    langs x {MIXTOK_PARTS} longs — model-sized; the window runs within
+    (lang, stride) with broadcast prefix offsets), so no language ever
+    forms one giant sort partition."""
     counts = d.groupBy("lang").agg(F.sum("n").cast("double").alias("m"))
     tots = counts.agg(F.sum(F.sqrt("m")).alias("ts"))
     budgets = counts.crossJoin(F.broadcast(tots)).select(
@@ -1891,7 +1921,6 @@ def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(budgets), "lang")
         .filter(F.col("cum") - F.col("n") < F.col("b"))
         .select("doc_id", "lang", F.col("n").cast("bigint").alias("n_tokens"))
-        .orderBy("doc_id")
     )
 
 
@@ -2877,13 +2906,13 @@ def _register_dedup_savings() -> None:
         sql=f"""
 WITH fp AS ({_REG["fingerprint_dedup"].sql}),
 ndd AS ({_REG["near_dup_discard"].sql}),
-sem AS ({_REG["semantic_dedup"].sql}),
+sem AS ({_REG["semantic_dedup_full"].sql}),
 tok AS ({_REG["bpe_token_counts"].sql}),
 ex AS (
     SELECT d.doc_id FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM fp WHERE fp.keeper = d.doc_id)
 ),
-sd AS (SELECT vec_id AS doc_id FROM sem WHERE kept = 0)
+sd AS (SELECT doc_id FROM sem WHERE kept = 0)
 SELECT
     (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact_removed,
     (SELECT CAST(coalesce(sum(t.n_bpe_tokens), 0) AS BIGINT)
@@ -2894,7 +2923,9 @@ SELECT
         AS t_near_dup_removed,
     (SELECT CAST(count(*) AS BIGINT) FROM sd) AS n_semdedup_removed,
     (SELECT CAST(coalesce(sum(t.n_bpe_tokens), 0) AS BIGINT)
-     FROM sd JOIN tok t ON t.doc_id = sd.doc_id) AS t_semdedup_removed
+     FROM sd JOIN tok t ON t.doc_id = sd.doc_id) AS t_semdedup_removed,
+    (SELECT CAST(count(*) AS BIGINT) FROM sem WHERE space = 'hash')
+        AS n_sem_hash_space
 """,
         tags=("curation", "dedup", "eval", "bpe"),
     )
@@ -2905,16 +2936,18 @@ SELECT
         release writes next to its dedup methodology: documents and
         trained-BPE token mass removed by the exact, near-dup, and
         SemDeDup gates (raw per-tier verdicts, not laddered —
-        ``curation_funnel_tokens`` owns the cumulative view). Every
-        figure composes a registered memoized verdict table; the Spark
-        side is three anti/semi-join counts + token-mass joins
-        crossJoined as one-row broadcasts."""
+        ``curation_funnel_tokens`` owns the cumulative view). The
+        semantic tier composes the FULL-coverage verdict
+        (``semantic_dedup_full``, r10 verdict task 3), and
+        ``n_sem_hash_space`` counts how many of its verdicts came from
+        the hash-fallback space (docs with no embeddings row) — the
+        coverage column that keeps the fallback visible in the release
+        line. Every figure composes a registered memoized verdict
+        table; the Spark side is three anti/semi-join counts +
+        token-mass joins crossJoined as one-row broadcasts."""
+        from ..registry import REGISTRY
         from .bpe import q_bpe_token_counts
-        from .dedup import (
-            q_fingerprint_dedup,
-            q_near_dup_discard,
-            semantic_dedup_table,
-        )
+        from .dedup import q_fingerprint_dedup, q_near_dup_discard
 
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         tok = q_bpe_token_counts(spark, sf_dir).select(
@@ -2927,11 +2960,8 @@ SELECT
         ndd = q_near_dup_discard(spark, sf_dir).select(
             F.col("discard_doc_id").alias("doc_id")
         )
-        sd = (
-            semantic_dedup_table(spark, sf_dir)
-            .filter(F.col("kept") == 0)
-            .select(F.col("vec_id").alias("doc_id"))
-        )
+        sem = REGISTRY["semantic_dedup_full"].fn(spark, sf_dir)
+        sd = sem.filter(F.col("kept") == 0).select("doc_id")
 
         def cnt_tok(df: DataFrame, n_name: str, t_name: str) -> DataFrame:
             return df.join(tok, "doc_id", "left").agg(
@@ -2948,6 +2978,13 @@ SELECT
             )
             .crossJoin(
                 cnt_tok(sd, "n_semdedup_removed", "t_semdedup_removed")
+            )
+            .crossJoin(
+                sem.agg(
+                    F.sum(F.when(F.col("space") == "hash", 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_sem_hash_space")
+                )
             )
         )
 

@@ -1536,6 +1536,155 @@ def semantic_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_semantic_dedup_full() -> str:
+    from ..functions.encoder import sql_hash_embedding
+    from ..registry import REGISTRY
+
+    sign_sql = " + ".join(
+        f"(CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH sdt AS ({REGISTRY["semantic_dedup"].sql}),
+{sql_hash_embedding()},
+hdense3 AS (
+    SELECT doc_id, list(v ORDER BY dim) AS emb FROM hemb GROUP BY doc_id
+),
+miss2 AS (
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+),
+hm2 AS (
+    SELECT h.doc_id, h.emb,
+           CASE WHEN list_dot_product(h.emb, h.emb) > 0
+                THEN {sign_sql} END AS bucket
+    FROM hdense3 h JOIN miss2 m ON m.doc_id = h.doc_id
+),
+hdom AS (
+    SELECT DISTINCT a.doc_id
+    FROM hm2 a JOIN hm2 b ON a.bucket = b.bucket AND b.doc_id < a.doc_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_TAU}
+),
+hsd AS (
+    SELECT h.doc_id,
+           CAST(coalesce(h.bucket, -1) AS BIGINT) AS cluster,
+           0.0 AS cent_cos,
+           CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM hm2 h LEFT JOIN hdom d ON d.doc_id = h.doc_id
+)
+SELECT vec_id AS doc_id, cluster, cent_cos, kept, 'table' AS space FROM sdt
+UNION ALL
+SELECT doc_id, cluster, cent_cos, kept, 'hash' AS space FROM hsd
+"""
+
+
+def _register_semantic_dedup_full() -> None:
+    @register(
+        "semantic_dedup_full",
+        sql=_sql_semantic_dedup_full(),
+        tags=("dedup", "similarity", "curation", "scale"),
+    )
+    def q_semantic_dedup_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FULL-coverage SemDeDup (r10 verdict task 3 — the coverage gap
+        ``semantic_decontam_full`` closed for decontamination, ported to
+        the dedup tier): ``semantic_dedup`` reads only the ``embeddings``
+        table, so a doc with no embeddings row silently bypassed semantic
+        dedup — at 100 TB the unembedded tail is exactly where paraphrase
+        duplicates hide. Every corpus document now gets a verdict:
+
+        - docs WITH a table embedding keep the table-space SemDeDup
+          verdict verbatim (same memoized gate — cluster, centroid
+          cosine, dominance-kept bit);
+        - docs WITHOUT are hash-encoded (``encoding._hash_embedded``,
+          the deterministic exact-oracle fallback), bucketed by the
+          SHARED ``sign_lsh_bucket`` rule (cluster := bucket; a
+          cross-space cosine would be meaningless, so the fallback space
+          dedups only against itself — the ``semantic_decontam_full``
+          discipline), and dropped iff a LOWER-id same-bucket doc sits
+          above the same ``SEMDEDUP_TAU`` cosine (keep-first dominance;
+          no centroid exists in the hash space, so ``cent_cos`` is 0.0
+          and priority is the deterministic id order). Zero-norm
+          (token-less) docs carry (cluster=-1, kept=1): an empty doc
+          duplicates nothing semantically.
+
+        The ``space`` column says which face produced each verdict —
+        the fallback is visible per row, never silent; the savings
+        report counts it (``n_sem_hash_space``). On the synthetic SFs
+        ``embeddings`` covers every doc, so the hash branch is
+        structurally empty there — the planted missing-embedding test
+        exercises it for real."""
+        from ..cache import memo
+        from ..functions import vectors as V
+        from .encoding import _hash_embedded
+        from .similarity import sign_lsh_bucket
+
+        def build() -> DataFrame:
+            table_v = semantic_dedup_table(spark, sf_dir).select(
+                F.col("vec_id").alias("doc_id"),
+                "cluster",
+                "cent_cos",
+                "kept",
+                F.lit("table").alias("space"),
+            )
+            have = load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id")
+            )
+            missing = (
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id")
+                .join(have, "doc_id", "left_anti")
+            )
+            h = _hash_embedded(spark, sf_dir)
+            nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
+            hm = h.join(missing, "doc_id").select(
+                "doc_id",
+                "embedding",
+                F.when(nz, sign_lsh_bucket(F.col("embedding"))).alias(
+                    "bucket"
+                ),
+            )
+            a = hm.select(
+                F.col("doc_id").alias("va"),
+                F.col("embedding").alias("ea"),
+                "bucket",
+            )
+            b = hm.select(
+                F.col("doc_id").alias("vb"),
+                F.col("embedding").alias("eb"),
+                "bucket",
+            )
+            dom = (
+                a.join(b, "bucket")
+                .filter(F.col("vb") < F.col("va"))
+                .filter(
+                    F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
+                    > SEMDEDUP_TAU
+                )
+                .select(F.col("va").alias("doc_id"))
+                .distinct()
+                .withColumn("dropped", F.lit(1))
+            )
+            hash_v = hm.join(dom, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce(F.col("bucket").cast("long"), F.lit(-1)).alias(
+                    "cluster"
+                ),
+                F.lit(0.0).alias("cent_cos"),
+                F.when(F.col("dropped").isNull(), 1)
+                .otherwise(0)
+                .alias("kept"),
+                F.lit("hash").alias("space"),
+            )
+            return table_v.unionByName(hash_v)
+
+        return memo(
+            spark, ("semantic_dedup_full", sf_dir), build, persist=True
+        )
+
+
+_register_semantic_dedup_full()
+
+
 # --------------------------------------------------- LSH recall evaluation
 
 

@@ -634,21 +634,23 @@ def probe_shingle_store(
 
 # --------------------------- embedding near-dup gate store (int8 + LSH)
 
-# the embedding gate's vector store: INT8-quantized vectors in a bucketed
-# sibling table (one row per stored doc, partitioned by batch AND by
-# ``similarity.sign_lsh_bucket`` of the original embedding — the SAME
-# axis-aligned 2^LSH_BITS-bucket rule as the batch ``embedding_near_dup``,
-# whose candidate pairs only ever form inside a bucket; the rule has
-# exactly one copy, so the two faces cannot drift). Because the candidate
-# rule IS bucket equality, pruning the probe to this batch's buckets
-# loses nothing: a stored vector in a bucket the batch doesn't hash into
-# can never be a candidate. Quantization: symmetric per-vector int8
-# (scale = max|x|/127, the ``embedding_quantize_int8`` scheme); cosine is
-# scale-invariant, so cosine over the raw int8 codes EQUALS cosine over
-# the dequantized vectors — no scale column needed. The only divergence
-# from the batch float rule is int8 rounding (~1e-2 on cosine); a pair
-# that close to the gate is ambiguous under any fixed threshold (the
-# md5-32-collision caveat of the Jaccard gate, in quantized form).
+# the embedding gate's vector store: INT8-quantized vectors PLUS the
+# original floats in a bucketed sibling table (one row per stored doc,
+# partitioned by batch AND by ``similarity.sign_lsh_bucket`` of the
+# original embedding — the SAME axis-aligned 2^LSH_BITS-bucket rule as
+# the batch ``embedding_near_dup``, whose candidate pairs only ever form
+# inside a bucket; the rule has exactly one copy, so the two faces
+# cannot drift). Because the candidate rule IS bucket equality, pruning
+# the probe to this batch's buckets loses nothing: a stored vector in a
+# bucket the batch doesn't hash into can never be a candidate.
+# Quantization: symmetric per-vector int8 (scale = max|x|/127, the
+# ``embedding_quantize_int8`` scheme); cosine is scale-invariant, so
+# cosine over the raw int8 codes EQUALS cosine over the dequantized
+# vectors — no scale column needed. The gate is TWO-TIER (r10 verdict
+# task 6): the int8 codes prune candidates down to cosine >= threshold
+# - EMB_COS_MARGIN (the margin provably covers the quantization error —
+# see EMB_COS_MARGIN), and the float column decides >= threshold, so
+# the drop set equals the batch float rule EXACTLY.
 
 
 def vector_store_dir(store_dir: str) -> str:
@@ -661,8 +663,18 @@ def vector_store_dir(store_dir: str) -> str:
 # schema inference over a store whose committed batches are all empty —
 # every doc had a zero embedding — wedges the stream permanently)
 VECTOR_STORE_SCHEMA = (
-    "o_id string, q array<tinyint>, bucket int, batch bigint"
+    "o_id string, q array<tinyint>, emb array<double>, "
+    "bucket int, batch bigint"
 )
+
+# int8 prune margin for the two-tier cosine gate (r10 verdict task 6):
+# symmetric max-abs int8 quantization perturbs each vector by at most
+# sqrt(d) * mx/254 in L2 while ||x|| >= mx, so |cos(int8) - cos(float)|
+# <= ~2*sqrt(d)/254 — under 0.1 for d <= ~160. Any true pair therefore
+# survives the int8 prune (cosine >= threshold - margin) and the float
+# confirm decides it exactly; wider embeddings need a larger margin via
+# the run_streaming_ingest_dedup parameter.
+EMB_COS_MARGIN = 0.1
 
 
 # audit threshold for store_hot_buckets: a sign-LSH bucket holding more
@@ -717,7 +729,7 @@ def probe_vector_store(
         .parquet(v_dir)
         .filter(F.col("batch") < F.lit(batch_id))
         .filter(F.col("bucket").isin(buckets))
-        .select("o_id", "q", "bucket")
+        .select("o_id", "q", "emb", "bucket")
     )
 
 
@@ -734,6 +746,7 @@ def run_streaming_ingest_dedup(
     near_dup_cosine: float | None = None,
     max_jaccard_store_candidates: int | None = JACCARD_CANDIDATE_BUDGET,
     max_cosine_store_candidates: int | None = VECTOR_CANDIDATE_BUDGET,
+    int8_prune_margin: float = EMB_COS_MARGIN,
     drift_ref_bins: list | None = None,
     drift_out_dir: str | None = None,
     drift_threshold: float | None = None,
@@ -835,16 +848,14 @@ def run_streaming_ingest_dedup(
        partitioned by batch + sign-LSH bucket), and the per-batch probe
        partition-prunes to exactly the buckets this batch's docs hash
        into — exact pruning, since candidates only form inside a
-       bucket. Cosine is computed over the int8 codes (scale-invariant,
-       so identical to the dequantized vectors — but the CODES are
-       per-vector max-abs quantized, so against the batch twin's
-       FLOAT-embedding cosine this gate carries a ~1e-2 quantization
-       tolerance near the threshold: a pair within about 0.01 of
-       ``near_dup_cosine`` can be kept by one face and dropped by the
-       other; do not expect exact batch/stream drop-set equality for
-       borderline pairs, and set the threshold with that margin in
-       mind); zero/absent embeddings bypass the gate and store nothing,
-       as NULL simhash does. The store probe refuses loudly past
+       bucket. The gate is TWO-TIER (r10 verdict task 6): the int8
+       codes PRUNE candidates to cosine >= threshold -
+       ``int8_prune_margin`` (the margin provably covers the max-abs
+       int8 quantization error for d <= ~160 — see ``EMB_COS_MARGIN``),
+       then the stored FLOAT vectors DECIDE >= threshold, so the
+       drop set equals the batch ``embedding_near_dup`` float rule
+       EXACTLY (pinned in tests); zero/absent embeddings bypass the
+       gate and store nothing, as NULL simhash does. The store probe refuses loudly past
        ``max_cosine_store_candidates`` candidate pairs (r10 budget
        discipline — overloaded sign-LSH buckets fail at the budget with
        ``store_hot_buckets`` named, instead of running
@@ -1006,19 +1017,25 @@ def run_streaming_ingest_dedup(
             emb = V.as_double(F.coalesce(F.col("embedding"), F.array()))
             mx = F.array_max(F.transform(emb, F.abs))
             bkt = sign_lsh_bucket(emb)
-            fp = fp.withColumn(
-                "emb_q",
-                F.when(
-                    mx > 0,
-                    F.transform(
-                        emb,
-                        lambda x: F.round(x * F.lit(127.0) / mx).cast(
-                            "tinyint"
+            fp = (
+                fp.withColumn(
+                    "emb_q",
+                    F.when(
+                        mx > 0,
+                        F.transform(
+                            emb,
+                            lambda x: F.round(x * F.lit(127.0) / mx).cast(
+                                "tinyint"
+                            ),
                         ),
                     ),
-                ),
-            ).withColumn(
-                "emb_bucket", F.when(mx > 0, bkt).cast("int")
+                )
+                .withColumn("emb_bucket", F.when(mx > 0, bkt).cast("int"))
+                # the FLOAT vector rides along for the confirm tier (r10
+                # verdict task 6): the int8 codes prune, the floats
+                # decide — drop-set equality with the batch float rule
+                # is exact, not ~1e-2-tolerant
+                .withColumn("emb_f", F.when(mx > 0, emb))
             )
         keeper = Window.partitionBy("fingerprint")
         batch_kept = (
@@ -1135,16 +1152,34 @@ def run_streaming_ingest_dedup(
                     # vector partition, else the gate would silently
                     # skip stored docs
                     v_dir = vector_store_dir(store_dir)
+
+                    def _v_bad(c: str) -> bool:
+                        # missing partition, or a legacy one-tier
+                        # partition without the float confirm column —
+                        # an explicit-schema read would silently yield
+                        # emb=NULL and the confirm tier would keep
+                        # every semantic duplicate
+                        vp = spark._jvm.org.apache.hadoop.fs.Path(
+                            f"{v_dir}/{c}"
+                        )
+                        if not fs.exists(vp):
+                            return True
+                        try:
+                            cols = spark.read.parquet(f"{v_dir}/{c}").columns
+                        except Exception:
+                            # a committed-but-empty partition (every doc
+                            # had a zero embedding) has no data files to
+                            # infer from — it stores nothing, so there
+                            # is nothing the gate could silently skip
+                            return False
+                        return "emb" not in cols
+
                     missing_v = [
                         c
                         for c in committed
                         if c not in _validated_vec
                         and int(c.split("=", 1)[1]) < batch_id
-                        and not fs.exists(
-                            spark._jvm.org.apache.hadoop.fs.Path(
-                                f"{v_dir}/{c}"
-                            )
-                        )
+                        and _v_bad(c)
                     ]
                     _validated_vec.update(
                         c
@@ -1156,7 +1191,8 @@ def run_streaming_ingest_dedup(
                         raise ValueError(
                             f"embedding near-dup gate requested but the "
                             f"vector store at {v_dir} is missing the "
-                            f"bucketed partitions {sorted(missing_v)[:5]} "
+                            f"bucketed partitions (or their float 'emb' "
+                            f"confirm column) {sorted(missing_v)[:5]} "
                             "for committed fingerprint batches (legacy "
                             "layout) — rebuild the store or run without "
                             "near_dup_cosine; silently skipping the "
@@ -1196,125 +1232,78 @@ def run_streaming_ingest_dedup(
                 store.select("fingerprint"), "fingerprint", "left_anti"
             )
         batch_kept = batch_kept.persist()
-        shipped = batch_kept
-        if near_dup_hamming is not None:
-            # earlier universe: lower-doc_id survivors of THIS batch
-            # (rank = doc_id) plus every stored simhash from strictly
-            # earlier batches (rank = -1, earlier than any doc_id). Two
-            # byte-band equi-joins — same candidate generation as the
-            # batch simhash_near_dup query; NULL simhash (token-less)
-            # never matches an equi-key.
-            def banded(df: DataFrame, rank_col) -> DataFrame:
-                return df.select(
-                    rank_col.alias("o_rank"),
-                    F.col("simhash").alias("o_sh"),
-                    (F.col("simhash") % 256).alias("o_blo"),
-                    (F.col("simhash") / 256).cast("long").alias("o_bhi"),
-                )
-
-            others = banded(batch_kept, F.col("doc_id"))
-            if store is not None:
-                others = others.union(
-                    banded(store, F.lit(-1).cast("long"))
-                )
-            me = batch_kept.select(
-                "doc_id",
-                "simhash",
-                (F.col("simhash") % 256).alias("blo"),
-                (F.col("simhash") / 256).cast("long").alias("bhi"),
-            )
-            lo = me.join(others, me["blo"] == others["o_blo"])
-            hi = me.join(others, me["bhi"] == others["o_bhi"])
-            drops = (
-                lo.unionByName(hi)
-                .filter(F.col("o_rank") < F.col("doc_id"))
-                .filter(
-                    F.bit_count(
-                        F.col("simhash").bitwiseXOR(F.col("o_sh"))
+        # r10 ADVICE: unpersist on EVERY exit — a budget-check loud
+        # refusal or failed write otherwise leaks the cached batch
+        try:
+            shipped = batch_kept
+            if near_dup_hamming is not None:
+                # earlier universe: lower-doc_id survivors of THIS batch
+                # (rank = doc_id) plus every stored simhash from strictly
+                # earlier batches (rank = -1, earlier than any doc_id). Two
+                # byte-band equi-joins — same candidate generation as the
+                # batch simhash_near_dup query; NULL simhash (token-less)
+                # never matches an equi-key.
+                def banded(df: DataFrame, rank_col) -> DataFrame:
+                    return df.select(
+                        rank_col.alias("o_rank"),
+                        F.col("simhash").alias("o_sh"),
+                        (F.col("simhash") % 256).alias("o_blo"),
+                        (F.col("simhash") / 256).cast("long").alias("o_bhi"),
                     )
-                    <= near_dup_hamming
-                )
-                .select("doc_id")
-                .distinct()
-            )
-            shipped = batch_kept.join(drops, "doc_id", "left_anti")
-        if near_dup_jaccard is not None:
-            # batch near_dup_discard rule, streamed: drop a survivor iff
-            # its hashed-shingle Jaccard with ANY earlier doc reaches
-            # the threshold. Candidates via the shared-shingle equi-join
-            # (the batch operator's shape); 'earlier' = a stored doc
-            # (identity = its unique exact-dedup fingerprint) or a
-            # lower-doc_id survivor of this batch. Near-dup-DROPPED
-            # docs still store their shingles (step 3b discipline), so
-            # they keep vetoing later copies exactly as batch pairs do.
-            me = batch_kept.filter(F.col("n_shingles") > 0).select(
-                "doc_id",
-                F.col("n_shingles").alias("n"),
-                F.explode("shingle_hashes").alias("shv"),
-            )
 
-            # within-batch: lower doc_id is 'earlier'; the o_rank filter
-            # runs BEFORE the per-pair aggregation so no self or
-            # later-doc pair is ever counted
-            others_batch = batch_kept.filter(F.col("n_shingles") > 0).select(
-                F.col("doc_id").cast("string").alias("o_id"),
-                F.col("doc_id").alias("o_rank"),
-                F.col("n_shingles").alias("o_n"),
-                F.explode("shingle_hashes").alias("shv"),
-            )
-            jdrops = (
-                others_batch.join(F.broadcast(me), "shv")
-                .filter(F.col("o_rank") < F.col("doc_id"))
-                .groupBy("doc_id", "n", "o_id", "o_n")
-                .agg(F.count("*").alias("i"))
-                .filter(
-                    F.col("i")
-                    / (F.col("n") + F.col("o_n") - F.col("i"))
-                    >= F.lit(near_dup_jaccard)
-                )
-                .select("doc_id")
-            )
-            if store is not None:
-                # buckets this batch's shingles hash into: at most
-                # JACCARD_STORE_BUCKETS ints, collected driver-side
-                # (model-sized by construction). The store probe then
-                # partition-prunes to exactly those bucket dirs —
-                # pruning removes only rows whose shv cannot equal any
-                # batch shingle (equi-join key), so the drop set is
-                # identical to an unpruned scan.
-                buckets = [
-                    r["bucket"]
-                    for r in me.select(
-                        F.pmod(
-                            F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)
-                        ).alias("bucket")
+                others = banded(batch_kept, F.col("doc_id"))
+                if store is not None:
+                    others = others.union(
+                        banded(store, F.lit(-1).cast("long"))
                     )
+                me = batch_kept.select(
+                    "doc_id",
+                    "simhash",
+                    (F.col("simhash") % 256).alias("blo"),
+                    (F.col("simhash") / 256).cast("long").alias("bhi"),
+                )
+                lo = me.join(others, me["blo"] == others["o_blo"])
+                hi = me.join(others, me["bhi"] == others["o_bhi"])
+                drops = (
+                    lo.unionByName(hi)
+                    .filter(F.col("o_rank") < F.col("doc_id"))
+                    .filter(
+                        F.bit_count(
+                            F.col("simhash").bitwiseXOR(F.col("o_sh"))
+                        )
+                        <= near_dup_hamming
+                    )
+                    .select("doc_id")
                     .distinct()
-                    .collect()
-                ]
-                others_store = probe_shingle_store(
-                    spark, store_dir, batch_id, buckets
                 )
-                # candidate budget with loud refusal (r9 task 6)
-                _check_store_candidate_budget(
-                    others_store,
-                    me,
-                    "shv",
-                    max_jaccard_store_candidates,
-                    batch_id,
-                    "exact-Jaccard gate",
-                    "max_jaccard_store_candidates",
-                    "store_hot_shingles",
-                    "strip the boilerplate upstream",
+                shipped = batch_kept.join(drops, "doc_id", "left_anti")
+            if near_dup_jaccard is not None:
+                # batch near_dup_discard rule, streamed: drop a survivor iff
+                # its hashed-shingle Jaccard with ANY earlier doc reaches
+                # the threshold. Candidates via the shared-shingle equi-join
+                # (the batch operator's shape); 'earlier' = a stored doc
+                # (identity = its unique exact-dedup fingerprint) or a
+                # lower-doc_id survivor of this batch. Near-dup-DROPPED
+                # docs still store their shingles (step 3b discipline), so
+                # they keep vetoing later copies exactly as batch pairs do.
+                me = batch_kept.filter(F.col("n_shingles") > 0).select(
+                    "doc_id",
+                    F.col("n_shingles").alias("n"),
+                    F.explode("shingle_hashes").alias("shv"),
                 )
-                # the BATCH side broadcasts (a micro-batch is small by
-                # definition), so the store is probed in place and never
-                # shuffled — without this the per-batch shuffle grows
-                # linearly with stream lifetime (r7 review). The scan
-                # itself is bucket-pruned (above), closing the r7
-                # O(store)-per-batch finding.
-                vs_store = (
-                    others_store.join(F.broadcast(me), "shv")
+
+                # within-batch: lower doc_id is 'earlier'; the o_rank filter
+                # runs BEFORE the per-pair aggregation so no self or
+                # later-doc pair is ever counted
+                others_batch = batch_kept.filter(F.col("n_shingles") > 0).select(
+                    F.col("doc_id").cast("string").alias("o_id"),
+                    F.col("doc_id").alias("o_rank"),
+                    F.col("n_shingles").alias("o_n"),
+                    F.explode("shingle_hashes").alias("shv"),
+                )
+                jdrops = (
+                    others_batch.join(F.broadcast(me), "shv")
+                    .filter(F.col("o_rank") < F.col("doc_id"))
                     .groupBy("doc_id", "n", "o_id", "o_n")
                     .agg(F.count("*").alias("i"))
                     .filter(
@@ -1324,152 +1313,227 @@ def run_streaming_ingest_dedup(
                     )
                     .select("doc_id")
                 )
-                jdrops = jdrops.unionByName(vs_store)
-            shipped = shipped.join(
-                jdrops.distinct(), "doc_id", "left_anti"
-            )
-        if near_dup_cosine is not None:
-            from ..functions import vectors as V
-
-            # batch embedding_near_dup rule, streamed: drop a survivor
-            # iff its int8-code cosine with ANY earlier doc (stored, or
-            # lower-doc_id this batch) in the SAME sign-LSH bucket
-            # reaches the threshold. The batch side broadcasts; the
-            # bucket-pruned store is probed in place.
-            vec_me = batch_kept.filter(
-                F.col("emb_bucket").isNotNull()
-            ).select(
-                "doc_id",
-                F.col("emb_q").alias("qa"),
-                F.col("emb_bucket").alias("bucket"),
-            )
-            vec_others = batch_kept.filter(
-                F.col("emb_bucket").isNotNull()
-            ).select(
-                F.col("doc_id").alias("o_rank"),
-                F.col("emb_q").alias("qb"),
-                F.col("emb_bucket").alias("bucket"),
-            )
-            vcos = V.cosine(V.as_double(F.col("qa")), V.as_double(F.col("qb")))
-            vdrops = (
-                vec_others.join(F.broadcast(vec_me), "bucket")
-                .filter(F.col("o_rank") < F.col("doc_id"))
-                .filter(vcos >= F.lit(near_dup_cosine))
-                .select("doc_id")
-            )
-            if store is not None:
-                vbuckets = [
-                    r["bucket"]
-                    for r in vec_me.select("bucket").distinct().collect()
-                ]
-                vstore = probe_vector_store(
-                    spark, store_dir, batch_id, vbuckets
-                )
-                # candidate budget with loud refusal (r9 task 6)
-                _check_store_candidate_budget(
-                    vstore,
-                    vec_me,
-                    "bucket",
-                    max_cosine_store_candidates,
-                    batch_id,
-                    "embedding near-dup gate",
-                    "max_cosine_store_candidates",
-                    "store_hot_buckets",
-                    "add planes / a rotation upstream",
-                )
-                vs_store = (
-                    vstore.join(F.broadcast(vec_me), "bucket")
-                    .filter(
-                        V.cosine(
-                            V.as_double(F.col("qa")),
-                            V.as_double(F.col("q")),
+                if store is not None:
+                    # buckets this batch's shingles hash into: at most
+                    # JACCARD_STORE_BUCKETS ints, collected driver-side
+                    # (model-sized by construction). The store probe then
+                    # partition-prunes to exactly those bucket dirs —
+                    # pruning removes only rows whose shv cannot equal any
+                    # batch shingle (equi-join key), so the drop set is
+                    # identical to an unpruned scan.
+                    buckets = [
+                        r["bucket"]
+                        for r in me.select(
+                            F.pmod(
+                                F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)
+                            ).alias("bucket")
                         )
-                        >= F.lit(near_dup_cosine)
+                        .distinct()
+                        .collect()
+                    ]
+                    others_store = probe_shingle_store(
+                        spark, store_dir, batch_id, buckets
                     )
-                    .select("doc_id")
+                    # candidate budget with loud refusal (r9 task 6)
+                    _check_store_candidate_budget(
+                        others_store,
+                        me,
+                        "shv",
+                        max_jaccard_store_candidates,
+                        batch_id,
+                        "exact-Jaccard gate",
+                        "max_jaccard_store_candidates",
+                        "store_hot_shingles",
+                        "strip the boilerplate upstream",
+                    )
+                    # the BATCH side broadcasts (a micro-batch is small by
+                    # definition), so the store is probed in place and never
+                    # shuffled — without this the per-batch shuffle grows
+                    # linearly with stream lifetime (r7 review). The scan
+                    # itself is bucket-pruned (above), closing the r7
+                    # O(store)-per-batch finding.
+                    vs_store = (
+                        others_store.join(F.broadcast(me), "shv")
+                        .groupBy("doc_id", "n", "o_id", "o_n")
+                        .agg(F.count("*").alias("i"))
+                        .filter(
+                            F.col("i")
+                            / (F.col("n") + F.col("o_n") - F.col("i"))
+                            >= F.lit(near_dup_jaccard)
+                        )
+                        .select("doc_id")
+                    )
+                    jdrops = jdrops.unionByName(vs_store)
+                shipped = shipped.join(
+                    jdrops.distinct(), "doc_id", "left_anti"
                 )
-                vdrops = vdrops.unionByName(vs_store)
-            shipped = shipped.join(
-                vdrops.distinct(), "doc_id", "left_anti"
-            )
-        if bench_grams is not None:
-            from ..operators.text_analysis import DECON_NGRAM
+            if near_dup_cosine is not None:
+                from ..functions import vectors as V
 
-            # ship-time decontam: stateless broadcast gram probe (step
-            # 3d) — runs LAST so contaminated docs still stored/vetoed
-            g = shipped.select(
-                "doc_id",
-                F.explode(
-                    H.shingles(
-                        TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
-                        DECON_NGRAM,
-                    )
-                ).alias("gram"),
-            )
-            contaminated = (
-                g.join(F.broadcast(bench_grams), "gram")
-                .select("doc_id")
-                .distinct()
-            )
-            shipped = shipped.join(contaminated, "doc_id", "left_anti")
-        # both sinks overwrite this batch's own partition — a replayed
-        # batch_id rewrites instead of appending duplicates (the same
-        # idempotency pattern as the refreshing topic-assign sink).
-        # The STORE keeps every exact-stage survivor (near-dup-dropped
-        # included — see step 3b); only the corpus sink takes the
-        # near-dup-gated set.
-        shipped.drop(
-            "fingerprint",
-            "simhash",
-            "n_shingles",
-            "shingle_hashes",
-            "emb_q",
-            "emb_bucket",
-        ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-        if near_dup_cosine is not None:
-            # bucketed int8 vector sibling: one row per stored doc,
-            # partitioned by sign-LSH bucket so later batches probe only
-            # matching buckets. Written BEFORE the fingerprint partition
-            # (the shingle-store commit-ordering invariant); embedding-
-            # dropped docs still store their vector (step 3b discipline)
-            (
-                batch_kept.filter(F.col("emb_bucket").isNotNull())
-                .select(
-                    F.col("fingerprint").alias("o_id"),
-                    F.col("emb_q").alias("q"),
+                # batch embedding_near_dup rule, streamed: drop a survivor
+                # iff its embedding cosine with ANY earlier doc (stored,
+                # or lower-doc_id this batch) in the SAME sign-LSH bucket
+                # reaches the threshold. TWO-TIER (r10 verdict task 6):
+                # the int8 codes PRUNE (cosine >= threshold - margin, the
+                # cheap tinyint fold), the FLOATS DECIDE (cosine >=
+                # threshold) — so the drop set equals the batch float
+                # rule exactly; the old one-tier int8 gate carried a
+                # ~1e-2 quantization tolerance near the threshold. The
+                # batch side broadcasts; the bucket-pruned store is
+                # probed in place.
+                vec_me = batch_kept.filter(
+                    F.col("emb_bucket").isNotNull()
+                ).select(
+                    "doc_id",
+                    F.col("emb_q").alias("qa"),
+                    F.col("emb_f").alias("fa"),
                     F.col("emb_bucket").alias("bucket"),
                 )
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{vector_store_dir(store_dir)}/batch={batch_id}")
-            )
-        if near_dup_jaccard is not None:
-            # bucketed shingle sibling: one row per (doc, distinct
-            # shingle), partitioned by shv % JACCARD_STORE_BUCKETS so
-            # later batches probe only matching buckets. Written BEFORE
-            # the fingerprint partition: a committed fingerprint batch
-            # therefore always has its shingle partition (the validation
-            # invariant above); a crash in between replays both
-            # idempotently (each overwrites its own batch= dir).
-            (
-                batch_kept.filter(F.col("n_shingles") > 0)
-                .select(
-                    F.col("fingerprint").alias("o_id"),
-                    F.col("n_shingles").alias("o_n"),
-                    F.explode("shingle_hashes").alias("shv"),
+                vec_others = batch_kept.filter(
+                    F.col("emb_bucket").isNotNull()
+                ).select(
+                    F.col("doc_id").alias("o_rank"),
+                    F.col("emb_q").alias("qb"),
+                    F.col("emb_f").alias("fb"),
+                    F.col("emb_bucket").alias("bucket"),
                 )
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)),
+                prune = V.cosine(
+                    V.as_double(F.col("qa")), V.as_double(F.col("qb"))
+                ) >= F.lit(near_dup_cosine - int8_prune_margin)
+                confirm = V.cosine(F.col("fa"), F.col("fb")) >= F.lit(
+                    near_dup_cosine
                 )
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{shingle_store_dir(store_dir)}/batch={batch_id}")
-            )
-        batch_kept.select("fingerprint", "simhash").write.mode(
-            "overwrite"
-        ).parquet(f"{store_dir}/batch={batch_id}")
-        batch_kept.unpersist()
+                vdrops = (
+                    vec_others.join(F.broadcast(vec_me), "bucket")
+                    .filter(F.col("o_rank") < F.col("doc_id"))
+                    .filter(prune)
+                    .filter(confirm)
+                    .select("doc_id")
+                )
+                if store is not None:
+                    vbuckets = [
+                        r["bucket"]
+                        for r in vec_me.select("bucket").distinct().collect()
+                    ]
+                    vstore = probe_vector_store(
+                        spark, store_dir, batch_id, vbuckets
+                    )
+                    # candidate budget with loud refusal (r9 task 6)
+                    _check_store_candidate_budget(
+                        vstore,
+                        vec_me,
+                        "bucket",
+                        max_cosine_store_candidates,
+                        batch_id,
+                        "embedding near-dup gate",
+                        "max_cosine_store_candidates",
+                        "store_hot_buckets",
+                        "add planes / a rotation upstream",
+                    )
+                    vs_store = (
+                        vstore.join(F.broadcast(vec_me), "bucket")
+                        .filter(
+                            V.cosine(
+                                V.as_double(F.col("qa")),
+                                V.as_double(F.col("q")),
+                            )
+                            >= F.lit(near_dup_cosine - int8_prune_margin)
+                        )
+                        .filter(
+                            V.cosine(F.col("fa"), F.col("emb"))
+                            >= F.lit(near_dup_cosine)
+                        )
+                        .select("doc_id")
+                    )
+                    vdrops = vdrops.unionByName(vs_store)
+                shipped = shipped.join(
+                    vdrops.distinct(), "doc_id", "left_anti"
+                )
+            if bench_grams is not None:
+                from ..operators.text_analysis import DECON_NGRAM
+
+                # ship-time decontam: stateless broadcast gram probe (step
+                # 3d) — runs LAST so contaminated docs still stored/vetoed
+                g = shipped.select(
+                    "doc_id",
+                    F.explode(
+                        H.shingles(
+                            TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                            DECON_NGRAM,
+                        )
+                    ).alias("gram"),
+                )
+                contaminated = (
+                    g.join(F.broadcast(bench_grams), "gram")
+                    .select("doc_id")
+                    .distinct()
+                )
+                shipped = shipped.join(contaminated, "doc_id", "left_anti")
+            # both sinks overwrite this batch's own partition — a replayed
+            # batch_id rewrites instead of appending duplicates (the same
+            # idempotency pattern as the refreshing topic-assign sink).
+            # The STORE keeps every exact-stage survivor (near-dup-dropped
+            # included — see step 3b); only the corpus sink takes the
+            # near-dup-gated set.
+            shipped.drop(
+                "fingerprint",
+                "simhash",
+                "n_shingles",
+                "shingle_hashes",
+                "emb_q",
+                "emb_bucket",
+                "emb_f",
+            ).write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+            if near_dup_cosine is not None:
+                # bucketed vector sibling: one row per stored doc —
+                # int8 codes for the prune tier PLUS the float vector
+                # for the confirm tier (r10 verdict task 6; the float
+                # column is only decoded for candidates the int8 prune
+                # passes) — partitioned by sign-LSH bucket so later
+                # batches probe only matching buckets. Written BEFORE
+                # the fingerprint partition (the shingle-store
+                # commit-ordering invariant); embedding-dropped docs
+                # still store their vector (step 3b discipline)
+                (
+                    batch_kept.filter(F.col("emb_bucket").isNotNull())
+                    .select(
+                        F.col("fingerprint").alias("o_id"),
+                        F.col("emb_q").alias("q"),
+                        F.col("emb_f").alias("emb"),
+                        F.col("emb_bucket").alias("bucket"),
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{vector_store_dir(store_dir)}/batch={batch_id}")
+                )
+            if near_dup_jaccard is not None:
+                # bucketed shingle sibling: one row per (doc, distinct
+                # shingle), partitioned by shv % JACCARD_STORE_BUCKETS so
+                # later batches probe only matching buckets. Written BEFORE
+                # the fingerprint partition: a committed fingerprint batch
+                # therefore always has its shingle partition (the validation
+                # invariant above); a crash in between replays both
+                # idempotently (each overwrites its own batch= dir).
+                (
+                    batch_kept.filter(F.col("n_shingles") > 0)
+                    .select(
+                        F.col("fingerprint").alias("o_id"),
+                        F.col("n_shingles").alias("o_n"),
+                        F.explode("shingle_hashes").alias("shv"),
+                    )
+                    .withColumn(
+                        "bucket",
+                        F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)),
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(f"{shingle_store_dir(store_dir)}/batch={batch_id}")
+                )
+            batch_kept.select("fingerprint", "simhash").write.mode(
+                "overwrite"
+            ).parquet(f"{store_dir}/batch={batch_id}")
+        finally:
+            batch_kept.unpersist()
 
     (
         docs_stream.writeStream.foreachBatch(process)
@@ -1487,6 +1551,14 @@ def run_streaming_ingest_dedup(
 # partition, and schema inference over all-empty stores wedges replays)
 POOL_SCHEMA = "doc_id long, lang string, quality double, batch bigint"
 LANG_COUNTS_SCHEMA = "lang string, n long, batch bigint"
+# token-length state for the TOKEN-budget mixture policy (r10 verdict
+# task 2): one slim fixed-width row per ingested doc — the registered
+# sampler's (doc_id, lang, n, u) table, persisted incrementally. The
+# re-rank must see EVERY doc ever ingested (not just the pool): the
+# batch ``mixture_sample_tokens`` ranks ALL documents in u order and
+# budgets from corpus-wide token mass, so pool membership depends on
+# non-pool docs earlier in the order.
+TOK_STATE_SCHEMA = "doc_id long, lang string, n long, u long, batch bigint"
 
 
 def run_incremental_manifest(
@@ -1497,6 +1569,8 @@ def run_incremental_manifest(
     checkpoint_dir: str,
     max_jaccard_store_candidates: int | None = JACCARD_CANDIDATE_BUDGET,
     decontam_bench_dir: str | None = None,
+    mixture: str = "docs",
+    corrupt_col: str = "_corrupt_record",
 ) -> None:
     """Incremental TRAINING-CORPUS MANIFEST (r9 verdict task 5): the
     streaming ingest store composed with the manifest's gate ladder, so
@@ -1541,12 +1615,45 @@ def run_incremental_manifest(
        (the mixture plan counts the raw corpus) land beside it at
        ``out_dir/lang_counts/batch=<id>``;
     5. the MIXTURE policy layer is re-applied per batch over the
-       corpus-so-far: keep rates from ``mixture_plan_from_counts`` (the
-       registered plan's exact arithmetic) over the summed lang-count
-       state, the md5 rule from ``mixture_keep_expr`` (the registered
-       sample's exact predicate) over the pool-so-far — and the
+       corpus-so-far, under the chosen ``mixture`` policy, and the
        manifest SNAPSHOT ``out_dir/manifest`` is overwritten wholly
-       (idempotent by construction: a pure function of the state dirs).
+       (idempotent by construction: a pure function of the state dirs):
+
+       - ``mixture="docs"`` (default): keep rates from
+         ``mixture_plan_from_counts`` (the registered plan's exact
+         arithmetic) over the summed lang-count state, the md5 rule
+         from ``mixture_keep_expr`` (the registered sample's exact
+         predicate) over the pool-so-far;
+       - ``mixture="tokens"`` (r10 verdict task 2 — tokens are what
+         price a training run): the registered
+         ``mixture_sample_tokens`` policy, re-applied per batch via the
+         SHARED ``token_budget_selection`` rule (one definition) over
+         the token-length state ``out_dir/tok_state`` — one slim
+         (doc_id, lang, n, u) row per ingested doc, written per batch,
+         where n is the word-token count (the same ``word_tokens``
+         split the registered sampler budgets) and u the shared
+         ``mixtok_u_expr`` shuffle key. The snapshot then carries
+         ``n_tokens`` like the batch token manifest. Whenever the
+         policies CAN drift (tokens mode), the drift is surfaced,
+         never silent: a one-row ``out_dir/policy_drift/batch=<id>``
+         audit counts the pool docs each policy keeps and their
+         overlap (the ``mixture_policy_overlap`` report, streamed).
+
+    0'. QUARANTINE, before any gate (r10 ADVICE): rows whose
+       ``corrupt_col`` is non-null (a malformed JSONL line under the
+       ``read_documents_jsonl_stream`` contract) or whose doc_id is
+       null land in ``out_dir/quarantine/batch=<id>`` — previously a
+       corrupt row vanished at the verdict join on its null doc_id,
+       contradicting the reader's 'audit instead of silently dropping'
+       contract. The gates then run on the clean split only, and the
+       per-batch card counts the quarantined rows.
+
+    Every batch also writes a one-row ``out_dir/card/batch=<id>``
+    DELTA CARD (r10 verdict task 7 — the monitoring row an ingest
+    dashboard tails): gate-ladder attrition counts for this batch
+    (n_in = n_rule_fail + n_exact_dup + n_near_dup_drop +
+    n_decontam_drop + n_pool_delta, pinned in tests), plus the
+    cumulative pool/manifest sizes after the re-rank.
 
     Parity contract (pinned in tests): after the last batch, the
     snapshot equals the batch composition rule ∧ exact ∧ ¬near-dup ∧
@@ -1568,6 +1675,8 @@ def run_incremental_manifest(
         _U32,
         mixture_keep_expr,
         mixture_plan_from_counts,
+        mixtok_u_expr,
+        token_budget_selection,
     )
     from ..operators.dedup import JACCARD_THRESHOLD
     from ..operators.text_analysis import curation_filter_report_for
@@ -1591,10 +1700,35 @@ def run_incremental_manifest(
             .distinct()
         )
 
+    if mixture not in ("docs", "tokens"):
+        raise ValueError(
+            f"mixture must be 'docs' or 'tokens', got {mixture!r} — a "
+            "typo here would silently ship the wrong sampling policy"
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         has_store = fs.exists(jpath)
+
+        # quarantine split BEFORE any gate (r10 ADVICE): a corrupt JSONL
+        # line arrives with nulls + raw text in corrupt_col and would
+        # otherwise vanish at the verdict inner join on its null doc_id
+        # — contradicting the reader's 'audit instead of silently
+        # dropping' contract. Sunk per batch (idempotent overwrite),
+        # counted on the card even when zero.
+        bad = F.col("doc_id").isNull()
+        if corrupt_col in batch_df.columns:
+            bad = bad | F.col(corrupt_col).isNotNull()
+        quarantined = batch_df.filter(bad)
+        n_quarantined = quarantined.count()
+        if n_quarantined:
+            quarantined.write.mode("overwrite").parquet(
+                f"{out_dir}/quarantine/batch={batch_id}"
+            )
+        batch_df = batch_df.filter(~bad)
+        if corrupt_col in batch_df.columns:
+            batch_df = batch_df.drop(corrupt_col)
 
         verdicts = curation_filter_report_for(
             batch_df.select("doc_id", "text")
@@ -1646,6 +1780,34 @@ def run_incremental_manifest(
             (F.col("doc_id") == F.col("first_id"))
             & F.col("in_store").isNull(),
         ).persist()
+        try:
+            _process_gated(
+                batch_df, batch_id, flagged, n_quarantined, has_store
+            )
+        finally:
+            # r10 ADVICE: unpersist on EVERY exit — the budget check's
+            # designed loud refusal (and any failed write) otherwise
+            # leaks the cached batch in the long-lived session
+            flagged.unpersist()
+
+    def _process_gated(
+        batch_df: DataFrame,
+        batch_id: int,
+        flagged: DataFrame,
+        n_quarantined: int,
+        has_store: bool,
+    ) -> None:
+        # gate-ladder attrition for the per-batch delta card (one
+        # aggregate over the persisted batch table, model-sized result)
+        g = flagged.agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias(
+                "n_rule_fail"
+            ),
+            F.sum(
+                F.when(F.col("keep") & ~F.col("is_keeper"), 1).otherwise(0)
+            ).alias("n_exact_dup"),
+        ).collect()[0]
 
         # near-dup gate over per-fingerprint representatives (exact
         # copies share shingle sets, so the pair universe is unchanged)
@@ -1706,15 +1868,21 @@ def run_incremental_manifest(
             )
             drops = drops.unionByName(store_drops)
 
-        pool = (
+        pool0 = (
             flagged.filter(F.col("keep") & F.col("is_keeper"))
             .join(drops.distinct(), "doc_id", "left_anti")
             .select("doc_id", "lang", "quality", "text")
         )
+        n_pool0 = pool0.count()
+        n_near_dup_drop = (
+            int(g["n_in"]) - int(g["n_rule_fail"]) - int(g["n_exact_dup"])
+            - n_pool0
+        )
+        pool = pool0
         if bench_grams is not None:
             from ..operators.text_analysis import DECON_NGRAM
 
-            g = pool.select(
+            gr = pool.select(
                 "doc_id",
                 F.explode(
                     H.shingles(
@@ -1724,7 +1892,7 @@ def run_incremental_manifest(
                 ).alias("gram"),
             )
             contaminated = (
-                g.join(F.broadcast(bench_grams), "gram")
+                gr.join(F.broadcast(bench_grams), "gram")
                 .select("doc_id")
                 .distinct()
             )
@@ -1732,11 +1900,34 @@ def run_incremental_manifest(
         pool.drop("text").write.mode("overwrite").parquet(
             f"{out_dir}/pool/batch={batch_id}"
         )
+        # written-row count read back from the committed partition —
+        # parquet footer metadata, no recompute
+        n_pool_delta = spark.read.parquet(
+            f"{out_dir}/pool/batch={batch_id}"
+        ).count()
+        n_decontam_drop = n_pool0 - n_pool_delta
         batch_df.groupBy("lang").agg(
             F.count("*").cast("long").alias("n")
         ).write.mode("overwrite").parquet(
             f"{out_dir}/lang_counts/batch={batch_id}"
         )
+        if mixture == "tokens":
+            # token-length state: the registered sampler's
+            # (doc_id, lang, n, u) row for EVERY batch doc — fixed-width,
+            # the same O(corpus) class as the fingerprint store
+            # the EXACT registered expression (mixtok_lengths memo) —
+            # token count and shuffle key must match the batch sampler
+            # bit-for-bit or the parity contract is void
+            batch_df.select(
+                "doc_id",
+                "lang",
+                F.size(TX.word_tokens("text")).cast("long").alias("n"),
+                mixtok_u_expr(),
+            ).select(
+                "doc_id", "lang", "n", F.col("u").cast("long").alias("u")
+            ).write.mode("overwrite").parquet(
+                f"{out_dir}/tok_state/batch={batch_id}"
+            )
 
         # stores write AFTER the pool (a crash replays the whole batch
         # idempotently; each sink overwrites its own partition). Only
@@ -1762,7 +1953,6 @@ def run_incremental_manifest(
         ).distinct().write.mode("overwrite").parquet(
             f"{store_dir}/batch={batch_id}"
         )
-        flagged.unpersist()
 
         # mixture policy re-rank over the corpus-so-far -> snapshot
         counts = (
@@ -1782,14 +1972,100 @@ def run_incremental_manifest(
             .parquet(f"{out_dir}/pool")
             .filter(F.col("batch") <= F.lit(batch_id))
         )
-        snap = (
+        n_pool_total = pool_all.count()
+        docs_snap = (
             pool_all.join(F.broadcast(plan), "lang")
             .filter(
                 mixture_keep_expr() < F.floor(F.col("keep_rate") * _U32)
             )
             .select("doc_id", "lang", "quality")
         )
-        snap.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+        if mixture == "tokens":
+            # the shared token_budget_selection rule over the
+            # token-length state of EVERY ingested doc: budgets from
+            # corpus-so-far token mass, u-ordered prefix sums — the
+            # registered mixture_sample_tokens, re-applied (one
+            # definition, r10 verdict task 2)
+            tok = (
+                spark.read.option("basePath", f"{out_dir}/tok_state")
+                .schema(TOK_STATE_SCHEMA)
+                .parquet(f"{out_dir}/tok_state")
+                .filter(F.col("batch") <= F.lit(batch_id))
+                .select("doc_id", "lang", "n", "u")
+            )
+            in_mix = token_budget_selection(tok).select(
+                "doc_id", "n_tokens"
+            )
+            snap = pool_all.join(in_mix, "doc_id").select(
+                "doc_id", "lang", "quality", "n_tokens"
+            )
+            snap.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+            n_manifest = spark.read.parquet(
+                f"{out_dir}/manifest"
+            ).count()
+            # policy drift, surfaced per batch (never silent): the doc-
+            # count policy's keep set over the same pool, diffed against
+            # the shipped token-budget set — mixture_policy_overlap,
+            # streamed. All three counts are pool-bounded aggregates.
+            n_docs_policy = docs_snap.count()
+            n_overlap = (
+                snap.select("doc_id")
+                .join(docs_snap.select("doc_id"), "doc_id")
+                .count()
+            )
+            spark.createDataFrame(
+                [
+                    (
+                        int(batch_id),
+                        int(n_pool_total),
+                        int(n_manifest),
+                        int(n_docs_policy),
+                        int(n_overlap),
+                        int(n_manifest - n_overlap),
+                        int(n_docs_policy - n_overlap),
+                    )
+                ],
+                "batch_id long, n_pool long, n_token_policy long, "
+                "n_doc_policy long, n_overlap long, "
+                "n_token_only long, n_doc_only long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/policy_drift/batch={batch_id}"
+            )
+        else:
+            docs_snap.write.mode("overwrite").parquet(
+                f"{out_dir}/manifest"
+            )
+            n_manifest = spark.read.parquet(
+                f"{out_dir}/manifest"
+            ).count()
+
+        # per-batch DELTA CARD (r10 verdict task 7): the gate-ladder
+        # attrition row an ingest dashboard tails. Ladder identity
+        # n_in = rule + exact + near_dup + decontam + pool_delta is
+        # pinned in tests; cumulative pool/manifest close the row.
+        spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    str(mixture),
+                    int(n_quarantined),
+                    int(g["n_in"]),
+                    int(g["n_rule_fail"]),
+                    int(g["n_exact_dup"]),
+                    int(n_near_dup_drop),
+                    int(n_decontam_drop),
+                    int(n_pool_delta),
+                    int(n_pool_total),
+                    int(n_manifest),
+                )
+            ],
+            "batch_id long, mixture string, n_quarantined long, "
+            "n_in long, n_rule_fail long, n_exact_dup long, "
+            "n_near_dup_drop long, n_decontam_drop long, "
+            "n_pool_delta long, n_pool_total long, n_manifest long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/card/batch={batch_id}"
+        )
 
     (
         docs_stream.writeStream.foreachBatch(process)
