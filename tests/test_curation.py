@@ -1551,3 +1551,93 @@ def test_quality_percentiles_by_source_are_ordered(spark, sf_dir):
         assert 0.0 <= r["mean_quality"] <= 1.0
     total = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in rows) == total
+
+
+def test_token_shards_ship_their_decode_context(spark, sf_dir, tmp_path):
+    """r10 verdict missing-item #3: a trainer (or auditor) mounting the
+    token-shard export must be able to decode AND reproduce the ids
+    using only files under out_dir. This reads back the shipped
+    tokenizer (piece_vocab + merges + meta hash), re-encodes sample
+    docs' raw text with a PURE-PYTHON replay of the BPE apply (char
+    split, merges in rank order, greedy non-overlapping fuse), maps
+    pieces through the shipped id table, and requires the exact shard
+    id stream; decoding ids back through the vocab must reproduce the
+    docs' concatenated word stream. The tokenizer content-hash on every
+    shard row must equal the meta row's and the recomputed one."""
+    import hashlib
+    import re
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        run_curation_pipeline,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    out = str(tmp_path / "pipe_ctx")
+    run_curation_pipeline(spark, sf_dir, out, export_tokens=True)
+
+    # ---- everything below reads ONLY out_dir (plus raw corpus text)
+    vocab = {
+        r["piece"]: r["piece_id"]
+        for r in spark.read.parquet(f"{out}/tokenizer/piece_vocab").collect()
+    }
+    inv_vocab = {i: p for p, i in vocab.items()}
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in sorted(
+            spark.read.parquet(f"{out}/tokenizer/merges").collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    meta = spark.read.parquet(f"{out}/tokenizer/meta").collect()[0]
+    assert meta["n_merges"] == len(merges)
+    assert meta["n_pieces"] == len(vocab)
+
+    def bpe_apply(word):
+        seq = list(word)
+        for lhs, rhs in merges:
+            nxt = []
+            for s in seq:
+                if nxt and nxt[-1] == lhs and s == rhs:
+                    nxt[-1] = lhs + rhs
+                else:
+                    nxt.append(s)
+            seq = nxt
+        return seq
+
+    def words(text):
+        return [
+            w
+            for w in re.split(r"[^a-z0-9가-힣]+", (text or "").lower())
+            if w
+        ]
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = spark.read.parquet(f"{out}/token_shards").collect()
+    assert rows
+    sample = sorted(rows, key=lambda r: r["doc_id"])[:20]
+    for r in sample:
+        ws = words(texts[r["doc_id"]])
+        want_ids = [
+            vocab[p] for w in ws for p in bpe_apply(w)
+        ]
+        assert list(r["token_ids"]) == want_ids
+        # decode: ids -> pieces -> the doc's concatenated word stream
+        assert "".join(inv_vocab[i] for i in r["token_ids"]) == "".join(ws)
+        assert r["tokenizer_hash"] == meta["tokenizer_hash"]
+
+    # the content-hash is reproducible from the shipped tables alone
+    mrows = sorted(
+        spark.read.parquet(f"{out}/tokenizer/merges").collect(),
+        key=lambda r: r["rank"],
+    )
+    blob = "\n".join(f"{r['rank']}\t{r['lhs']}\t{r['rhs']}" for r in mrows)
+    blob += "\n--\n" + "\n".join(
+        f"{p}\t{i}" for p, i in sorted(vocab.items())
+    )
+    assert (
+        hashlib.md5(blob.encode("utf-8")).hexdigest()
+        == meta["tokenizer_hash"]
+    )

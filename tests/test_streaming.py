@@ -2028,9 +2028,12 @@ def test_incremental_manifest_stores_one_shingle_copy_per_fingerprint(
 def test_jsonl_stream_feeds_incremental_manifest(spark, tmp_path):
     """Crawl-shaped ingestion end to end: JSONL batches (including a
     malformed line) stream through read_documents_jsonl_stream into
-    run_incremental_manifest — the bad line is quarantined by the rule
-    gate (null text = empty doc, fails the length floor), never crashes
-    the stream, and the good docs land in the pool."""
+    run_incremental_manifest — the bad line lands in the QUARANTINE
+    sink (r10 ADVICE: it used to vanish at the verdict join on its
+    null doc_id), never crashes the stream, and the good docs land in
+    the pool. Here the consumer selects only the data columns, so the
+    corrupt row arrives as an all-null row and the null-doc_id rule
+    catches it; the corrupt-column path has its own test."""
     import time
 
     from pyspark.sql.types import (
@@ -2070,3 +2073,204 @@ def test_jsonl_stream_feeds_incremental_manifest(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(f"{out}/pool").collect()
     )
     assert pool == [1, 2]
+    # the malformed line is AUDITED, not silently dropped: one
+    # quarantine row (batch 0), and the batch-0 card counts it
+    q = spark.read.parquet(f"{out}/quarantine").collect()
+    assert len(q) == 1 and q[0]["doc_id"] is None
+    cards = {
+        r["batch_id"]: r
+        for r in spark.read.option("basePath", f"{out}/card")
+        .parquet(f"{out}/card")
+        .collect()
+    }
+    # no maxFilesPerTrigger: availableNow folds both files into batch 0
+    assert set(cards) == {0}
+    assert cards[0]["n_quarantined"] == 1
+    assert cards[0]["n_in"] == 2
+
+
+def test_incremental_manifest_quarantine_keeps_corrupt_payload(
+    spark, tmp_path
+):
+    """When the consumer forwards the reader's corrupt column, the
+    quarantined row must carry the RAW malformed line so an operator
+    can audit it — the read_jsonl contract end to end."""
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    staging = tmp_path / "in"
+    staging.mkdir()
+    bad_line = '{"doc_id": 7, "lang": "en", "text": "trunca'
+    lines = [
+        '{"doc_id": 1, "lang": "en", '
+        '"text": "the is a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"}',
+        bad_line,
+    ]
+    (staging / "b0.jsonl").write_text("\n".join(lines) + "\n")
+    time.sleep(1.1)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = ST.read_documents_jsonl_stream(spark, str(staging), schema)
+    out = str(tmp_path / "out")
+    ST.run_incremental_manifest(
+        spark, stream, str(tmp_path / "store"), out, str(tmp_path / "ck")
+    )
+    q = spark.read.parquet(f"{out}/quarantine").collect()
+    assert len(q) == 1 and q[0]["_corrupt_record"] == bad_line
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/pool").collect()
+    ) == [1]
+
+
+def test_incremental_manifest_token_mixture_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """r10 verdict task 2: with mixture='tokens' the final snapshot must
+    equal the batch composition rule ∧ exact ∧ ¬near-dup ∧
+    mixture_sample_tokens on the same corpus — the REGISTERED token
+    sampler's membership AND its n_tokens values (shared
+    token_budget_selection rule, one definition). The per-batch
+    policy-drift audit must exist for every batch and agree with the
+    shipped snapshot on the last one."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_mixture_sample_tokens,
+    )
+
+    staging, schema = _stage_documents_batches(
+        spark, sf_dir, tmp_path, "imt"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    base = tmp_path / "imt"
+    out = str(base / "out")
+    ST.run_incremental_manifest(
+        spark,
+        stream,
+        str(base / "store"),
+        out,
+        str(base / "ck"),
+        mixture="tokens",
+    )
+    _, want_pool = _batch_ladder_reference(spark, sf_dir)
+    mixt = {
+        r["doc_id"]: (r["lang"], r["n_tokens"])
+        for r in q_mixture_sample_tokens(spark, sf_dir).collect()
+    }
+    want = {
+        (i, mixt[i][0], mixt[i][1]) for i in want_pool if i in mixt
+    }
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in spark.read.parquet(f"{out}/manifest").collect()
+    }
+    assert got == want and got
+
+    drift = {
+        r["batch_id"]: r
+        for r in spark.read.option("basePath", f"{out}/policy_drift")
+        .parquet(f"{out}/policy_drift")
+        .collect()
+    }
+    assert set(drift) == {0, 1, 2}
+    last = drift[2]
+    assert last["n_token_policy"] == len(got)
+    assert last["n_pool"] == len(want_pool)
+    assert (
+        last["n_overlap"]
+        == last["n_token_policy"] - last["n_token_only"]
+        == last["n_doc_policy"] - last["n_doc_only"]
+    )
+
+
+def test_incremental_manifest_delta_cards_sum_to_batch_funnel(
+    spark, sf_dir, tmp_path
+):
+    """r10 verdict task 7: the per-batch delta cards must (a) satisfy
+    the gate-ladder identity within every batch — n_in = rule + exact +
+    near-dup + decontam + pool_delta — and (b) SUM to the registered
+    batch queries' funnel over the whole corpus: total docs, rule
+    failures, exact duplicates, near-dup discards inside the pool
+    candidates, pool size; the last card's cumulative pool/manifest
+    equal the final state dirs."""
+    from topic_modeling_ajin_spark.operators.dedup import (
+        q_fingerprint_dedup,
+        q_near_dup_discard,
+    )
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        q_curation_filter_report,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    staging, schema = _stage_documents_batches(
+        spark, sf_dir, tmp_path, "imc"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    base = tmp_path / "imc"
+    out = str(base / "out")
+    ST.run_incremental_manifest(
+        spark, stream, str(base / "store"), out, str(base / "ck")
+    )
+    cards = sorted(
+        spark.read.option("basePath", f"{out}/card")
+        .parquet(f"{out}/card")
+        .collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in cards] == [0, 1, 2]
+    for r in cards:
+        assert r["n_in"] == (
+            r["n_rule_fail"]
+            + r["n_exact_dup"]
+            + r["n_near_dup_drop"]
+            + r["n_decontam_drop"]
+            + r["n_pool_delta"]
+        ), dict(r.asDict())
+        assert r["n_quarantined"] == 0 and r["mixture"] == "docs"
+
+    # batch-funnel reference from the registered queries
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    fr_keep = {
+        r["doc_id"]
+        for r in q_curation_filter_report(spark, sf_dir)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    keepers = {
+        r["keeper"] for r in q_fingerprint_dedup(spark, sf_dir).collect()
+    }
+    ndd = {
+        r["discard_doc_id"]
+        for r in q_near_dup_discard(spark, sf_dir).collect()
+    }
+    assert sum(r["n_in"] for r in cards) == n_docs
+    assert sum(r["n_rule_fail"] for r in cards) == n_docs - len(fr_keep)
+    assert sum(r["n_exact_dup"] for r in cards) == len(
+        fr_keep - keepers
+    ), "exact-dup count = rule-passing docs that are not keepers"
+    assert sum(r["n_near_dup_drop"] for r in cards) == len(
+        fr_keep & keepers & ndd
+    )
+    assert sum(r["n_decontam_drop"] for r in cards) == 0
+    pool_rows = spark.read.parquet(f"{out}/pool").count()
+    man_rows = spark.read.parquet(f"{out}/manifest").count()
+    assert sum(r["n_pool_delta"] for r in cards) == pool_rows
+    assert cards[-1]["n_pool_total"] == pool_rows
+    assert cards[-1]["n_manifest"] == man_rows
