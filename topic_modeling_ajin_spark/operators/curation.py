@@ -1604,18 +1604,22 @@ def export_token_shards(
     test decodes and re-encodes a shard from out_dir files alone). The
     hash inputs are model-sized collects (merge list + alphabet-bounded
     piece table)."""
-    import hashlib
-
     from ..sources.io import write_parquet
-    from .bpe import BPE_PACK_BUDGET, _bpe_fit, doc_token_id_arrays
+    from .bpe import (
+        BPE_PACK_BUDGET,
+        _bpe_fit,
+        doc_token_id_arrays,
+        tokenizer_fingerprint,
+    )
     from .bpe import piece_vocab as bpe_piece_vocab
 
     write_parquet(
         doc_token_id_arrays(spark, sf_dir), f"{out_dir}/doc_token_ids"
     )
     merges, _seq = _bpe_fit(spark, sf_dir)
-    pv = bpe_piece_vocab(spark, sf_dir)
-    write_parquet(pv, f"{out_dir}/tokenizer/piece_vocab")
+    write_parquet(
+        bpe_piece_vocab(spark, sf_dir), f"{out_dir}/tokenizer/piece_vocab"
+    )
     write_parquet(
         spark.createDataFrame(
             [(r, a, b, a + b, n) for r, a, b, n in merges],
@@ -1624,13 +1628,12 @@ def export_token_shards(
         ).coalesce(1),
         f"{out_dir}/tokenizer/merges",
     )
-    pieces = sorted((r["piece"], int(r["piece_id"])) for r in pv.collect())
-    blob = "\n".join(f"{r}\t{a}\t{b}" for r, a, b, _n in merges)
-    blob += "\n--\n" + "\n".join(f"{p}\t{i}" for p, i in pieces)
-    tokenizer_hash = hashlib.md5(blob.encode("utf-8")).hexdigest()
+    tokenizer_hash, n_merges, n_pieces = tokenizer_fingerprint(
+        spark, sf_dir
+    )
     write_parquet(
         spark.createDataFrame(
-            [(tokenizer_hash, len(merges), len(pieces))],
+            [(tokenizer_hash, n_merges, n_pieces)],
             "tokenizer_hash string, n_merges int, n_pieces int",
         ).coalesce(1),
         f"{out_dir}/tokenizer/meta",

@@ -1685,6 +1685,52 @@ def _register_semantic_dedup_full() -> None:
 _register_semantic_dedup_full()
 
 
+def _register_semantic_dedup_by_space() -> None:
+    from ..registry import REGISTRY
+
+    @register(
+        "semantic_dedup_by_space",
+        sql=f"""
+WITH sdf AS ({REGISTRY["semantic_dedup_full"].sql})
+SELECT space,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+FROM sdf GROUP BY space ORDER BY space
+""",
+        tags=("dedup", "similarity", "eval"),
+    )
+    def q_semantic_dedup_by_space(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """SemDeDup COVERAGE rollup: per verdict space (table /
+        hash-fallback), how many docs were judged and how the verdicts
+        split — the audit row that tells an operator what fraction of
+        semantic dedup ran on real embeddings vs the deterministic
+        fallback (a rising hash share means the embedding job is
+        lagging the crawl). Two-row aggregate over the memoized full
+        verdict; on the synthetic SFs the hash row is absent
+        (embeddings cover every doc), which is itself the signal."""
+        from ..registry import REGISTRY as _R
+
+        return (
+            _R["semantic_dedup_full"]
+            .fn(spark, sf_dir)
+            .groupBy("space")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("kept").cast("bigint").alias("n_kept"),
+                (F.count("*") - F.sum("kept"))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+            .orderBy("space")
+        )
+
+
+_register_semantic_dedup_by_space()
+
+
 # --------------------------------------------------- LSH recall evaluation
 
 
