@@ -428,7 +428,7 @@ BNLJ_ALLOW = {
     "mixture_sample", "mixture_sample_tokens",
     "mixture_temperature_plan", "mixture_temperature_plan_tokens",
     "mixture_policy_overlap", "dup_cluster_size_histogram",
-    "dedup_savings_report",
+    "dedup_savings_report", "mixture_token_fill_report",
     "ngram_lm_perplexity", "q11_important_stock",
     "q22_idle_rich_customers", "quality_panel",
     "quality_panel_agreement", "retrieval_overlap_eval",

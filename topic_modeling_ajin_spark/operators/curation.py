@@ -1883,9 +1883,18 @@ def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever forms one giant sort partition (the ``pack_sequences`` /
     ``domain_cap_salted`` discipline). Budgets are engine-computed and
     collected (langs-bounded), never re-derived driver-side."""
+    return token_budget_selection(mixtok_lengths(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def mixtok_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+persisted (doc_id, lang, n, u) token-length table the
+    token-budget mixture ranks — shared by the sampler and the fill
+    report so both compose ONE copy."""
     from ..cache import memo
 
-    d = memo(
+    return memo(
         spark,
         ("mixtok_lengths", sf_dir),
         lambda: _docs(spark, sf_dir).select(
@@ -1896,7 +1905,6 @@ def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         persist=True,
     )
-    return token_budget_selection(d).orderBy("doc_id")
 
 
 def mixtok_u_expr(doc_id_col: str = "doc_id") -> Column:
@@ -2086,6 +2094,150 @@ GROUP BY 1
 
 
 _register_pack_tokens()
+
+
+def _register_mixture_token_fill() -> None:
+    @register(
+        "mixture_token_fill_report",
+        sql=f"""
+WITH t AS ({_SQL_TOKS}),
+d AS (SELECT doc_id, lang, length(toks) AS n FROM t),
+counts AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS m,
+                  CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY lang),
+tot AS (SELECT sum(sqrt(m)) AS ts FROM counts),
+bud AS (
+    SELECT lang, nd, CAST(m AS BIGINT) AS n_tokens_total,
+           CAST(floor(round(sqrt(m) / ts, 6) * {MIXTOK_BUDGET}) AS BIGINT)
+               AS token_budget
+    FROM counts CROSS JOIN tot
+),
+mixt AS ({_REG["mixture_sample_tokens"].sql}),
+kept AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+    FROM mixt GROUP BY lang
+)
+SELECT b.lang,
+       b.nd AS n_docs,
+       b.n_tokens_total,
+       b.token_budget,
+       CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(coalesce(k.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+       round(CASE WHEN b.token_budget > 0
+                  THEN coalesce(k.n_tokens_kept, 0) * 1.0 / b.token_budget
+                  ELSE 0 END, 6) AS fill_rate
+FROM bud b LEFT JOIN kept k ON k.lang = b.lang
+ORDER BY b.lang
+""",
+        tags=("curation", "selection", "eval"),
+    )
+    def q_mixture_token_fill_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """How well the token-budget mixture FILLS its per-language
+        budgets — the audit row next to ``mixture_sample_tokens`` in a
+        release: per language, available docs/token mass, the T=2
+        temperature budget, what actually shipped, and the fill rate
+        (under 1.0 means the last doc straddled the budget — the
+        whole-doc convention's price; over 1.0 by one doc is the same
+        convention from the other side). Composes the memoized length
+        table and the registered sampler; everything after the one
+        tokenize scan is language-bounded."""
+        d = mixtok_lengths(spark, sf_dir)
+        counts = d.groupBy("lang").agg(
+            F.sum("n").cast("double").alias("m"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        tots = counts.agg(F.sum(F.sqrt("m")).alias("ts"))
+        bud = counts.crossJoin(F.broadcast(tots)).select(
+            "lang",
+            "n_docs",
+            F.col("m").cast("bigint").alias("n_tokens_total"),
+            F.floor(
+                F.round(F.sqrt("m") / F.col("ts"), 6) * MIXTOK_BUDGET
+            )
+            .cast("bigint")
+            .alias("token_budget"),
+        )
+        kept = (
+            q_mixture_sample_tokens(spark, sf_dir)
+            .groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs_kept"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+            )
+        )
+        fill = F.when(
+            F.col("token_budget") > 0,
+            F.coalesce("n_tokens_kept", F.lit(0)) / F.col("token_budget"),
+        ).otherwise(0.0)
+        return (
+            bud.join(kept, "lang", "left")
+            .select(
+                "lang",
+                "n_docs",
+                "n_tokens_total",
+                "token_budget",
+                F.coalesce("n_docs_kept", F.lit(0))
+                .cast("bigint")
+                .alias("n_docs_kept"),
+                F.coalesce("n_tokens_kept", F.lit(0))
+                .cast("bigint")
+                .alias("n_tokens_kept"),
+                F.round(fill, 6).alias("fill_rate"),
+            )
+            .orderBy("lang")
+        )
+
+
+_register_mixture_token_fill()
+
+
+def _register_token_shard_balance() -> None:
+    @register(
+        "token_shard_balance",
+        sql=f"""
+WITH packs AS ({_REG["pack_sequences_tokens"].sql})
+SELECT CAST(({_md5_u32_sql("'tshard|' || CAST(pack_id AS VARCHAR)")})
+            % {N_SHARDS} AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packs
+GROUP BY 1 ORDER BY 1
+""",
+        tags=("curation", "tokenize", "eval", "scale"),
+    )
+    def q_token_shard_balance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Shard-balance audit for the token-id export: packs, docs and
+        token mass per md5 shard — the table that says whether the
+        'tshard|pack_id' routing spreads training files evenly (a hot
+        shard starves data-parallel readers; md5 uniformity makes skew
+        here a pack-size artifact, visible in n_tokens). Composes the
+        registered pack aggregate; the rollup is N_SHARDS-bounded."""
+        from ..registry import REGISTRY as _R
+
+        packs = _R["pack_sequences_tokens"].fn(spark, sf_dir)
+        shard = (
+            _md5_u32(
+                F.concat(F.lit("tshard|"), F.col("pack_id").cast("string"))
+            )
+            % N_SHARDS
+        ).cast("int")
+        return (
+            packs.groupBy(shard.alias("shard"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_packs"),
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+            .orderBy("shard")
+        )
+
+
+_register_token_shard_balance()
 
 
 # ------------------------------------------------- packing efficiency
