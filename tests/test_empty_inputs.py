@@ -69,7 +69,13 @@ EMPTY_SAFE = (
     "semantic_decontam_full",
     "contamination_by_source",
     "corpus_data_card_by_source",
+    # r11 additions
+    "mixture_token_fill_report",
 )
+# Also excluded (r11): tokenizer_card (one-row global fingerprint — a
+# hash of the empty merge/piece tables is still one row, correct);
+# semantic_dedup_full / semantic_dedup_by_space / token_shard_balance
+# compose the Lloyd/SemDeDup model fit, excluded like every model fit.
 # Also excluded (r10): jaccard_threshold_sweep and
 # dup_cluster_size_histogram emit their never-silent sentinel/singleton
 # row even on empty input (deliberate — the guard's activity and the
