@@ -723,3 +723,44 @@ def test_no_unjustified_forced_broadcasts():
     )
     assert not stale, f"stale BROADCAST_ALLOW entries: {stale}"
     assert all(r.strip() for r in BROADCAST_ALLOW.values())
+
+
+def test_vocab_broadcast_is_size_aware(spark):
+    """vocab_broadcast must FORCE a broadcast under the cap and drop the
+    hint past it. With autoBroadcastJoinThreshold disabled, the only way
+    a BroadcastHashJoin can appear is the explicit hint — so under-cap
+    shows one and past-cap must not (the join degrades to a shuffle
+    join instead of a potential OOM)."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions.joins import vocab_broadcast
+
+    big = spark.range(0, 1000).select(F.col("id").alias("k"))
+    vocab = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        hinted = big.join(vocab_broadcast(vocab, cap=100), "k")
+        hinted.count()
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:600]
+
+        unhinted = big.join(vocab_broadcast(vocab, cap=5), "k")
+        unhinted.count()
+        plan = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:600]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
