@@ -2240,6 +2240,115 @@ GROUP BY 1 ORDER BY 1
 _register_token_shard_balance()
 
 
+# ------------------------------------- curriculum (annealing) schedule
+
+# fraction of manifest DOCUMENTS routed to the end-of-training annealing
+# phase — the two-phase data schedule modern pretraining runs use (a
+# final stretch over upsampled highest-quality data; see e.g. the
+# MiniCPM/Llama-3 style decay-phase recipes): the top ANNEAL_FRAC of
+# manifest docs by (quality DESC, doc_id) feed phase 'anneal', the rest
+# phase 'main'. Deterministic rank cut, no RNG.
+ANNEAL_FRAC = 0.2
+
+
+def _register_curriculum() -> None:
+    @register(
+        "curriculum_phase_assignments",
+        sql=f"""
+WITH mt AS ({_REG["training_corpus_manifest_tokens"].sql}),
+k AS (SELECT CAST(floor(count(*) * {ANNEAL_FRAC}) AS BIGINT) AS k FROM mt),
+top AS (
+    SELECT doc_id FROM mt
+    ORDER BY quality DESC, doc_id
+    LIMIT (SELECT k FROM k)
+)
+SELECT mt.doc_id, mt.lang, mt.quality, mt.n_bpe_tokens,
+       CASE WHEN top.doc_id IS NOT NULL THEN 'anneal' ELSE 'main' END
+           AS phase
+FROM mt LEFT JOIN top ON top.doc_id = mt.doc_id
+ORDER BY mt.doc_id
+""",
+        tags=("curation", "selection", "scale"),
+    )
+    def q_curriculum_phase_assignments(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Two-phase CURRICULUM split of the token-budget manifest: the
+        top {ANNEAL_FRAC:.0%} of documents by (quality DESC, doc_id)
+        are routed to the end-of-training 'anneal' phase, the rest to
+        'main' — the data-schedule step a modern pretraining run
+        performs after curation (a final high-quality stretch), made a
+        first-class, deterministic, replayable table.
+
+        Scale shape: the cut is a TakeOrderedAndProject top-k (k =
+        floor(frac x N), one model-sized count) + a broadcast-ish
+        doc-keyed membership join against the memoized manifest — no
+        unpartitioned ranking window over the corpus. Exactness: the
+        rank is totally ordered by (quality, doc_id), so both engines
+        cut the identical doc set."""
+        from ..registry import REGISTRY as _R
+
+        mt = _R["training_corpus_manifest_tokens"].fn(spark, sf_dir)
+        k = int(mt.count() * ANNEAL_FRAC)
+        top = (
+            mt.select("doc_id", "quality")
+            .orderBy(F.desc("quality"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.lit(True).alias("in_anneal"))
+        )
+        return (
+            mt.join(top, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                "quality",
+                "n_bpe_tokens",
+                F.when(F.col("in_anneal"), "anneal")
+                .otherwise("main")
+                .alias("phase"),
+            )
+            .orderBy("doc_id")
+        )
+
+    @register(
+        "curriculum_phase_report",
+        sql=f"""
+WITH ca AS ({_REG["curriculum_phase_assignments"].sql})
+SELECT phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens,
+       round(avg(quality), 6) AS mean_quality,
+       round(min(quality), 6) AS min_quality
+FROM ca GROUP BY phase ORDER BY phase
+""",
+        tags=("curation", "selection", "eval"),
+    )
+    def q_curriculum_phase_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-phase rollup of the curriculum split: docs, trained-token
+        mass, and the quality band each phase trains on — the two rows
+        a run's data card quotes for its schedule. The anneal phase's
+        min_quality is the effective quality floor of the final
+        stretch. Phase-bounded aggregate over the assignments."""
+        from ..registry import REGISTRY as _R
+
+        ca = _R["curriculum_phase_assignments"].fn(spark, sf_dir)
+        return (
+            ca.groupBy("phase")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_bpe_tokens").cast("bigint").alias("n_tokens"),
+                F.round(F.avg("quality"), 6).alias("mean_quality"),
+                F.round(F.min("quality"), 6).alias("min_quality"),
+            )
+            .orderBy("phase")
+        )
+
+
+_register_curriculum()
+
+
 # ------------------------------------------------- packing efficiency
 
 
