@@ -67,6 +67,10 @@ HEADLINE = (
     "semantic_decontam_full",  # + hash-fallback coverage of unembedded docs
     "doc_token_ids",         # per-doc trained-BPE token-id streams
     "corpus_data_card_by_source",  # per-source datasheet (both funnels)
+    # r11 additions
+    "semantic_dedup_full",   # SemDeDup + hash-fallback coverage
+    "curriculum_phase_report",  # two-phase curriculum rollup
+    "mixture_token_fill_report",  # per-lang token-budget fill audit
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
@@ -173,6 +177,9 @@ def main() -> None:
         "semantic_decontam_full",    # table + hash-fallback verdict memos
         "doc_token_ids",             # BPE fit + id-table + doc-array memos
         "corpus_data_card_by_source",  # composes both by-source funnels
+        # r11 cache-backed headliners
+        "semantic_dedup_full",       # table verdict + hash-fallback memos
+        "curriculum_phase_report",   # manifest_tokens memo + top-k cut
     )
     cold_queries: dict[str, float] = {}
     from topic_modeling_ajin_spark.cache import clear_caches

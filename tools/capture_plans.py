@@ -238,12 +238,30 @@ SELECTED = (
     ),
     (
         "doc_token_ids",
-        "Per-doc token-id streams: the vocabulary-side id table "
-        "broadcasts (alphabet-bounded vocab window), the corpus pays "
-        "one posexplode + broadcast join + doc-keyed re-assembly, and "
-        "the memoized array table is a localCheckpoint LogicalRDD — "
-        "the 12-round BPE-fit lineage is never re-analyzed by "
-        "consumers.",
+        "Per-doc token-id streams: the word→ids table enters via the "
+        "SIZE-AWARE `vocab_broadcast` (hinted here because the test "
+        "vocab is under the 2M-row cap; past the cap the same plan is "
+        "a linear shuffle join on `word` — no forced-broadcast OOM, "
+        "r10 verdict task 1), the corpus pays one posexplode + join + "
+        "doc-keyed re-assembly, and the memoized array table is a "
+        "localCheckpoint LogicalRDD — the 12-round BPE-fit lineage is "
+        "never re-analyzed by consumers.",
+    ),
+    (
+        "semantic_dedup_full",
+        "Full-coverage SemDeDup: the table face reads the memoized "
+        "cluster-bucketed dominance verdict; the unembedded tail is "
+        "routed by a slim doc_id anti-join into the hash-fallback "
+        "face, whose pairs only form inside sign-LSH buckets — the "
+        "corpus never shuffles document bodies, and the union keeps "
+        "the fallback visible as a column, never silent.",
+    ),
+    (
+        "curriculum_phase_assignments",
+        "Two-phase curriculum split: the anneal cut is a "
+        "`TakeOrderedAndProject` top-k (k = frac × N, one model-sized "
+        "count) joined back on doc_id — never an unpartitioned ranking "
+        "window over the manifest.",
     ),
 )
 
