@@ -1641,3 +1641,81 @@ def test_token_shards_ship_their_decode_context(spark, sf_dir, tmp_path):
         hashlib.md5(blob.encode("utf-8")).hexdigest()
         == meta["tokenizer_hash"]
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id
+            st.sampled_from(["ko", "en", "ja"]),         # lang
+            st.integers(min_value=1, max_value=50),      # n tokens
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=400),
+)
+def test_token_budget_selection_property_matches_python_replay(
+    spark, rows, budget
+):
+    """Property (r11): on ARBITRARY (doc_id, lang, n) tables the shared
+    token_budget_selection rule equals a pure-Python replay — per-lang
+    budget floor(round(sqrt(m)/ts, 6) x budget) (HALF_UP like Spark's
+    round), docs filled in (md5-u32('mixtok|'||id), doc_id) order, a doc
+    kept iff it STARTS inside the budget — and the whole-doc convention
+    holds: kept token mass minus the last kept doc is strictly under the
+    budget. This is the one definition both the batch sampler and the
+    incremental manifest re-rank compose."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        mixtok_u_expr,
+        token_budget_selection,
+    )
+
+    d = spark.createDataFrame(
+        rows, "doc_id long, lang string, n long"
+    ).select("doc_id", "lang", "n", mixtok_u_expr())
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in token_budget_selection(d, budget=budget).collect()
+    }
+
+    # pure-python replay
+    m: dict[str, int] = {}
+    for _i, lang, n in rows:
+        m[lang] = m.get(lang, 0) + n
+    ts = sum(math.sqrt(v) for v in m.values())
+    r6 = lambda x: float(  # noqa: E731 — Spark's HALF_UP round(…, 6)
+        Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+    )
+    b = {
+        lang: math.floor(r6(math.sqrt(v) / ts) * budget)
+        for lang, v in m.items()
+    }
+    u = lambda i: int(  # noqa: E731
+        hashlib.md5(f"mixtok|{i}".encode()).hexdigest()[:8], 16
+    )
+    want = set()
+    kept_mass: dict[str, list] = {}
+    for lang in m:
+        cum = 0
+        for i, lg, n in sorted(
+            (t for t in rows if t[1] == lang), key=lambda t: (u(t[0]), t[0])
+        ):
+            if cum < b[lang]:
+                want.add((i, lang, n))
+                kept_mass.setdefault(lang, []).append(n)
+            cum += n
+    assert got == want
+    # whole-doc convention: total kept minus the LAST kept doc < budget
+    for lang, ns in kept_mass.items():
+        assert sum(ns) - ns[-1] < b[lang]

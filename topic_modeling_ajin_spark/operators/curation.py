@@ -1940,7 +1940,7 @@ def token_budget_selection(
     tots = counts.agg(F.sum(F.sqrt("m")).alias("ts"))
     budgets = counts.crossJoin(F.broadcast(tots)).select(
         "lang",
-        F.floor(F.round(F.sqrt("m") / F.col("ts"), 6) * MIXTOK_BUDGET)
+        F.floor(F.round(F.sqrt("m") / F.col("ts"), 6) * budget)
         .cast("bigint")
         .alias("b"),
     )
