@@ -438,6 +438,53 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_pii_report",
+    sql=f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN length(regexp_extract_all(text, '{_RE_EMAIL}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_email,
+       CAST(sum(length(regexp_extract_all(text, '{_RE_EMAIL}')))
+            AS BIGINT) AS n_emails,
+       CAST(sum(length(regexp_extract_all(
+                regexp_replace(text, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                '{_RE_NUM}'))) AS BIGINT) AS n_number_runs
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source ORDER BY source
+""",
+    tags=("curation", "quality", "eval"),
+)
+def q_doc_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII EXPOSURE report over the document corpus, by source — the
+    audit a release runs before deciding which sources need the
+    ``pii_redact`` pass: per source, docs containing an e-mail, total
+    e-mail hits, and digit-run counts (emails masked first so their
+    digits aren't double-counted, the ``pii_redact`` ordering). Pure
+    row-local regex projection + a source-bounded rollup — codegen'd,
+    shuffle-free past the aggregate; patterns are RE2-safe so both
+    engines count identically."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL)))
+    masked = F.regexp_replace("text", _RE_EMAIL, "<EMAIL>")
+    n_nums = F.size(F.regexp_extract_all(masked, F.lit(_RE_NUM)))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(n_emails > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_with_email"),
+            F.sum(n_emails).cast("bigint").alias("n_emails"),
+            F.sum(n_nums).cast("bigint").alias("n_number_runs"),
+        )
+        .orderBy("source")
+    )
+
+
 WEIGHTED_SAMPLE_N = 100
 _SQL_DOC_U = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5('0|' || doc_id), {i + 1}, 1)) - 1)"

@@ -210,6 +210,48 @@ def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", predicted.alias("predicted"))
 
 
+def _register_langid_confusion() -> None:
+    from ..registry import REGISTRY
+
+    @register(
+        "langid_confusion",
+        sql=f"""
+WITH lid AS ({REGISTRY["langid_heuristic"].sql})
+SELECT lang AS label, predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 /
+             sum(count(*)) OVER (PARTITION BY lang), 6) AS label_share
+FROM lid GROUP BY lang, predicted ORDER BY lang, predicted
+""",
+        tags=("text_analysis", "quality", "eval"),
+    )
+    def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Confusion matrix of the language-ID heuristic against the
+        corpus's LABELED lang column — the calibration table an
+        operator reads before trusting the heuristic as a gate (a
+        label whose mass lands in 'unk' needs its own stopword bank;
+        cross-label leakage means the thresholds are wrong for that
+        pair). Label-bounded aggregate + a label-partitioned share
+        window; the only corpus-sized work is the langid scan it
+        composes."""
+        lid = q_langid_heuristic(spark, sf_dir)
+        cnt = (
+            lid.groupBy(F.col("lang").alias("label"), "predicted")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+        )
+        w = Window.partitionBy("label")
+        return (
+            cnt.withColumn(
+                "label_share",
+                F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+            )
+            .orderBy("label", "predicted")
+        )
+
+
+_register_langid_confusion()
+
+
 def _nibble_sql(h: str, i: int) -> str:
     return f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
 
