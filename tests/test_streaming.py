@@ -2274,3 +2274,72 @@ def test_incremental_manifest_delta_cards_sum_to_batch_funnel(
     assert sum(r["n_pool_delta"] for r in cards) == pool_rows
     assert cards[-1]["n_pool_total"] == pool_rows
     assert cards[-1]["n_manifest"] == man_rows
+
+
+def test_ingest_delta_card_ladder_identity(spark, tmp_path):
+    """r11: with card_out_dir set, every ingest batch writes a one-row
+    delta card whose ladder identity holds — n_in = n_quality_fail +
+    n_exact_dup + n_simhash_drop + n_jaccard_drop + n_cosine_drop +
+    n_decontam_drop + n_shipped — and whose totals match the final
+    corpus sink. Exercised with the exact + jaccard gates on a corpus
+    planting one exact dup and one near-dup across batches."""
+    import time
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    docs = {
+        1: text_a,
+        2: "completely different words one two three four five six seven",
+        3: text_a,                                    # exact dup of 1
+        4: text_a + " tail",                          # near-dup of 1
+        5: "another unrelated document eight nine ten eleven twelve",
+    }
+    schema = "doc_id long, text string"
+    staging = str(tmp_path / "in")
+    for batch in ((1, 2), (3, 4, 5)):
+        spark.createDataFrame(
+            [(i, docs[i]) for i in batch], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "corpus")
+    card_dir = str(tmp_path / "card")
+    ST.run_streaming_ingest_dedup(
+        spark,
+        stream,
+        str(tmp_path / "store"),
+        out,
+        str(tmp_path / "ck"),
+        near_dup_jaccard=0.5,
+        card_out_dir=card_dir,
+    )
+    cards = sorted(
+        spark.read.option("basePath", card_dir).parquet(card_dir).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["batch_id"] for r in cards] == [0, 1]
+    for r in cards:
+        assert r["n_in"] == (
+            r["n_quality_fail"]
+            + r["n_exact_dup"]
+            + r["n_simhash_drop"]
+            + r["n_jaccard_drop"]
+            + r["n_cosine_drop"]
+            + r["n_decontam_drop"]
+            + r["n_shipped"]
+        ), dict(r.asDict())
+        # gates not enabled in this run never count drops
+        assert r["n_quality_fail"] == 0
+        assert r["n_simhash_drop"] == 0 and r["n_cosine_drop"] == 0
+        assert r["n_decontam_drop"] == 0
+    assert cards[0]["n_in"] == 2 and cards[0]["n_shipped"] == 2
+    # batch 1: doc 3 exact-dups the store, doc 4 near-dups it
+    assert cards[1]["n_exact_dup"] == 1
+    assert cards[1]["n_jaccard_drop"] == 1
+    assert cards[1]["n_shipped"] == 1
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 5]
+    assert sum(r["n_shipped"] for r in cards) == len(kept)

@@ -751,6 +751,7 @@ def run_streaming_ingest_dedup(
     drift_out_dir: str | None = None,
     drift_threshold: float | None = None,
     decontam_bench_dir: str | None = None,
+    card_out_dir: str | None = None,
 ) -> None:
     """Cross-batch document ingest dedup against a PERSISTENT fingerprint
     store — the streaming twin of the batch ``incremental_dedup`` query
@@ -878,7 +879,15 @@ def run_streaming_ingest_dedup(
     4. append survivors to the corpus sink and their fingerprints (+
        simhashes — written unconditionally so any store can later serve
        the near-dup gate) to the store, which is what makes batch N+1
-       see batch N's documents.
+       see batch N's documents;
+    5. (optional, ``card_out_dir``) a one-row per-batch DELTA CARD —
+       gate-ladder attrition (quality / exact / simhash / jaccard /
+       cosine / decontam drops) plus the shipped count, the monitoring
+       row an ingest dashboard tails (the ``run_incremental_manifest``
+       card, for this pipeline's ladder). The ladder identity
+       n_in = n_quality_fail + n_exact_dup + Σ gate drops + n_shipped
+       is pinned in tests. Cost: one batch-sized count per enabled
+       gate; zero when the card is off.
 
     State is the store itself — O(distinct fingerprints), 16 bytes each,
     partition-prunable parquet — not executor memory; restarts resume
@@ -969,12 +978,22 @@ def run_streaming_ingest_dedup(
                 f"{drift_out_dir}/batch={batch_id}"
             )
 
+        # per-batch delta card (opt-in): gate-ladder attrition counts.
+        # Each count is a batch-sized job over the (persisted) batch
+        # table — the audit's honest price; None when card_out_dir unset.
+        card: dict[str, int] = {}
+        if card_out_dir is not None:
+            card["n_in"] = batch_df.count()
         if quality_weights is not None:
             from ..operators.quality_model import score_expr
 
             batch_df = batch_df.filter(
                 score_expr(quality_weights) >= F.lit(min_quality_score)
             )
+            if card_out_dir is not None:
+                card["n_quality_fail"] = card["n_in"] - batch_df.count()
+        elif card_out_dir is not None:
+            card["n_quality_fail"] = 0
         # fingerprint + simhash staged together: one pass over the text,
         # token-hash array in its own select (HOFs are CodegenFallback —
         # inlining would re-pay the md5 per simhash bit)
@@ -1235,6 +1254,25 @@ def run_streaming_ingest_dedup(
         # r10 ADVICE: unpersist on EVERY exit — a budget-check loud
         # refusal or failed write otherwise leaks the cached batch
         try:
+            n_prev = 0
+            if card_out_dir is not None:
+                n_prev = batch_kept.count()
+                card["n_exact_dup"] = (
+                    card["n_in"] - card["n_quality_fail"] - n_prev
+                )
+
+            def count_gate(df: DataFrame, gate: str, enabled: bool):
+                # per-gate attrition, counted only when the card is on
+                nonlocal n_prev
+                if card_out_dir is None:
+                    return
+                if not enabled:
+                    card[gate] = 0
+                    return
+                n = df.count()
+                card[gate] = n_prev - n
+                n_prev = n
+
             shipped = batch_kept
             if near_dup_hamming is not None:
                 # earlier universe: lower-doc_id survivors of THIS batch
@@ -1277,6 +1315,9 @@ def run_streaming_ingest_dedup(
                     .distinct()
                 )
                 shipped = batch_kept.join(drops, "doc_id", "left_anti")
+            count_gate(
+                shipped, "n_simhash_drop", near_dup_hamming is not None
+            )
             if near_dup_jaccard is not None:
                 # batch near_dup_discard rule, streamed: drop a survivor iff
                 # its hashed-shingle Jaccard with ANY earlier doc reaches
@@ -1367,6 +1408,9 @@ def run_streaming_ingest_dedup(
                 shipped = shipped.join(
                     jdrops.distinct(), "doc_id", "left_anti"
                 )
+            count_gate(
+                shipped, "n_jaccard_drop", near_dup_jaccard is not None
+            )
             if near_dup_cosine is not None:
                 from ..functions import vectors as V
 
@@ -1449,6 +1493,9 @@ def run_streaming_ingest_dedup(
                 shipped = shipped.join(
                     vdrops.distinct(), "doc_id", "left_anti"
                 )
+            count_gate(
+                shipped, "n_cosine_drop", near_dup_cosine is not None
+            )
             if bench_grams is not None:
                 from ..operators.text_analysis import DECON_NGRAM
 
@@ -1469,6 +1516,9 @@ def run_streaming_ingest_dedup(
                     .distinct()
                 )
                 shipped = shipped.join(contaminated, "doc_id", "left_anti")
+            count_gate(
+                shipped, "n_decontam_drop", bench_grams is not None
+            )
             # both sinks overwrite this batch's own partition — a replayed
             # batch_id rewrites instead of appending duplicates (the same
             # idempotency pattern as the refreshing topic-assign sink).
@@ -1532,6 +1582,36 @@ def run_streaming_ingest_dedup(
             batch_kept.select("fingerprint", "simhash").write.mode(
                 "overwrite"
             ).parquet(f"{store_dir}/batch={batch_id}")
+            if card_out_dir is not None:
+                # one-row delta card LAST (replay rewrites it after the
+                # sinks): ladder identity n_in = quality + exact + the
+                # four gate drops + shipped is pinned in tests.
+                # n_shipped reads the committed partition back — parquet
+                # footer metadata, no recompute.
+                n_shipped = spark.read.parquet(
+                    f"{out_dir}/batch={batch_id}"
+                ).count()
+                spark.createDataFrame(
+                    [
+                        (
+                            int(batch_id),
+                            int(card["n_in"]),
+                            int(card["n_quality_fail"]),
+                            int(card["n_exact_dup"]),
+                            int(card["n_simhash_drop"]),
+                            int(card["n_jaccard_drop"]),
+                            int(card["n_cosine_drop"]),
+                            int(card["n_decontam_drop"]),
+                            int(n_shipped),
+                        )
+                    ],
+                    "batch_id long, n_in long, n_quality_fail long, "
+                    "n_exact_dup long, n_simhash_drop long, "
+                    "n_jaccard_drop long, n_cosine_drop long, "
+                    "n_decontam_drop long, n_shipped long",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{card_out_dir}/batch={batch_id}"
+                )
         finally:
             batch_kept.unpersist()
 
