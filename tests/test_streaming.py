@@ -2343,3 +2343,73 @@ def test_ingest_delta_card_ladder_identity(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 5]
     assert sum(r["n_shipped"] for r in cards) == len(kept)
+
+
+def test_incremental_manifest_tokens_and_decontam_compose(
+    spark, sf_dir, tmp_path
+):
+    """r11 interaction guard: mixture='tokens' AND the decontamination
+    gate together — the final snapshot must equal rule ∧ exact ∧
+    ¬near-dup ∧ decontam-membership ∧ mixture_sample_tokens. Decontam
+    prunes the POOL (so the pool delta shrinks) while the token sampler
+    ranks ALL ingested docs (tok_state is written pre-gate), exactly as
+    the batch composition joins the full-corpus sampler to the gated
+    pool — the interaction the two single-feature tests cannot see."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        q_mixture_sample_tokens,
+    )
+    from topic_modeling_ajin_spark.operators.text_analysis import (
+        DECON_BENCH_MAX_DOC_ID,
+        q_doc_decontam,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    staging, schema = _stage_documents_batches(
+        spark, sf_dir, tmp_path, "imtd"
+    )
+    bench_dir = str(tmp_path / "imtd" / "bench")
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DECON_BENCH_MAX_DOC_ID
+    ).select("doc_id", "text").write.parquet(bench_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    base = tmp_path / "imtd"
+    out = str(base / "out")
+    ST.run_incremental_manifest(
+        spark,
+        stream,
+        str(base / "store"),
+        out,
+        str(base / "ck"),
+        decontam_bench_dir=bench_dir,
+        mixture="tokens",
+    )
+    _, want_pool = _batch_ladder_reference(spark, sf_dir)
+    clean = {
+        r["doc_id"]
+        for r in q_doc_decontam(spark, sf_dir)
+        .filter(~F.col("flagged"))
+        .collect()
+    }
+    mixt = {
+        r["doc_id"]: (r["lang"], r["n_tokens"])
+        for r in q_mixture_sample_tokens(spark, sf_dir).collect()
+    }
+    want = {
+        (d, mixt[d][0], mixt[d][1])
+        for d in want_pool
+        if d >= DECON_BENCH_MAX_DOC_ID and d in clean and d in mixt
+    }
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"])
+        for r in spark.read.parquet(f"{out}/manifest").collect()
+    }
+    assert got == want and got
+    # the card's decontam column is live in this configuration
+    cards = spark.read.option("basePath", f"{out}/card").parquet(
+        f"{out}/card"
+    ).collect()
+    assert sum(r["n_decontam_drop"] for r in cards) > 0

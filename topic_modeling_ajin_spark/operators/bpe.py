@@ -641,6 +641,66 @@ def q_tokenizer_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_unmerged_report",
+    sql=f"""
+WITH {_sql_bpe_rounds(BPE_MERGES)},
+{_SQL_DOC_WORDS},
+w AS (
+    SELECT d.source, s.word,
+           CAST(count(*) AS BIGINT) AS occ,
+           CASE WHEN length(s.seq) = length(s.word) THEN 1 ELSE 0 END
+               AS unmerged
+    FROM dw
+    JOIN documents d ON d.doc_id = dw.doc_id
+    JOIN seq{BPE_MERGES} s ON s.word = dw.word
+    GROUP BY d.source, s.word, s.seq
+)
+SELECT source,
+       CAST(sum(occ) AS BIGINT) AS n_words,
+       CAST(sum(occ * unmerged) AS BIGINT) AS n_unmerged_words,
+       round(sum(occ * unmerged) * 1.0 / sum(occ), 6) AS unmerged_share
+FROM w GROUP BY source ORDER BY source
+""",
+    tags=("text_analysis", "tokenize", "bpe", "eval"),
+)
+def q_tokenizer_unmerged_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer UNMERGED-mass report by source: the share of word
+    occurrences the trained merges never compressed at all (piece count
+    == character count — the BPE analogue of OOV). A source whose text
+    the tokenizer leaves at char-split burns sequence budget and trains
+    slower per byte; next to ``bpe_fertility`` this says WHERE the merge
+    table under-serves the corpus, not just how much. One doc-word
+    explode joined to the trained vocab (size-aware at scale via the
+    tokenize-pass plan this composes), then a source-bounded rollup."""
+    from ..functions import text as TX
+
+    _, seq = _bpe_fit(spark, sf_dir)
+    unm = seq.select(
+        "word",
+        (F.size("seq") == F.length("word")).cast("int").alias("unmerged"),
+    )
+    from ..functions.joins import vocab_broadcast
+
+    words = _docs(spark, sf_dir).select(
+        "source", F.explode(TX.word_tokens("text")).alias("word")
+    )
+    return (
+        words.join(vocab_broadcast(unm), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("unmerged").cast("bigint").alias("n_unmerged_words"),
+            F.round(F.sum("unmerged") / F.count("*"), 6).alias(
+                "unmerged_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "bpe_fertility",
     sql=f"""
 WITH {_sql_bpe_doc_counts()}
