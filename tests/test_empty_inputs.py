@@ -71,6 +71,9 @@ EMPTY_SAFE = (
     "corpus_data_card_by_source",
     # r11 additions
     "mixture_token_fill_report",
+    "tokenizer_unmerged_report",
+    "langid_confusion",
+    "doc_pii_report",
 )
 # Also excluded (r11): tokenizer_card (one-row global fingerprint — a
 # hash of the empty merge/piece tables is still one row, correct);
