@@ -1719,3 +1719,105 @@ def test_token_budget_selection_property_matches_python_replay(
     # whole-doc convention: total kept minus the LAST kept doc < budget
     for lang, ns in kept_mass.items():
         assert sum(ns) - ns[-1] < b[lang]
+
+
+def test_manifest_never_silently_loses_unembedded_docs(spark, sf_dir, tmp_path):
+    """r11 verdict task 1: the capstone manifest composes the
+    FULL-coverage SemDeDup verdict, so a document with no embeddings
+    row must appear in the manifest (hash-space kept) or be visibly
+    dropped by a named gate — NEVER in neither (the r11 inner join on
+    the table-space keep set made such docs vanish with no gate row,
+    no funnel count, no card cell). Planted corpus: the sf tables with
+    three manifest members' embeddings deleted."""
+    from topic_modeling_ajin_spark.registry import load_all
+    from topic_modeling_ajin_spark.sources import load_table
+
+    reg = load_all()
+    # plant: strip the embeddings of three docs that ship at this SF
+    planted = [
+        r["doc_id"]
+        for r in reg["training_corpus_manifest"]
+        .fn(spark, sf_dir)
+        .limit(3)
+        .collect()
+    ]
+    assert len(planted) == 3
+    d = str(tmp_path / "data")
+    load_table(spark, sf_dir, "documents").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.filter(~emb["vec_id"].isin(planted)).write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+
+    full = {
+        r["doc_id"]: (r["kept"], r["space"])
+        for r in reg["semantic_dedup_full"].fn(spark, d).collect()
+    }
+    docs = [
+        r["doc_id"]
+        for r in load_table(spark, d, "documents").select("doc_id").collect()
+    ]
+    assert set(full) == set(docs), "every corpus doc gets a verdict"
+    assert all(full[i][1] == "hash" for i in planted)
+
+    man = {
+        r["doc_id"]
+        for r in reg["training_corpus_manifest"].fn(spark, d).collect()
+    }
+    # never-in-neither: each planted doc is in the manifest, or some
+    # registered gate visibly accounts for it
+    fr_keep = {
+        r["doc_id"]
+        for r in reg["curation_filter_report"]
+        .fn(spark, d)
+        .filter("keep")
+        .collect()
+    }
+    keepers = {
+        r["keeper"] for r in reg["fingerprint_dedup"].fn(spark, d).collect()
+    }
+    near_disc = {
+        r["discard_doc_id"]
+        for r in reg["near_dup_discard"].fn(spark, d).collect()
+    }
+    in_mix = {
+        r["doc_id"] for r in reg["mixture_sample"].fn(spark, d).collect()
+    }
+    for i in planted:
+        visible = (
+            i in man
+            or full[i][0] == 0
+            or i not in fr_keep
+            or i not in keepers
+            or i in near_disc
+            or i not in in_mix
+        )
+        assert visible, f"doc {i} vanished with no gate verdict"
+    # and the funnel surfaces the fallback share as a first-class row
+    fun = reg["curation_funnel"].fn(spark, d).collect()[0]
+    assert fun["n_sem_hash_space"] == 3
+    # coverage identity: the funnel's terminal stage IS the manifest size
+    assert fun["n_mixed"] == len(man)
+
+
+def test_funnel_hash_space_agrees_with_savings_report(spark, sf_dir):
+    """The n_sem_hash_space coverage figure must be the SAME number in
+    every face that reports it — the funnel, its by-source rollup, the
+    data card, and dedup_savings_report all count docs whose SemDeDup
+    verdict came from the hash-fallback space (r11 verdict task 1:
+    'the manifest family must agree with dedup_savings_report')."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    fun = reg["curation_funnel"].fn(spark, sf_dir).collect()[0]
+    by_src = reg["curation_funnel_by_source"].fn(spark, sf_dir).collect()
+    card = reg["corpus_data_card"].fn(spark, sf_dir).collect()[0]
+    sav = reg["dedup_savings_report"].fn(spark, sf_dir).collect()[0]
+    assert (
+        fun["n_sem_hash_space"]
+        == sum(r["n_sem_hash_space"] for r in by_src)
+        == card["n_sem_hash_space"]
+        == sav["n_sem_hash_space"]
+    )

@@ -736,9 +736,12 @@ def test_vocab_broadcast_is_size_aware(spark):
     from topic_modeling_ajin_spark.functions.joins import vocab_broadcast
 
     big = spark.range(0, 1000).select(F.col("id").alias("k"))
-    vocab = spark.range(0, 10).select(
-        F.col("id").alias("k"), F.lit(1).alias("v")
+    vocab = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        .persist()
     )
+    vocab.count()
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_aqe = spark.conf.get(
         "spark.sql.adaptive.autoBroadcastJoinThreshold", None
@@ -764,3 +767,150 @@ def test_vocab_broadcast_is_size_aware(spark):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+# ---------------------------------------------------------------------------
+# limit(k) lint (r11 verdict task 2): a .limit whose k is computed from a
+# corpus count is a corpus-PROPORTIONAL top-k — TakeOrderedAndProject
+# merges k rows on the driver and Catalyst trusts the limit's tiny size
+# estimate enough to auto-broadcast the result, so at 100 TB a
+# limit(floor(frac * N)) is a guaranteed driver OOM (the r11 curriculum
+# cut). Every .limit in the package must therefore take a CONSTANT
+# (an int literal or an UPPERCASE module constant expression); anything
+# else needs a reasoned allowlist entry, and entries naming vanished
+# sites fail so reasons can't rot.
+
+LIMIT_ALLOW: dict[tuple[str, str], str] = {
+    ("plots.py", "limit + 1"): (
+        "caller-supplied row cap defaulting to MAX_ROWS=10k — plot sinks "
+        "are row-capped by design and raise past the cap"
+    ),
+    ("operators/selection.py", "k"): (
+        "function parameter; the registered face passes the "
+        "DSIR_SELECT_K module constant, never a corpus count"
+    ),
+    ("operators/frequency.py", "top_n"): (
+        "function parameter; registered faces pass module constants "
+        "(top-k report sizes), never a corpus count"
+    ),
+}
+
+
+def _limit_sites() -> set[tuple[str, str]]:
+    """AST scan of the package for DataFrame .limit(...) call sites whose
+    argument is NOT a compile-time constant expression (int literal or
+    arithmetic over UPPERCASE module constants), keyed by (relative
+    file, exact source text of the limit argument)."""
+    import ast
+    import pathlib
+
+    import topic_modeling_ajin_spark as pkg
+
+    def is_constant_expr(node: ast.AST) -> bool:
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Name) and not sub.id.isupper():
+                return False
+            if isinstance(sub, ast.Call):
+                return False
+            if isinstance(sub, ast.Attribute):
+                return False
+        return True
+
+    root = pathlib.Path(pkg.__file__).parent
+    sites: set[tuple[str, str]] = set()
+    for p in sorted(root.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "limit"
+                and node.args
+                and not is_constant_expr(node.args[0])
+            ):
+                sites.add(
+                    (str(p.relative_to(root)), ast.unparse(node.args[0]))
+                )
+    return sites
+
+
+def test_no_corpus_proportional_limits():
+    """Every non-constant .limit(k) call site in the package must carry
+    a boundedness reason in LIMIT_ALLOW (a k derived from a corpus
+    count() fails until someone consciously justifies it — the honest
+    fix is a threshold/rank cut, e.g. _range_partitioned_row_numbers),
+    and the allowlist must stay live: entries naming vanished sites
+    fail so reasons can't rot."""
+    sites = _limit_sites()
+    allowed = set(LIMIT_ALLOW)
+    new = sorted(sites - allowed)
+    stale = sorted(allowed - sites)
+    assert not new, (
+        "non-constant .limit(k) with no boundedness justification — a "
+        "corpus-proportional k is a driver OOM at scale; cut by "
+        f"rank/threshold instead (see curriculum_phase_assignments): {new}"
+    )
+    assert not stale, f"stale LIMIT_ALLOW entries: {stale}"
+    assert all(r.strip() for r in LIMIT_ALLOW.values())
+
+
+def test_curriculum_cut_has_no_corpus_proportional_topk(spark, sf_dir):
+    """r11 verdict task 2: the curriculum anneal cut must NOT compile to
+    TakeOrderedAndProject(k = frac x N) + a broadcast of that k-row
+    membership (a driver-side merge of ~20% of all manifest rows and an
+    auto-broadcast Catalyst only allows because it trusts the limit's
+    size estimate). The rank comes from the range-partitioned two-phase
+    row-number instead: no TakeOrderedAndProject, no global-order Sort
+    feeding a Limit, and the only window is partitioned on pid."""
+    from topic_modeling_ajin_spark.registry import load_all
+
+    df = load_all()["curriculum_phase_assignments"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" not in plan, plan[:800]
+    assert "GlobalLimit" not in plan, plan[:800]
+
+
+def test_vocab_broadcast_warns_on_unpersisted_lineage(spark):
+    """r11 ADVICE: vocab_broadcast's cheap-count contract ('callers hand
+    in persisted or checkpointed tables') is enforced, not assumed — an
+    input whose sizing count would recompute a real lineage warns
+    loudly, while the call-site idiom (a thin filter/select over a
+    persisted or checkpointed table, a file scan, or an explicit
+    n_rows) stays silent."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions.joins import vocab_broadcast
+
+    base = spark.range(0, 50).select(F.col("id").alias("k"))
+    # aggregation over an unpersisted lineage: the count re-runs it
+    expensive = base.groupBy((F.col("k") % 5).alias("g")).count()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vocab_broadcast(expensive)
+        assert any("recompute" in str(x.message) for x in w)
+
+    # persisted parent + thin filter/select: silent
+    cached = expensive.persist()
+    cached.count()
+    try:
+        thin = cached.filter(F.col("g") >= 0).select("g")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            vocab_broadcast(thin)
+            assert not w, [str(x.message) for x in w]
+        # explicit n_rows: silent regardless of lineage
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            vocab_broadcast(expensive, n_rows=5)
+            assert not w, [str(x.message) for x in w]
+    finally:
+        cached.unpersist()
+
+    # localCheckpoint bottoms out in LogicalRDD: silent
+    ckpt = base.localCheckpoint()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        vocab_broadcast(ckpt.select("k"))
+        assert not w, [str(x.message) for x in w]

@@ -343,3 +343,35 @@ def test_semantic_dedup_full_covers_missing_embeddings(spark, tmp_path):
     sav = reg["dedup_savings_report"].fn(spark, str(d)).collect()[0]
     assert sav["n_sem_hash_space"] == 4
     assert sav["n_semdedup_removed"] >= 1  # 201 at minimum
+
+
+def test_semantic_dedup_full_hash_branch_refuses_hot_bucket(
+    spark, tmp_path, monkeypatch
+):
+    """r11 verdict task 3: the hash-fallback dominance join carries the
+    same per-bucket pair budget/loud-refusal discipline as every
+    quadratic sibling — a large unembedded tail landing in one sign-LSH
+    bucket must raise BEFORE the pair join detonates, naming the
+    levers, instead of silently paying (N_tail/2^bits)^2."""
+    import pytest
+
+    from topic_modeling_ajin_spark.operators import dedup as dd
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    texts = {
+        0: "table zero aa bb",
+        200: "boiler plate dup line qq ww",
+        201: "boiler plate dup line qq ww",  # same bucket as 200
+    }
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    monkeypatch.setattr(dd, "SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET", 0)
+    with pytest.raises(ValueError, match="hash-fallback bucket"):
+        reg["semantic_dedup_full"].fn(spark, d).collect()

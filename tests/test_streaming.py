@@ -2413,3 +2413,57 @@ def test_incremental_manifest_tokens_and_decontam_compose(
         f"{out}/card"
     ).collect()
     assert sum(r["n_decontam_drop"] for r in cards) > 0
+
+
+def test_cosine_gate_margin_is_dim_aware(spark, tmp_path):
+    """r11 ADVICE (medium): the int8 prune margin must cover the
+    quantization error for the OBSERVED embedding dimension. An
+    explicit margin below the 4*sqrt(d)/254 bound must raise loudly
+    (silently pruning true pairs would break the exact-drop-set
+    guarantee); omitting the margin derives it per batch, and a
+    384-dim true near-dup pair — where the old fixed 0.1 default was
+    UNDER the ~0.155 bound — must still be dropped."""
+    import pytest
+
+    from topic_modeling_ajin_spark.streaming import pipelines as ST
+
+    d = 384
+    base = [1.0] * d
+    near = [1.0] * d
+    near[-1] = 0.9  # cosine ~0.99997 with base, same sign-LSH bucket
+    docs = {1: base, 2: near, 3: [(-1.0) ** i for i in range(d)]}
+    schema = "doc_id long, text string, embedding array<double>"
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(i, f"text {i}", v) for i, v in docs.items()], schema
+    ).coalesce(1).write.mode("append").parquet(staging)
+
+    def run(sub: str, **kw) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+        ST.run_streaming_ingest_dedup(
+            spark,
+            stream,
+            str(tmp_path / f"store{sub}"),
+            str(tmp_path / f"corpus{sub}"),
+            str(tmp_path / f"ck{sub}"),
+            near_dup_cosine=0.99,
+            **kw,
+        )
+
+    # explicit margin below the 384-dim bound: loud refusal
+    # (foreachBatch wraps the ValueError in a StreamingQueryException)
+    with pytest.raises(Exception, match="quantization-error bound"):
+        run("a", int8_prune_margin=0.1)
+
+    # derived margin: the true pair is caught exactly
+    run("b")
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpusb")).collect()
+    )
+    assert kept == [1, 3]
+    assert ST.int8_margin_bound(384) > 0.1  # the old default was unsafe

@@ -51,7 +51,58 @@ def vocab_broadcast(
 
     ``n_rows``: pass the row count if the caller already has it;
     otherwise it is counted here (callers must hand in persisted or
-    checkpointed tables so the count is a cache scan, not a recompute).
+    checkpointed tables so the count is a cache scan, not a recompute —
+    enforced below with a loud warning rather than assumed, r11 ADVICE:
+    an unpersisted input would silently recompute its whole subtree
+    twice, once for the count and once at execution).
     """
+    if n_rows is None and not _count_is_cheap(vocab):
+        import warnings
+
+        warnings.warn(
+            "vocab_broadcast: input is neither persisted nor "
+            "checkpointed (nor a thin projection/filter over such a "
+            "table) and no n_rows was passed — the sizing count will "
+            "recompute the table's full lineage, and execution will "
+            "pay it again. Persist/checkpoint the table or pass "
+            "n_rows from the memo layer.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     n = vocab.count() if n_rows is None else n_rows
     return F.broadcast(vocab) if n <= cap else vocab
+
+
+# unary plan nodes that keep a count one scan of their child — anything
+# else (Join, Union, Aggregate, Generate/explode, Window) means the count
+# re-executes real work above the materialized leaf
+_THIN_NODES = frozenset({"Project", "Filter", "SubqueryAlias"})
+
+# leaves whose scan is already materialized (or is a plain file scan the
+# datasource can count cheaply): persisted cache, local/reliable
+# checkpoint, file relation
+_MATERIALIZED_LEAVES = frozenset(
+    {"InMemoryRelation", "LogicalRDD", "LogicalRelation", "LocalRelation"}
+)
+
+
+def _count_is_cheap(df: DataFrame) -> bool:
+    """True when ``df.count()`` is one scan of an already-materialized
+    (or file-backed) table: the plan bottoms out in a persisted cache /
+    checkpoint / file relation through thin Project/Filter wrappers
+    only. Cache substitution happens before optimization, so a persisted
+    PARENT shows up here as InMemoryRelation even though the handed-in
+    child's own ``storageLevel`` is NONE — the call-site idiom
+    (``memoized_table.filter(...).select(...)``) passes without a
+    spurious warning."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            name = plan.getClass().getSimpleName()
+            if name in _MATERIALIZED_LEAVES:
+                return True
+            if name not in _THIN_NODES or plan.children().size() != 1:
+                return False
+            plan = plan.children().head()
+    except Exception:  # py4j surface shifted: never break the join path
+        return True

@@ -1007,7 +1007,8 @@ ndd AS ({_REG["near_dup_discard"].sql}),
 fp AS ({_REG["fingerprint_dedup"].sql}),
 mix AS ({_REG["mixture_sample"].sql}),
 bpec AS ({_REG["bpe_token_counts"].sql}),
-sem AS (SELECT vec_id FROM ({_REG["semantic_dedup"].sql}) WHERE kept = 1)
+sem AS (SELECT doc_id AS vec_id FROM ({_REG["semantic_dedup_full"].sql})
+        WHERE kept = 1)
 SELECT fr.doc_id, mix.lang, fr.quality, bpec.n_bpe_tokens
 FROM fr
 JOIN fp ON fp.keeper = fr.doc_id
@@ -1025,11 +1026,15 @@ def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     individual gates exist: a document ships iff it (1) passes the
     Gopher/C4 rule stack, (2) is the exact-dedup keeper of its
     fingerprint group, (3) is not a near-dup discard, (4) survives
-    SemDeDup (r5 verdict: without the semantic gate the capstone shipped
-    exactly the paraphrase duplicates ``semantic_dedup`` was built to
-    stop), and (5) survives the temperature mixture sampling; the
-    surviving rows carry the trained-BPE token count that budgets
-    sequence packing.
+    FULL-coverage SemDeDup (r5 verdict: without the semantic gate the
+    capstone shipped exactly the paraphrase duplicates ``semantic_dedup``
+    was built to stop; r11 verdict: composing the TABLE-space verdict
+    alone made docs with no embeddings row silently vanish — not dropped
+    by a gate, not counted in any funnel — so the gate is
+    ``semantic_dedup_full``, which verdicts every corpus doc, the
+    unembedded tail in the deterministic hash space), and (5) survives
+    the temperature mixture sampling; the surviving rows carry the
+    trained-BPE token count that budgets sequence packing.
 
     Every stage is an already-registered, individually exact-oracled
     query (composed verbatim — the `ivf_recall_eval` pattern), so the
@@ -1087,11 +1092,8 @@ def _manifest_premix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import memo
 
     def build() -> DataFrame:
-        from .dedup import (
-            q_fingerprint_dedup,
-            q_near_dup_discard,
-            semantic_dedup_table,
-        )
+        from ..registry import REGISTRY
+        from .dedup import q_fingerprint_dedup, q_near_dup_discard
         from .text_analysis import q_curation_filter_report
 
         from .bpe import q_bpe_token_counts
@@ -1106,11 +1108,15 @@ def _manifest_premix(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpec = q_bpe_token_counts(spark, sf_dir).select(
             "doc_id", "n_bpe_tokens"
         )
-        # vec_id IS doc_id for the synthetic corpus (topics.py:39 precedent)
+        # FULL-coverage SemDeDup (r11 verdict task 1): every corpus doc
+        # has a verdict row — table space where an embedding exists,
+        # deterministic hash space otherwise — so an unembedded doc is
+        # either kept here or visibly dropped, never silently absent
         sem = (
-            semantic_dedup_table(spark, sf_dir)
+            REGISTRY["semantic_dedup_full"]
+            .fn(spark, sf_dir)
             .filter(F.col("kept") == 1)
-            .select(F.col("vec_id").alias("doc_id"))
+            .select("doc_id")
         )
         return (
             fr.select("doc_id", "quality")
@@ -1418,7 +1424,7 @@ CURATION_STAGES: tuple[str, ...] = (
     "curation_filter_report",
     "fingerprint_dedup",
     "near_dup_discard",
-    "semantic_dedup",
+    "semantic_dedup_full",
     "mixture_sample",
     "bpe_token_counts",
     "doc_boilerplate",
@@ -1744,9 +1750,9 @@ def staged_manifest(
         F.col("discard_doc_id").alias("doc_id")
     )
     sem = (
-        t("semantic_dedup")
+        t("semantic_dedup_full")
         .filter(F.col("kept") == 1)
-        .select(F.col("vec_id").alias("doc_id"))
+        .select("doc_id")
     )
     mix = t(mix_stage).select("doc_id", "lang")
     bpec = t("bpe_token_counts").select("doc_id", "n_bpe_tokens")
@@ -2048,7 +2054,8 @@ ndd AS ({_REG["near_dup_discard"].sql}),
 fp AS ({_REG["fingerprint_dedup"].sql}),
 mixt AS ({_REG["mixture_sample_tokens"].sql}),
 bpec AS ({_REG["bpe_token_counts"].sql}),
-sem AS (SELECT vec_id FROM ({_REG["semantic_dedup"].sql}) WHERE kept = 1)
+sem AS (SELECT doc_id AS vec_id FROM ({_REG["semantic_dedup_full"].sql})
+        WHERE kept = 1)
 SELECT fr.doc_id, mixt.lang, fr.quality, bpec.n_bpe_tokens
 FROM fr
 JOIN fp ON fp.keeper = fr.doc_id
@@ -2321,36 +2328,42 @@ ORDER BY mt.doc_id
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         """Two-phase CURRICULUM split of the token-budget manifest: the
-        top {ANNEAL_FRAC:.0%} of documents by (quality DESC, doc_id)
+        top ANNEAL_FRAC (20%) of documents by (quality DESC, doc_id)
         are routed to the end-of-training 'anneal' phase, the rest to
         'main' — the data-schedule step a modern pretraining run
         performs after curation (a final high-quality stretch), made a
         first-class, deterministic, replayable table.
 
-        Scale shape: the cut is a TakeOrderedAndProject top-k (k =
-        floor(frac x N), one model-sized count) + a broadcast-ish
-        doc-keyed membership join against the memoized manifest — no
-        unpartitioned ranking window over the corpus. Exactness: the
-        rank is totally ordered by (quality, doc_id), so both engines
-        cut the identical doc set."""
+        Scale shape (r11 verdict task 2 — the r11 version's
+        ``orderBy().limit(floor(frac x N))`` was a corpus-PROPORTIONAL
+        top-k: a driver-side TakeOrderedAndProject merge of ~20% of all
+        manifest rows that Catalyst then auto-broadcast, a guaranteed
+        OOM at 100 TB): the cut is now the two-phase range-partitioned
+        rank (``_range_partitioned_row_numbers`` — range-partition on
+        the order key, row_number per partition in parallel, offsets
+        prefix-summed on the driver, one long per shuffle partition),
+        so phase is ``rn <= k`` computed WHERE THE ROW LIVES — no
+        global-order window, no corpus-sized limit, no membership
+        broadcast. Exactness: the rank is totally ordered by
+        (quality DESC, doc_id), so both engines cut the identical doc
+        set and the DuckDB top-k oracle is unchanged."""
         from ..registry import REGISTRY as _R
+        from .relational import _range_partitioned_row_numbers
 
         mt = _R["training_corpus_manifest_tokens"].fn(spark, sf_dir)
-        k = int(mt.count() * ANNEAL_FRAC)
-        top = (
-            mt.select("doc_id", "quality")
-            .orderBy(F.desc("quality"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", F.lit(True).alias("in_anneal"))
+        ranked, n_rows = _range_partitioned_row_numbers(
+            mt,
+            [F.desc("quality"), F.asc("doc_id")],
+            memo_key=("curriculum_ranked", sf_dir),
         )
+        k = int(n_rows * ANNEAL_FRAC)
         return (
-            mt.join(top, "doc_id", "left")
-            .select(
+            ranked.select(
                 "doc_id",
                 "lang",
                 "quality",
                 "n_bpe_tokens",
-                F.when(F.col("in_anneal"), "anneal")
+                F.when(F.col("rn") <= k, "anneal")
                 .otherwise("main")
                 .alias("phase"),
             )
@@ -2456,7 +2469,7 @@ dc AS ({_REG["doc_decontam"].sql}),
 qs AS ({_REG["quality_score"].sql}),
 fr AS ({_REG["curation_filter_report"].sql}),
 man AS ({_REG["training_corpus_manifest"].sql}),
-sem AS ({_REG["semantic_dedup"].sql}),
+sem AS ({_REG["semantic_dedup_full"].sql}),
 wb AS ({_REG["doc_winnow_boilerplate"].sql}),
 ss AS ({_REG["strip_savings_report"].sql}),
 mw AS ({_REG["training_corpus_manifest_winnow"].sql}),
@@ -2477,6 +2490,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM ndd) AS n_near_dup_discards,
        (SELECT CAST(count(*) AS BIGINT) FROM sem WHERE kept = 0)
            AS n_semdedup_drops,
+       (SELECT CAST(count(*) AS BIGINT) FROM sem WHERE space = 'hash')
+           AS n_sem_hash_space,
        (SELECT CAST(count(*) AS BIGINT) FROM wb WHERE flagged)
            AS n_winnow_flagged,
        (SELECT CAST(count(*) AS BIGINT) FROM dc WHERE flagged)
@@ -2536,11 +2551,7 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import (
-        q_fingerprint_dedup,
-        q_near_dup_discard,
-        semantic_dedup_table,
-    )
+    from .dedup import q_fingerprint_dedup, q_near_dup_discard
     from .retrieval import q_doc_winnow_boilerplate
     from .text_analysis import q_doc_decontam, q_quality_score
 
@@ -2588,10 +2599,18 @@ def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cnt(q_training_corpus_manifest(spark, sf_dir), "n_manifest"))
         .crossJoin(
             cnt(
-                semantic_dedup_table(spark, sf_dir).filter(
-                    F.col("kept") == 0
-                ),
+                _REG["semantic_dedup_full"]
+                .fn(spark, sf_dir)
+                .filter(F.col("kept") == 0),
                 "n_semdedup_drops",
+            )
+        )
+        .crossJoin(
+            cnt(
+                _REG["semantic_dedup_full"]
+                .fn(spark, sf_dir)
+                .filter(F.col("space") == "hash"),
+                "n_sem_hash_space",
             )
         )
         .crossJoin(
@@ -2649,6 +2668,7 @@ def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unique_docs",
             "n_near_dup_discards",
             "n_semdedup_drops",
+            "n_sem_hash_space",
             "n_winnow_flagged",
             "n_contaminated",
             "n_tokens_stripped",
@@ -2687,14 +2707,16 @@ _FUNNEL_STAGES_SQL = """
            AS n_sem_kept,
        CAST(sum(CASE WHEN rule_ok AND is_keeper AND NOT is_near_dup
                      AND sem_ok AND in_mix THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_mixed"""
+           AS n_mixed,
+       CAST(sum(CASE WHEN sem_hash THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sem_hash_space"""
 
 
 def _funnel_flags_sql() -> str:
     return f"""fr AS ({_REG["curation_filter_report"].sql}),
 fp AS ({_REG["fingerprint_dedup"].sql}),
 ndd AS ({_REG["near_dup_discard"].sql}),
-sem AS ({_REG["semantic_dedup"].sql}),
+sem AS ({_REG["semantic_dedup_full"].sql}),
 mix AS ({_REG["mixture_sample"].sql}),
 flags AS (
     SELECT d.doc_id, d.source,
@@ -2702,12 +2724,13 @@ flags AS (
            fp.keeper IS NOT NULL AS is_keeper,
            ndd.discard_doc_id IS NOT NULL AS is_near_dup,
            coalesce(sem.kept, 0) = 1 AS sem_ok,
+           coalesce(sem.space, '') = 'hash' AS sem_hash,
            mix.doc_id IS NOT NULL AS in_mix
     FROM documents d
     LEFT JOIN fr ON fr.doc_id = d.doc_id
     LEFT JOIN fp ON fp.keeper = d.doc_id
     LEFT JOIN ndd ON ndd.discard_doc_id = d.doc_id
-    LEFT JOIN sem ON sem.vec_id = d.doc_id
+    LEFT JOIN sem ON sem.doc_id = d.doc_id
     LEFT JOIN mix ON mix.doc_id = d.doc_id
 )"""
 
@@ -2771,11 +2794,7 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import (
-        q_fingerprint_dedup,
-        q_near_dup_discard,
-        semantic_dedup_table,
-    )
+    from .dedup import q_fingerprint_dedup, q_near_dup_discard
     from .text_analysis import q_curation_filter_report
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -2787,8 +2806,13 @@ def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("discard_doc_id").alias("doc_id"),
         F.lit(True).alias("is_near_dup"),
     )
-    sem = semantic_dedup_table(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), (F.col("kept") == 1).alias("sem_ok")
+    # FULL-coverage SemDeDup (r11 verdict task 1): the flag table carries
+    # which SPACE produced each verdict so the funnel can surface the
+    # hash-fallback share as a first-class coverage row
+    sem = _REG["semantic_dedup_full"].fn(spark, sf_dir).select(
+        "doc_id",
+        (F.col("kept") == 1).alias("sem_ok"),
+        (F.col("space") == "hash").alias("sem_hash"),
     )
     mix = q_mixture_sample(spark, sf_dir).select(
         "doc_id", F.lit(True).alias("in_mix")
@@ -2806,6 +2830,7 @@ def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
             F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
             F.coalesce("sem_ok", F.lit(False)).alias("sem_ok"),
+            F.coalesce("sem_hash", F.lit(False)).alias("sem_hash"),
             F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
         )
     )
@@ -2830,6 +2855,12 @@ def _funnel_stage_aggs() -> list:
         cum(r, k, nd).alias("n_near_kept"),
         cum(r, k, nd, s).alias("n_sem_kept"),
         cum(r, k, nd, s, m).alias("n_mixed"),
+        # coverage, not a gate: how many docs were semantic-verdict-ed in
+        # the hash-fallback space (no embeddings row) — a rising share
+        # means the embedding job is lagging the crawl
+        F.sum(F.when(F.col("sem_hash"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sem_hash_space"),
     ]
 
 
@@ -3331,7 +3362,15 @@ SELECT
             )
             .crossJoin(
                 sem.agg(
-                    F.sum(F.when(F.col("space") == "hash", 1).otherwise(0))
+                    # coalesce: sum over an empty corpus is NULL, but the
+                    # SQL face's conditional COUNT returns 0 (the cnt_tok
+                    # discipline above; r11 ADVICE)
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("space") == "hash", 1).otherwise(0)
+                        ),
+                        F.lit(0),
+                    )
                     .cast("bigint")
                     .alias("n_sem_hash_space")
                 )
@@ -3420,7 +3459,7 @@ def _funnel_extended_sql() -> str:
 WITH fr AS ({_REG["curation_filter_report"].sql}),
 fp AS ({_REG["fingerprint_dedup"].sql}),
 ndd AS ({_REG["near_dup_discard"].sql}),
-sem AS ({_REG["semantic_dedup"].sql}),
+sem AS ({_REG["semantic_dedup_full"].sql}),
 mix AS ({_REG["mixture_sample"].sql}),
 bp AS ({_REG["doc_boilerplate"].sql}),
 wb AS ({_REG["doc_winnow_boilerplate"].sql}),
@@ -3438,7 +3477,7 @@ flags AS (
     LEFT JOIN fr ON fr.doc_id = d.doc_id
     LEFT JOIN fp ON fp.keeper = d.doc_id
     LEFT JOIN ndd ON ndd.discard_doc_id = d.doc_id
-    LEFT JOIN sem ON sem.vec_id = d.doc_id
+    LEFT JOIN sem ON sem.doc_id = d.doc_id
     LEFT JOIN mix ON mix.doc_id = d.doc_id
     LEFT JOIN bp ON bp.doc_id = d.doc_id
     LEFT JOIN wb ON wb.doc_id = d.doc_id

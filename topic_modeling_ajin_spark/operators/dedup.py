@@ -1114,6 +1114,14 @@ SEMDEDUP_TAU = 0.35
 # pre-bucketing by sign-LSH (embedding_near_dup), both semantics-visible.
 SEMDEDUP_MAX_PAIRS_PER_CLUSTER = 4_000_000
 
+# Per-BUCKET candidate-pair budget for semantic_dedup_full's hash-fallback
+# dominance join (r11 verdict task 3): the fallback space has only
+# 2^LSH_BITS sign buckets, so a large unembedded tail grows in-bucket
+# pairs as (N_tail/2^bits)^2 — the guard refuses loudly BEFORE the join,
+# naming the levers (more sign bits, catch the embedding job up, or a
+# bigger budget). Same discipline as the per-cluster budget above.
+SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET = 4_000_000
+
 
 def semdedup_default_k(n: int) -> int:
     """sqrt(N) bucket count (at least 2): E[bucket] = sqrt(N), so the
@@ -1636,13 +1644,52 @@ def _register_semantic_dedup_full() -> None:
             )
             h = _hash_embedded(spark, sf_dir)
             nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
-            hm = h.join(missing, "doc_id").select(
-                "doc_id",
-                "embedding",
-                F.when(nz, sign_lsh_bucket(F.col("embedding"))).alias(
-                    "bucket"
+            hm = memo(
+                spark,
+                ("semantic_dedup_full_hm", sf_dir),
+                lambda: h.join(missing, "doc_id").select(
+                    "doc_id",
+                    "embedding",
+                    F.when(nz, sign_lsh_bucket(F.col("embedding"))).alias(
+                        "bucket"
+                    ),
                 ),
+                persist=True,
             )
+            # hot-bucket guard (r11 verdict task 3 — the per-cluster
+            # budget discipline of semantic_dedup applied to the
+            # fallback's 2^LSH_BITS sign buckets): the unembedded tail is
+            # exactly the case this branch exists for, so its quadratic
+            # stage must refuse loudly instead of detonating when the
+            # tail is large. Sizes are a <=2^LSH_BITS-row aggregate over
+            # the persisted hash table — model-sized collect BEFORE the
+            # pair join, never after it detonates.
+            worst = (
+                hm.filter(F.col("bucket").isNotNull())
+                .groupBy("bucket")
+                .count()
+                .agg(F.max("count").alias("mx"))
+                .collect()[0]["mx"]
+                or 0
+            )
+            if worst * (worst - 1) // 2 > SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET:
+                from .similarity import LSH_BITS
+
+                raise ValueError(
+                    f"semantic_dedup_full: hottest hash-fallback bucket "
+                    f"has {worst} unembedded docs -> "
+                    f"{worst * (worst - 1) // 2} candidate pairs, over "
+                    f"the per-bucket budget "
+                    f"SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET="
+                    f"{SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET}. The "
+                    f"unembedded tail is too large for {LSH_BITS}-bit "
+                    "sign-LSH: widen the fallback bucket space (more "
+                    "sign bits — a semantics-visible change that must "
+                    "move both engines together), run the embedding job "
+                    "so the tail shrinks back into the table space, or "
+                    "raise the budget if the executors can hold the "
+                    "pair join."
+                )
             a = hm.select(
                 F.col("doc_id").alias("va"),
                 F.col("embedding").alias("ea"),

@@ -714,8 +714,21 @@ def q_doc_winnow_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict joins them back on the same key (the shuffle both sides
     already have) and aggregates per doc — no pair join anywhere, so no
     hot-bucket concern. ``training_corpus_manifest_winnow`` gates on
-    this table."""
-    return doc_winnow_boilerplate_from_fps(_winnow_fps(spark, sf_dir))
+    this table.
+
+    Memoized+persisted (the verdict-table discipline, like its exact-md5
+    sibling ``doc_boilerplate``): three manifest/card consumers compose
+    it, and the winnow manifest's ``vocab_broadcast`` sizing count was
+    re-running the whole fp aggregation before executing it again (the
+    r12 unpersisted-input warning caught this site)."""
+    from ..cache import memo
+
+    return memo(
+        spark,
+        ("doc_winnow_boilerplate", sf_dir),
+        lambda: doc_winnow_boilerplate_from_fps(_winnow_fps(spark, sf_dir)),
+        persist=True,
+    )
 
 
 def doc_winnow_boilerplate_from_fps(

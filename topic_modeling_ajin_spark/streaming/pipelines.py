@@ -667,14 +667,32 @@ VECTOR_STORE_SCHEMA = (
     "bucket int, batch bigint"
 )
 
-# int8 prune margin for the two-tier cosine gate (r10 verdict task 6):
-# symmetric max-abs int8 quantization perturbs each vector by at most
-# sqrt(d) * mx/254 in L2 while ||x|| >= mx, so |cos(int8) - cos(float)|
-# <= ~2*sqrt(d)/254 — under 0.1 for d <= ~160. Any true pair therefore
-# survives the int8 prune (cosine >= threshold - margin) and the float
-# confirm decides it exactly; wider embeddings need a larger margin via
-# the run_streaming_ingest_dedup parameter.
+# int8 prune margin for the two-tier cosine gate (r10 verdict task 6,
+# corrected r11 ADVICE): symmetric max-abs int8 quantization perturbs
+# each vector by at most sqrt(d) * mx/254 in L2 while ||x|| >= mx — a
+# relative L2 error of sqrt(d)/254 per vector, and BOTH pair vectors are
+# perturbed, so the conservative worst case is |cos(int8) - cos(float)|
+# <= 4*sqrt(d)/254 (safe only to d <= ~40 for a 0.1 margin; realistic
+# 384/768-d embeddings need ~0.31/0.44). The gate therefore DERIVES the
+# margin from the observed embedding dimension per batch
+# (int8_margin_bound below) unless the caller passes one explicitly, in
+# which case an under-bound margin raises loudly instead of silently
+# pruning true pairs — the loud-refusal discipline applied to the
+# exactness guarantee itself. This constant remains only as the
+# fallback for batches carrying no embeddings at all (no pairs form, so
+# any value is vacuously safe).
 EMB_COS_MARGIN = 0.1
+
+
+def int8_margin_bound(d: int) -> float:
+    """Conservative bound on |cos(int8) - cos(float)| for d-dim vectors
+    under symmetric max-abs int8 quantization with BOTH pair sides
+    quantized: 4*sqrt(d)/254. A prune margin at or above this provably
+    keeps every true pair in the candidate set, so the float confirm
+    tier decides the drop set exactly."""
+    import math
+
+    return 4.0 * math.sqrt(max(d, 1)) / 254.0
 
 
 # audit threshold for store_hot_buckets: a sign-LSH bucket holding more
@@ -746,7 +764,7 @@ def run_streaming_ingest_dedup(
     near_dup_cosine: float | None = None,
     max_jaccard_store_candidates: int | None = JACCARD_CANDIDATE_BUDGET,
     max_cosine_store_candidates: int | None = VECTOR_CANDIDATE_BUDGET,
-    int8_prune_margin: float = EMB_COS_MARGIN,
+    int8_prune_margin: float | None = None,
     drift_ref_bins: list | None = None,
     drift_out_dir: str | None = None,
     drift_threshold: float | None = None,
@@ -850,10 +868,15 @@ def run_streaming_ingest_dedup(
        partition-prunes to exactly the buckets this batch's docs hash
        into — exact pruning, since candidates only form inside a
        bucket. The gate is TWO-TIER (r10 verdict task 6): the int8
-       codes PRUNE candidates to cosine >= threshold -
-       ``int8_prune_margin`` (the margin provably covers the max-abs
-       int8 quantization error for d <= ~160 — see ``EMB_COS_MARGIN``),
-       then the stored FLOAT vectors DECIDE >= threshold, so the
+       codes PRUNE candidates to cosine >= threshold - margin, then
+       the stored FLOAT vectors DECIDE >= threshold. The margin is
+       DERIVED from the observed embedding dimension per batch
+       (``int8_margin_bound``: 4*sqrt(d)/254, which provably covers
+       the max-abs int8 quantization error with both pair sides
+       quantized — r11 ADVICE: the old fixed 0.1 was only safe to
+       d <= ~40); a caller-supplied ``int8_prune_margin`` below the
+       bound raises loudly instead of silently pruning true pairs, so
+       the exactness guarantee can never rot silently. Hence the
        drop set equals the batch ``embedding_near_dup`` float rule
        EXACTLY (pinned in tests); zero/absent embeddings bypass the
        gate and store nothing, as NULL simhash does. The store probe refuses loudly past
@@ -886,8 +909,11 @@ def run_streaming_ingest_dedup(
        row an ingest dashboard tails (the ``run_incremental_manifest``
        card, for this pipeline's ladder). The ladder identity
        n_in = n_quality_fail + n_exact_dup + Σ gate drops + n_shipped
-       is pinned in tests. Cost: one batch-sized count per enabled
-       gate; zero when the card is off.
+       is pinned in tests. Cost: one batch-sized persist + count per
+       enabled gate (each gate's survivor set is cached before
+       counting, so gate N's count reads gate N-1's cache instead of
+       re-executing the whole prior ladder, and the final write reads
+       the last cache — r11 ADVICE); zero when the card is off.
 
     State is the store itself — O(distinct fingerprints), 16 bytes each,
     partition-prunable parquet — not executor memory; restarts resume
@@ -1251,6 +1277,14 @@ def run_streaming_ingest_dedup(
                 store.select("fingerprint"), "fingerprint", "left_anti"
             )
         batch_kept = batch_kept.persist()
+        # with the card on, each enabled gate's survivor set is
+        # persisted before it is counted (r11 ADVICE: counting an
+        # unpersisted `shipped` re-executed the cumulative lineage of
+        # all prior gates — store probes and broadcast joins included —
+        # so gate N re-paid gates 1..N-1 and the final write paid the
+        # chain once more; now each gate and the final write read the
+        # last persisted stage). Released in the finally below.
+        gate_persists: list[DataFrame] = []
         # r10 ADVICE: unpersist on EVERY exit — a budget-check loud
         # refusal or failed write otherwise leaks the cached batch
         try:
@@ -1269,6 +1303,8 @@ def run_streaming_ingest_dedup(
                 if not enabled:
                     card[gate] = 0
                     return
+                df.persist()
+                gate_persists.append(df)
                 n = df.count()
                 card[gate] = n_prev - n
                 n_prev = n
@@ -1425,6 +1461,44 @@ def run_streaming_ingest_dedup(
                 # ~1e-2 quantization tolerance near the threshold. The
                 # batch side broadcasts; the bucket-pruned store is
                 # probed in place.
+                # margin vs observed dim (r11 ADVICE): derive the prune
+                # margin from this batch's embedding dimension, or
+                # validate an explicit one against the bound — an
+                # under-bound margin silently prunes TRUE pairs, turning
+                # the exact-drop-set guarantee into silent
+                # under-deduplication. One first() over the persisted
+                # batch table; batches with no embeddings form no pairs.
+                drow = (
+                    batch_kept.filter(F.col("emb_f").isNotNull())
+                    .select(F.size("emb_f").alias("d"))
+                    .first()
+                )
+                if drow is None:
+                    eff_margin = (
+                        EMB_COS_MARGIN
+                        if int8_prune_margin is None
+                        else int8_prune_margin
+                    )
+                else:
+                    bound = int8_margin_bound(drow["d"])
+                    if int8_prune_margin is None:
+                        eff_margin = bound
+                    elif int8_prune_margin < bound:
+                        raise ValueError(
+                            f"run_streaming_ingest_dedup: "
+                            f"int8_prune_margin={int8_prune_margin} is "
+                            f"below the quantization-error bound "
+                            f"{bound:.6f} for the observed "
+                            f"{drow['d']}-dim embeddings "
+                            "(4*sqrt(d)/254 with both pair sides "
+                            "quantized) — the int8 prune tier would "
+                            "silently drop TRUE near-dup pairs and the "
+                            "drop set would no longer equal the batch "
+                            "float rule. Pass a margin >= the bound or "
+                            "omit it to derive per batch."
+                        )
+                    else:
+                        eff_margin = int8_prune_margin
                 vec_me = batch_kept.filter(
                     F.col("emb_bucket").isNotNull()
                 ).select(
@@ -1443,7 +1517,7 @@ def run_streaming_ingest_dedup(
                 )
                 prune = V.cosine(
                     V.as_double(F.col("qa")), V.as_double(F.col("qb"))
-                ) >= F.lit(near_dup_cosine - int8_prune_margin)
+                ) >= F.lit(near_dup_cosine - eff_margin)
                 confirm = V.cosine(F.col("fa"), F.col("fb")) >= F.lit(
                     near_dup_cosine
                 )
@@ -1481,7 +1555,7 @@ def run_streaming_ingest_dedup(
                                 V.as_double(F.col("qa")),
                                 V.as_double(F.col("q")),
                             )
-                            >= F.lit(near_dup_cosine - int8_prune_margin)
+                            >= F.lit(near_dup_cosine - eff_margin)
                         )
                         .filter(
                             V.cosine(F.col("fa"), F.col("emb"))
@@ -1614,6 +1688,8 @@ def run_streaming_ingest_dedup(
                 )
         finally:
             batch_kept.unpersist()
+            for df in gate_persists:
+                df.unpersist()
 
     (
         docs_stream.writeStream.foreachBatch(process)
