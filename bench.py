@@ -71,6 +71,10 @@ HEADLINE = (
     "semantic_dedup_full",   # SemDeDup + hash-fallback coverage
     "curriculum_phase_report",  # two-phase curriculum rollup
     "mixture_token_fill_report",  # per-lang token-budget fill audit
+    # r12 additions
+    "pack_sequences_phases",  # per-curriculum-phase sequence packing
+    "token_shard_balance",    # phase+pack md5 shard-balance audit
+    "semdedup_hash_recall_eval",  # hash-fallback bucketing recall harness
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
@@ -179,7 +183,9 @@ def main() -> None:
         "corpus_data_card_by_source",  # composes both by-source funnels
         # r11 cache-backed headliners
         "semantic_dedup_full",       # table verdict + hash-fallback memos
-        "curriculum_phase_report",   # manifest_tokens memo + top-k cut
+        "curriculum_phase_report",   # manifest_tokens memo + rank cut
+        # r12 cache-backed headliners
+        "pack_sequences_phases",     # curriculum rank memo + pack sums
     )
     cold_queries: dict[str, float] = {}
     from topic_modeling_ajin_spark.cache import clear_caches

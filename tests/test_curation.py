@@ -375,11 +375,15 @@ def test_export_token_shards_ships_packed_token_ids(spark, sf_dir, tmp_path):
     registered training_corpus_manifest_tokens, and every row's
     token_ids array matches the registered doc_token_ids oracle (ids
     string split) with len == n_bpe_tokens — budget conservation down
-    to the id stream; (2) grouping rows by pack_id reproduces the
-    registered pack_sequences_tokens aggregate; (3) seq_pos is the
-    0-based doc_id-order position within each pack; (4) every row's
-    shard is the deterministic md5 rule on PACK id, replayed in pure
-    Python — whole packs never straddle shards."""
+    to the id stream; (2) grouping rows by (phase, pack_id) reproduces
+    the registered pack_sequences_phases aggregate — packs never mix
+    curriculum phases, so the two-phase schedule is executable from
+    the mounted shards alone (r11 verdict task 7); (3) seq_pos is the
+    0-based doc_id-order position within each (phase, pack); (4) every
+    row's shard is the deterministic md5 rule on phase + pack id,
+    replayed in pure Python — whole packs never straddle shards; (5)
+    per-phase token mass read from the shards equals the registered
+    curriculum_phase_report."""
     import hashlib
     import os
 
@@ -407,21 +411,23 @@ def test_export_token_shards_ships_packed_token_ids(spark, sf_dir, tmp_path):
         assert list(r["token_ids"]) == want
         assert len(r["token_ids"]) == r["n_bpe_tokens"]
 
-    packs: dict[int, list] = {}
+    packs: dict[tuple, list] = {}
     for r in rows:
-        packs.setdefault(r["pack_id"], []).append(r)
+        packs.setdefault((r["phase"], r["pack_id"]), []).append(r)
     got_packs = sorted(
         (
+            phase,
             pid,
             len(rs),
             sum(r["n_bpe_tokens"] for r in rs),
             min(r["doc_id"] for r in rs),
             max(r["doc_id"] for r in rs),
         )
-        for pid, rs in packs.items()
+        for (phase, pid), rs in packs.items()
     )
     want_packs = sorted(
-        tuple(r) for r in reg["pack_sequences_tokens"].fn(spark, sf_dir).collect()
+        tuple(r)
+        for r in reg["pack_sequences_phases"].fn(spark, sf_dir).collect()
     )
     assert got_packs == want_packs
 
@@ -430,15 +436,29 @@ def test_export_token_shards_ships_packed_token_ids(spark, sf_dir, tmp_path):
         for d in os.listdir(f"{out}/token_shards")
         if d.startswith("shard=")
     }
-    for pid, rs in packs.items():
+    for (phase, pid), rs in packs.items():
         want_pos = list(range(len(rs)))
         got_pos = [
             r["seq_pos"] for r in sorted(rs, key=lambda r: r["doc_id"])
         ]
         assert got_pos == want_pos
-        u = int(hashlib.md5(f"tshard|{pid}".encode()).hexdigest()[:8], 16)
+        u = int(
+            hashlib.md5(f"tshard|{phase}|{pid}".encode()).hexdigest()[:8],
+            16,
+        )
         shards = {r["shard"] for r in rs}
         assert shards == {u % N_SHARDS} and shards <= shard_dirs
+
+    # (5) the shipped schedule IS the audited one: per-phase token mass
+    # from the shards equals the registered curriculum_phase_report
+    got_mass: dict[str, int] = {}
+    for r in rows:
+        got_mass[r["phase"]] = got_mass.get(r["phase"], 0) + r["n_bpe_tokens"]
+    want_mass = {
+        r["phase"]: r["n_tokens"]
+        for r in reg["curriculum_phase_report"].fn(spark, sf_dir).collect()
+    }
+    assert got_mass == want_mass and set(got_mass) == {"anneal", "main"}
 
 
 def test_staged_selection_matches_one_query_curated_dsir(

@@ -79,6 +79,9 @@ EMPTY_SAFE = (
 # hash of the empty merge/piece tables is still one row, correct);
 # semantic_dedup_full / semantic_dedup_by_space / token_shard_balance
 # compose the Lloyd/SemDeDup model fit, excluded like every model fit.
+# Also excluded (r12): pack_sequences_phases (composes the manifest's
+# model fits, same class) and semdedup_hash_recall_eval (one-row global
+# harness — the empty tail IS its recall-1.0-by-convention row).
 # Also excluded (r10): jaccard_threshold_sweep and
 # dup_cluster_size_histogram emit their never-silent sentinel/singleton
 # row even on empty input (deliberate — the guard's activity and the

@@ -446,6 +446,10 @@ BNLJ_ALLOW = {
     "hybrid_rrf_topk", "ivf_cosine_topk", "ivf_recall_eval",
     "pq_adc_topk", "semantic_decontam", "semantic_decontam_full",
     "semdedup_recall_eval", "jaccard_threshold_sweep",
+    # brute-force ground-truth side of the hash-fallback recall harness
+    # (the semdedup_recall_eval convention: truth runs on a sampled
+    # slice at scale, never a serving path)
+    "semdedup_hash_recall_eval",
 }
 
 # Queries whose plan deliberately contains an UNPARTITIONED window with
@@ -899,6 +903,14 @@ def test_vocab_broadcast_warns_on_unpersisted_lineage(spark):
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             vocab_broadcast(thin)
+            assert not w, [str(x.message) for x in w]
+        # real work whose every leaf is the cache (the plsa/topics
+        # idiom: an aggregation over a persisted table) — the count is
+        # a cache scan, silent
+        agg_over_cache = cached.groupBy("g").agg(F.count("*").alias("n"))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            vocab_broadcast(agg_over_cache)
             assert not w, [str(x.message) for x in w]
         # explicit n_rows: silent regardless of lineage
         with warnings.catch_warnings(record=True) as w:

@@ -375,3 +375,73 @@ def test_semantic_dedup_full_hash_branch_refuses_hot_bucket(
     monkeypatch.setattr(dd, "SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET", 0)
     with pytest.raises(ValueError, match="hash-fallback bucket"):
         reg["semantic_dedup_full"].fn(spark, d).collect()
+
+
+def test_semdedup_hash_recall_eval_matches_python_replay(spark, tmp_path):
+    """r11 verdict task 8: the hash-fallback recall harness must measure
+    EXACTLY the pair universe the fallback gate judges — all cosine >
+    tau pairs among the hash embeddings of the unembedded tail, scored
+    by whether they share a sign-LSH bucket. Replayed here in pure
+    Python over the same hash-embedding kernel (planted tail with
+    overlapping vocab so true pairs exist), plus the empty-tail
+    convention (no unembedded docs -> 0 true pairs, recall 1.0)."""
+    import math
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+    )
+    from topic_modeling_ajin_spark.operators.dedup import SEMDEDUP_TAU
+    from topic_modeling_ajin_spark.registry import load_all
+
+    reg = load_all()
+    texts = {
+        0: "table embedded doc aa bb",
+        200: "shared boiler plate line qq ww",
+        201: "shared boiler plate line qq ww zz",
+        202: "shared boiler plate line qq",
+        203: "totally different words xyz uvw rst",
+        204: "   ",  # zero-norm: outside both sides
+    }
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    tail = [i for i in sorted(texts) if i != 0 and texts[i].strip()]
+    vecs = dict(zip(tail, hash_embed_texts([texts[i] for i in tail])))
+    bucket = lambda v: sum(1 << i for i in range(8) if v[i] > 0)  # noqa: E731
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    pairs = [
+        (a, b)
+        for a in tail
+        for b in tail
+        if a < b and round(cos(vecs[a], vecs[b]), 6) > SEMDEDUP_TAU
+    ]
+    assert pairs, "planted tail must produce true pairs"
+    n_bucketed = sum(
+        1 for a, b in pairs if bucket(vecs[a]) == bucket(vecs[b])
+    )
+    got = reg["semdedup_hash_recall_eval"].fn(spark, d).collect()[0]
+    assert got["n_true_pairs"] == len(pairs)
+    assert got["n_bucketed_pairs"] == n_bucketed
+    assert got["recall"] == round(n_bucketed / len(pairs), 6)
+
+    # empty tail (every doc embedded): the 1.0-by-convention row
+    d2 = str(tmp_path / "data2")
+    spark.createDataFrame(
+        [(0, "only doc aa bb")], "doc_id long, text string"
+    ).write.parquet(f"{d2}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d2}/embeddings.parquet")
+    got2 = reg["semdedup_hash_recall_eval"].fn(spark, d2).collect()[0]
+    assert tuple(got2) == (0, 0, 1.0)

@@ -2240,10 +2240,12 @@ def test_incremental_manifest_delta_cards_sum_to_batch_funnel(
             r["n_rule_fail"]
             + r["n_exact_dup"]
             + r["n_near_dup_drop"]
+            + r["n_cosine_drop"]
             + r["n_decontam_drop"]
             + r["n_pool_delta"]
         ), dict(r.asDict())
         assert r["n_quarantined"] == 0 and r["mixture"] == "docs"
+        assert r["n_cosine_drop"] == 0  # semantic tier off in this run
 
     # batch-funnel reference from the registered queries
     n_docs = load_table(spark, sf_dir, "documents").count()
@@ -2467,3 +2469,207 @@ def test_cosine_gate_margin_is_dim_aware(spark, tmp_path):
     )
     assert kept == [1, 3]
     assert ST.int8_margin_bound(384) > 0.1  # the old default was unsafe
+
+
+def test_incremental_manifest_semantic_tier_matches_float_rule(
+    spark, tmp_path
+):
+    """r11 verdict task 4: the incremental ladder's SEMANTIC tier — the
+    ingest pipeline's two-tier cosine gate wired into
+    run_incremental_manifest — must drop exactly the keep-first closure
+    of the float sign-LSH/cosine near-dup rule over per-fingerprint
+    representatives, across batches via the bucketed int8 vector store
+    (a planted cross-batch near-dup embedding pair) and within a batch
+    (a planted same-batch pair), with the delta card counting the
+    drops and the ladder identity still closing."""
+    import math
+    import time
+
+    THR = 0.9
+    d16 = 16
+
+    def words(prefix):
+        return "the is " + " ".join(f"{prefix}{i}" for i in range(10))
+
+    embs = {
+        1: [1.0] * d16,                                   # bucket 255
+        2: [(-1.0) ** i for i in range(d16)],             # other bucket
+        10: [2.0] * d16,          # cos=1 with doc 1 (CROSS-batch, store)
+        11: [1.0, 1.0, -1.0, -1.0] * 4,                   # its own bucket
+        12: [1.5, 1.5, -1.5, -1.5] * 4,  # cos=1 with 11 (WITHIN batch)
+        13: [1.0] * 8 + [-1.0] * 8,  # doc 1's bucket, cos=0: candidate
+                                     # pruned by the float confirm
+    }
+    texts = {i: words(chr(ord("a") + k)) for k, i in enumerate(sorted(embs))}
+    schema = "doc_id long, lang string, text string, embedding array<double>"
+    staging = str(tmp_path / "in")
+    for batch in ((1, 2), (10, 11, 12, 13)):
+        spark.createDataFrame(
+            [(i, "en", texts[i], embs[i]) for i in batch], schema
+        ).coalesce(1).write.mode("append").parquet(staging)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    out = str(tmp_path / "out")
+    ST.run_incremental_manifest(
+        spark,
+        stream,
+        str(tmp_path / "store"),
+        out,
+        str(tmp_path / "ck"),
+        near_dup_cosine=THR,
+    )
+
+    # pure-python replay of the float rule: drop iff ANY earlier doc
+    # (lower doc_id; batches arrive in doc_id order) in the same
+    # sign-LSH bucket has cosine >= THR — dropped docs still veto
+    bucket = lambda v: sum(1 << i for i in range(8) if v[i] > 0)  # noqa: E731
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    drops = {
+        b
+        for a in embs
+        for b in embs
+        if a < b and bucket(embs[a]) == bucket(embs[b])
+        and cos(embs[a], embs[b]) >= THR
+    }
+    assert drops == {10, 12}, "planted pairs must be the drop set"
+    pool = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/pool").collect()
+    )
+    assert pool == sorted(set(embs) - drops)
+
+    cards = sorted(
+        spark.read.option("basePath", f"{out}/card")
+        .parquet(f"{out}/card")
+        .collect(),
+        key=lambda r: r["batch_id"],
+    )
+    assert [r["n_cosine_drop"] for r in cards] == [0, 2]
+    for r in cards:
+        assert r["n_in"] == (
+            r["n_rule_fail"]
+            + r["n_exact_dup"]
+            + r["n_near_dup_drop"]
+            + r["n_cosine_drop"]
+            + r["n_decontam_drop"]
+            + r["n_pool_delta"]
+        ), dict(r.asDict())
+    # the vector store holds one row per representative WITH an
+    # embedding — cosine-dropped docs included (they veto later copies)
+    vs = spark.read.option(
+        "basePath", ST.vector_store_dir(str(tmp_path / "store"))
+    ).parquet(ST.vector_store_dir(str(tmp_path / "store")))
+    assert vs.count() == len(embs)
+
+
+def test_incremental_export_equals_batch_export(spark, tmp_path):
+    """r11 verdict task 5: the incremental manifest's trainer tail —
+    export_incremental_token_shards over the streaming snapshot — must
+    produce the SAME mountable artifact as the batch
+    run_curation_pipeline(export_tokens=True) when the snapshot equals
+    the batch token manifest (a planted corpus inside the stated parity
+    domain: distinct texts, orthogonal embeddings, so no gate in either
+    face drops anything the other keeps). Token shards compare
+    row-for-row (phase, pack, seq_pos, ids, hash, shard) and the
+    shipped tokenizer meta hashes agree."""
+    import time
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        run_curation_pipeline,
+    )
+
+    n_docs = 20
+    docs = [
+        (
+            i,
+            "en",
+            "src",
+            "the is " + " ".join(f"w{i}x{j}" for j in range(10)),
+        )
+        for i in range(1, n_docs + 1)
+    ]
+    embs = [
+        (i, [1.0 if k == (i % 24) else 0.0 for k in range(32)])
+        for i, *_ in docs
+    ]
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    # batch face
+    out_b = str(tmp_path / "batch")
+    run_curation_pipeline(spark, d, out_b, export_tokens=True)
+
+    # streaming face: two batches in doc_id order, token mixture
+    staging = str(tmp_path / "in")
+    schema = "doc_id long, lang string, text string"
+    for lo, hi in ((1, 10), (11, 20)):
+        spark.createDataFrame(
+            [(i, lg, t) for i, lg, _s, t in docs if lo <= i <= hi],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(staging)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    incr = str(tmp_path / "incr")
+    ST.run_incremental_manifest(
+        spark,
+        stream,
+        str(tmp_path / "store"),
+        incr,
+        str(tmp_path / "ck"),
+        mixture="tokens",
+    )
+
+    # precondition: the snapshot IS the batch token manifest here
+    snap = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{incr}/manifest").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out_b}/manifest_tokens").collect()
+    }
+    assert snap == want and snap
+
+    out_i = str(tmp_path / "iexp")
+    ST.export_incremental_token_shards(spark, d, incr, out_i)
+
+    cols = (
+        "phase",
+        "pack_id",
+        "seq_pos",
+        "doc_id",
+        "lang",
+        "n_bpe_tokens",
+        "tokenizer_hash",
+        "shard",
+    )
+
+    def shard_rows(out):
+        return sorted(
+            tuple(r[c] for c in cols) + (tuple(r["token_ids"]),)
+            for r in spark.read.parquet(f"{out}/token_shards").collect()
+        )
+
+    got, want_rows = shard_rows(out_i), shard_rows(out_b)
+    assert got == want_rows and got
+    meta_i = spark.read.parquet(f"{out_i}/tokenizer/meta").collect()[0]
+    meta_b = spark.read.parquet(f"{out_b}/tokenizer/meta").collect()[0]
+    assert meta_i == meta_b

@@ -258,10 +258,29 @@ SELECTED = (
     ),
     (
         "curriculum_phase_assignments",
-        "Two-phase curriculum split: the anneal cut is a "
-        "`TakeOrderedAndProject` top-k (k = frac × N, one model-sized "
-        "count) joined back on doc_id — never an unpartitioned ranking "
-        "window over the manifest.",
+        "Two-phase curriculum split (r12: the r11 "
+        "`TakeOrderedAndProject(k = frac × N)` + membership broadcast "
+        "was corpus-proportional — a driver OOM at 100×): the anneal "
+        "cut is now the range-partitioned two-phase row-number — "
+        "partitioned window per range, per-partition offsets "
+        "prefix-summed on the driver (one long per shuffle partition), "
+        "phase = `rn <= k` computed where the row lives. No global "
+        "sort, no corpus-sized limit, no broadcast of manifest rows.",
+    ),
+    (
+        "pack_sequences_phases",
+        "Per-curriculum-phase sequence packing: phase from the shared "
+        "range-partitioned rank, then the two-phase distributed prefix "
+        "sum WITHIN each phase (contiguous fill, a doc's pack is where "
+        "it starts) — no training sequence mixes phases, and nothing "
+        "corpus-global runs beyond the rank's model-sized offsets.",
+    ),
+    (
+        "semdedup_hash_recall_eval",
+        "Hash-fallback recall harness: brute-force all-pairs cosine "
+        "over the UNEMBEDDED TAIL only (ground truth, not a serving "
+        "path — sampled slice at 100 TB), scored by sign-LSH bucket "
+        "agreement; the table-space corpus never joins in.",
     ),
 )
 

@@ -124,6 +124,40 @@ def stage_attribution(sf_dir: str, runs: int = 1, spark=None) -> dict:
     out["tokens_cold_total"] = cold(
         lambda: noop(reg["training_corpus_manifest_tokens"].fn(spark, sf_dir))
     )
+
+    # quality-model family (r11 verdict task 6 — the QM cold entries
+    # moved 3-4x in the r11 driver bench with quality_model.py untouched;
+    # attribute the chain instead of assuming harness ordering):
+    #   qm_fit        — logistic fit: ~60 deterministic gradient steps,
+    #                   each ONE row of QM_DIM gradient sums over the
+    #                   persisted feature table (driver-coordinated),
+    #   qm_score_rest — quality_model_score given a warm fit (one
+    #                   scoring scan of the memoized features),
+    #   panel_rest    — quality_panel given warm fit+score (heuristic +
+    #                   trained + LM perplexity joins),
+    #   funnel_src_rest — curation_funnel_by_source given the warm gate
+    #                   stack (the funnel flag join + rollup only).
+    from topic_modeling_ajin_spark.operators.quality_model import _qm_fit
+
+    out["qm_fit"] = cold(lambda: _qm_fit(spark, sf_dir))
+    out["qm_score_rest"] = warm(
+        lambda: noop(reg["quality_model_score"].fn(spark, sf_dir))
+    )
+    out["panel_rest"] = warm(
+        lambda: noop(reg["quality_panel"].fn(spark, sf_dir))
+    )
+    out["qm_score_cold_total"] = cold(
+        lambda: noop(reg["quality_model_score"].fn(spark, sf_dir))
+    )
+    out["panel_cold_total"] = cold(
+        lambda: noop(reg["quality_panel"].fn(spark, sf_dir))
+    )
+    out["funnel_src_cold_total"] = cold(
+        lambda: noop(reg["curation_funnel_by_source"].fn(spark, sf_dir))
+    )
+    out["funnel_src_rest"] = warm(
+        lambda: noop(reg["curation_funnel_by_source"].fn(spark, sf_dir))
+    )
     return {k: round(v, 2) for k, v in out.items()}
 
 

@@ -73,36 +73,57 @@ def vocab_broadcast(
     return F.broadcast(vocab) if n <= cap else vocab
 
 
-# unary plan nodes that keep a count one scan of their child — anything
-# else (Join, Union, Aggregate, Generate/explode, Window) means the count
-# re-executes real work above the materialized leaf
-_THIN_NODES = frozenset({"Project", "Filter", "SubqueryAlias"})
-
-# leaves whose scan is already materialized (or is a plain file scan the
-# datasource can count cheaply): persisted cache, local/reliable
-# checkpoint, file relation
-_MATERIALIZED_LEAVES = frozenset(
-    {"InMemoryRelation", "LogicalRDD", "LogicalRelation", "LocalRelation"}
+# leaves already materialized IN MEMORY: persisted cache, local/reliable
+# checkpoint, literal rows — re-reading them is a cache scan
+_CACHED_LEAVES = frozenset(
+    {"InMemoryRelation", "LogicalRDD", "LocalRelation"}
 )
+
+# unary nodes under which a bare FILE relation still counts cheaply —
+# a Project/Filter over parquet is one (often footer-metadata) scan
+_THIN_NODES = frozenset({"Project", "Filter", "SubqueryAlias"})
 
 
 def _count_is_cheap(df: DataFrame) -> bool:
-    """True when ``df.count()`` is one scan of an already-materialized
-    (or file-backed) table: the plan bottoms out in a persisted cache /
-    checkpoint / file relation through thin Project/Filter wrappers
-    only. Cache substitution happens before optimization, so a persisted
-    PARENT shows up here as InMemoryRelation even though the handed-in
-    child's own ``storageLevel`` is NONE — the call-site idiom
-    (``memoized_table.filter(...).select(...)``) passes without a
-    spurious warning."""
+    """True when ``df.count()`` re-reads only already-materialized
+    tables: either (a) the plan is thin Project/Filter wrappers over a
+    single cached/checkpointed/file leaf (a plain scan count), or (b)
+    EVERY leaf of the plan is an in-memory materialization — so an
+    aggregation or join re-runs only over cache scans. Cache
+    substitution happens before optimization, so a persisted PARENT
+    shows up as InMemoryRelation even though the handed-in child's own
+    ``storageLevel`` is NONE — the call-site idioms
+    (``memoized_table.filter(...).select(...)``, a groupBy over a
+    persisted table) pass without a spurious warning.
+
+    What still warns — deliberately: any lineage with real work above a
+    RAW scan (the r10 scale-killer shape: an unpersisted distinct-word
+    aggregation straight off parquet), where the count executes the
+    whole subtree once and execution then pays it again."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
-        while True:
-            name = plan.getClass().getSimpleName()
-            if name in _MATERIALIZED_LEAVES:
-                return True
-            if name not in _THIN_NODES or plan.children().size() != 1:
-                return False
-            plan = plan.children().head()
+        # (a) thin wrappers over one materialized-or-file leaf
+        node = plan
+        while (
+            node.getClass().getSimpleName() in _THIN_NODES
+            and node.children().size() == 1
+        ):
+            node = node.children().head()
+        if node.getClass().getSimpleName() in _CACHED_LEAVES | {
+            "LogicalRelation"
+        }:
+            return True
+        # (b) every leaf cached in memory
+        stack = [plan]
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() in _CACHED_LEAVES:
+                continue  # materialized subtree: nothing below recomputes
+            kids = n.children()
+            if kids.size() == 0:
+                return False  # raw leaf under real work
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        return True
     except Exception:  # py4j surface shifted: never break the join path
         return True

@@ -1627,19 +1627,23 @@ def export_token_shards(
     """The TOKEN-ID form of the trainer artifact (r9 verdict task 2):
     ``export_shards`` ships cleaned text, but what a training run mounts
     is packed token-id sequences — this writes shards of
-    (pack_id, seq_pos, doc_id, token_ids array<long>) over the
+    (phase, pack_id, seq_pos, doc_id, token_ids array<long>) over the
     TOKEN-BUDGET manifest, closing the one join the pipeline previously
     stopped short of.
 
     Stages first: the per-doc id streams (``bpe.doc_token_id_arrays`` —
     the trained tokenizer applied to every doc, ids from the registered
     ``bpe_piece_vocab`` rule) land at ``{{out_dir}}/doc_token_ids`` as
-    their own retryable parquet table. Then pack ids come from
-    ``pack_assignments`` over the manifest's BPE budgets (the per-doc
-    form of ``pack_sequences_tokens``), ``seq_pos`` is the doc's
-    0-based position within its pack (partitioned window — packs are
-    budget-bounded), and the shard key is the deterministic md5 rule
-    keyed on PACK id ('tshard|' || pack_id), so a whole training
+    their own retryable parquet table. Then the curriculum PHASE comes
+    from the shared ``curriculum_phases_for`` rank rule and pack ids
+    from ``pack_assignments`` WITHIN each phase (r11 verdict task 7 —
+    the per-doc form of the registered ``pack_sequences_phases``), so
+    no training sequence mixes 'main' and 'anneal' docs and the
+    two-phase schedule is executable from the mounted shards alone;
+    ``seq_pos`` is the doc's 0-based position within its (phase, pack)
+    (partitioned window — packs are budget-bounded), and the shard key
+    is the deterministic md5 rule keyed on phase + pack
+    ('tshard|' || phase || '|' || pack_id), so a whole training
     sequence always lands in one shard and a trainer never reassembles
     across shard files. Scale: the heavy ``token_ids`` column joins in
     LAST and moves exactly once, in the partitionBy(shard) write; all
@@ -1692,27 +1696,54 @@ def export_token_shards(
         f"{out_dir}/tokenizer/meta",
     )
     mt = spark.read.parquet(f"{out_dir}/manifest_tokens")
-    assign = pack_assignments(
-        mt.select("doc_id", F.col("n_bpe_tokens").alias("n")),
-        BPE_PACK_BUDGET,
-    ).select("doc_id", "pack_id")
+    # curriculum phase via THE shared rank rule (r11 verdict task 7):
+    # packing runs WITHIN each phase so no training sequence mixes
+    # 'main' and 'anneal' docs — the two-phase schedule is executable
+    # from the mounted shards alone, and every row carries its phase
+    ph = curriculum_phases_for(
+        mt.select("doc_id", "quality"),
+        memo_key=("export_curriculum_ranked", out_dir),
+    ).select("doc_id", "phase")
+    mtp = mt.join(ph, "doc_id")
+    assign = None
+    for p in ("anneal", "main"):
+        a = pack_assignments(
+            mtp.filter(F.col("phase") == p).select(
+                "doc_id", F.col("n_bpe_tokens").alias("n")
+            ),
+            BPE_PACK_BUDGET,
+        ).select("doc_id", "pack_id")
+        assign = a if assign is None else assign.unionByName(a)
     toks = spark.read.parquet(f"{out_dir}/doc_token_ids").select(
         "doc_id", F.col("ids").alias("token_ids")
     )
     seq_pos = (
-        F.row_number().over(Window.partitionBy("pack_id").orderBy("doc_id"))
+        F.row_number().over(
+            Window.partitionBy("phase", "pack_id").orderBy("doc_id")
+        )
         - 1
     ).cast("int")
+    # shard key includes the PHASE (pack ids restart per phase): a whole
+    # training sequence still lands in one shard, and main/anneal packs
+    # never collide on the same pack_id
     shard = (
-        _md5_u32(F.concat(F.lit("tshard|"), F.col("pack_id").cast("string")))
+        _md5_u32(
+            F.concat(
+                F.lit("tshard|"),
+                F.col("phase"),
+                F.lit("|"),
+                F.col("pack_id").cast("string"),
+            )
+        )
         % N_SHARDS
     ).cast("int")
     write_parquet(
-        mt.select("doc_id", "lang", "n_bpe_tokens")
+        mtp.select("doc_id", "lang", "n_bpe_tokens", "phase")
         .join(assign, "doc_id")
         .withColumn("seq_pos", seq_pos)
         .join(toks, "doc_id")
         .select(
+            "phase",
             "pack_id",
             "seq_pos",
             "doc_id",
@@ -2133,12 +2164,15 @@ GROUP BY 1
     def q_pack_sequences_tokens(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
-        """Sequence packing over the TOKEN-BUDGET manifest — the final
-        consumer of the token-mixture chain (budget by tokens → ship by
-        tokens → pack by tokens), the ``pack_sequences_stripped``
-        discipline applied to the r9 manifest variant. Same two-phase
-        distributed prefix sum (shared ``pack_manifest``, no global
-        sort); composes the exact-oracled tokens manifest verbatim."""
+        """Sequence packing over the TOKEN-BUDGET manifest — the
+        phase-AGNOSTIC packing view (budget by tokens → ship by tokens
+        → pack by tokens), the ``pack_sequences_stripped`` discipline
+        applied to the r9 manifest variant. Same two-phase distributed
+        prefix sum (shared ``pack_manifest``, no global sort); composes
+        the exact-oracled tokens manifest verbatim. NOTE (r12): the
+        shard EXPORT packs per curriculum phase — that face is the
+        registered ``pack_sequences_phases``; this one remains the
+        schedule-free packing audit."""
         from .bpe import BPE_PACK_BUDGET as _budget
 
         d = _REG["training_corpus_manifest_tokens"].fn(spark, sf_dir).select(
@@ -2251,8 +2285,10 @@ def _register_token_shard_balance() -> None:
     @register(
         "token_shard_balance",
         sql=f"""
-WITH packs AS ({_REG["pack_sequences_tokens"].sql})
-SELECT CAST(({_md5_u32_sql("'tshard|' || CAST(pack_id AS VARCHAR)")})
+WITH packs AS ({_REG["pack_sequences_phases"].sql})
+SELECT CAST(({_md5_u32_sql(
+        "'tshard|' || phase || '|' || CAST(pack_id AS VARCHAR)"
+    )})
             % {N_SHARDS} AS INT) AS shard,
        CAST(count(*) AS BIGINT) AS n_packs,
        CAST(sum(n_docs) AS BIGINT) AS n_docs,
@@ -2267,16 +2303,24 @@ GROUP BY 1 ORDER BY 1
     ) -> DataFrame:
         """Shard-balance audit for the token-id export: packs, docs and
         token mass per md5 shard — the table that says whether the
-        'tshard|pack_id' routing spreads training files evenly (a hot
-        shard starves data-parallel readers; md5 uniformity makes skew
-        here a pack-size artifact, visible in n_tokens). Composes the
-        registered pack aggregate; the rollup is N_SHARDS-bounded."""
+        'tshard|phase|pack_id' routing spreads training files evenly (a
+        hot shard starves data-parallel readers; md5 uniformity makes
+        skew here a pack-size artifact, visible in n_tokens). Composes
+        the PHASED pack aggregate — the packing the export actually
+        ships (r11 verdict task 7) — so this audit can never describe a
+        different artifact than the trainer mounts; the rollup is
+        N_SHARDS-bounded."""
         from ..registry import REGISTRY as _R
 
-        packs = _R["pack_sequences_tokens"].fn(spark, sf_dir)
+        packs = _R["pack_sequences_phases"].fn(spark, sf_dir)
         shard = (
             _md5_u32(
-                F.concat(F.lit("tshard|"), F.col("pack_id").cast("string"))
+                F.concat(
+                    F.lit("tshard|"),
+                    F.col("phase"),
+                    F.lit("|"),
+                    F.col("pack_id").cast("string"),
+                )
             )
             % N_SHARDS
         ).cast("int")
@@ -2291,9 +2335,6 @@ GROUP BY 1 ORDER BY 1
         )
 
 
-_register_token_shard_balance()
-
-
 # ------------------------------------- curriculum (annealing) schedule
 
 # fraction of manifest DOCUMENTS routed to the end-of-training annealing
@@ -2303,6 +2344,34 @@ _register_token_shard_balance()
 # manifest docs by (quality DESC, doc_id) feed phase 'anneal', the rest
 # phase 'main'. Deterministic rank cut, no RNG.
 ANNEAL_FRAC = 0.2
+
+
+def curriculum_phases_for(
+    mt: DataFrame, memo_key: tuple
+) -> DataFrame:
+    """(doc_id, phase) under THE curriculum rank rule — top ANNEAL_FRAC
+    of rows by (quality DESC, doc_id) → 'anneal', rest → 'main' — over
+    ANY (doc_id, quality, ...) manifest table. One definition shared by
+    the registered ``curriculum_phase_assignments`` and the shard
+    export's per-phase packing, so the schedule a trainer mounts can
+    never disagree with the audited one.
+
+    Scale shape (r11 verdict task 2): the two-phase range-partitioned
+    row-number (``_range_partitioned_row_numbers``) — no global-order
+    window, no corpus-proportional limit, no membership broadcast; the
+    cut is ``rn <= floor(frac × N)`` computed where the row lives."""
+    from .relational import _range_partitioned_row_numbers
+
+    ranked, n_rows = _range_partitioned_row_numbers(
+        mt,
+        [F.desc("quality"), F.asc("doc_id")],
+        memo_key=memo_key,
+    )
+    k = int(n_rows * ANNEAL_FRAC)
+    return ranked.withColumn(
+        "phase",
+        F.when(F.col("rn") <= k, "anneal").otherwise("main"),
+    ).drop("rn", "pid")
 
 
 def _register_curriculum() -> None:
@@ -2338,9 +2407,10 @@ ORDER BY mt.doc_id
         ``orderBy().limit(floor(frac x N))`` was a corpus-PROPORTIONAL
         top-k: a driver-side TakeOrderedAndProject merge of ~20% of all
         manifest rows that Catalyst then auto-broadcast, a guaranteed
-        OOM at 100 TB): the cut is now the two-phase range-partitioned
-        rank (``_range_partitioned_row_numbers`` — range-partition on
-        the order key, row_number per partition in parallel, offsets
+        OOM at 100 TB): the cut is the shared ``curriculum_phases_for``
+        rule — the two-phase range-partitioned rank
+        (``_range_partitioned_row_numbers``: range-partition on the
+        order key, row_number per partition in parallel, offsets
         prefix-summed on the driver, one long per shuffle partition),
         so phase is ``rn <= k`` computed WHERE THE ROW LIVES — no
         global-order window, no corpus-sized limit, no membership
@@ -2348,25 +2418,13 @@ ORDER BY mt.doc_id
         (quality DESC, doc_id), so both engines cut the identical doc
         set and the DuckDB top-k oracle is unchanged."""
         from ..registry import REGISTRY as _R
-        from .relational import _range_partitioned_row_numbers
 
         mt = _R["training_corpus_manifest_tokens"].fn(spark, sf_dir)
-        ranked, n_rows = _range_partitioned_row_numbers(
-            mt,
-            [F.desc("quality"), F.asc("doc_id")],
-            memo_key=("curriculum_ranked", sf_dir),
-        )
-        k = int(n_rows * ANNEAL_FRAC)
         return (
-            ranked.select(
-                "doc_id",
-                "lang",
-                "quality",
-                "n_bpe_tokens",
-                F.when(F.col("rn") <= k, "anneal")
-                .otherwise("main")
-                .alias("phase"),
+            curriculum_phases_for(
+                mt, memo_key=("curriculum_ranked", sf_dir)
             )
+            .select("doc_id", "lang", "quality", "n_bpe_tokens", "phase")
             .orderBy("doc_id")
         )
 
@@ -2407,6 +2465,75 @@ FROM ca GROUP BY phase ORDER BY phase
 
 
 _register_curriculum()
+
+
+def _register_pack_phases() -> None:
+    from .bpe import BPE_PACK_BUDGET
+
+    @register(
+        "pack_sequences_phases",
+        sql=f"""
+WITH ca AS ({_REG["curriculum_phase_assignments"].sql}),
+c AS (
+    SELECT phase, doc_id, n_bpe_tokens AS n,
+           sum(n_bpe_tokens) OVER (PARTITION BY phase ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ca
+)
+SELECT phase,
+       CAST(floor((cum - n) * 1.0 / {BPE_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        tags=("curation", "tokenize", "selection", "scale"),
+    )
+    def q_pack_sequences_phases(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Sequence packing PER CURRICULUM PHASE (r11 verdict task 7):
+        the token-budget manifest packed WITHIN each phase of the
+        two-phase schedule, so no training sequence ever mixes 'main'
+        and 'anneal' documents — the packing rule the shard export
+        actually ships, making the schedule executable from mounted
+        shards alone (a trainer reads main-phase packs, then anneal
+        packs; a phase-straddling pack would be unplayable). Same
+        contiguous-fill rule as ``pack_sequences_tokens`` (a doc's pack
+        is where it STARTS), with the cumulative sum partitioned by
+        phase — in Spark each phase runs the same two-phase distributed
+        prefix sum; phases are a 2-way split, so this is two passes
+        over the doc-keyed manifest, nothing corpus-global."""
+        from ..registry import REGISTRY as _R
+
+        ca = _R["curriculum_phase_assignments"].fn(spark, sf_dir)
+        parts = [
+            pack_manifest(
+                ca.filter(F.col("phase") == p).select(
+                    "doc_id", F.col("n_bpe_tokens").alias("n")
+                ),
+                BPE_PACK_BUDGET,
+            ).withColumn("phase", F.lit(p))
+            for p in ("anneal", "main")
+        ]
+        out = parts[0].unionByName(parts[1])
+        return out.select(
+            "phase",
+            "pack_id",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "first_doc",
+            "last_doc",
+        ).orderBy("phase", "pack_id")
+
+
+_register_pack_phases()
+# registered HERE (not at its definition above): its SQL composes
+# pack_sequences_phases verbatim, which only exists in _REG once
+# _register_pack_phases has run
+_register_token_shard_balance()
 
 
 # ------------------------------------------------- packing efficiency

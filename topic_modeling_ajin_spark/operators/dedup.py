@@ -1544,6 +1544,40 @@ def semantic_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_fallback_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, embedding, bucket) for every corpus doc with NO
+    embeddings row — the hash-fallback universe of
+    ``semantic_dedup_full``, factored out (r12) so the recall harness
+    measures EXACTLY the vectors and buckets the gate judges.
+    ``bucket`` is NULL for zero-norm (token-less) docs, which bypass
+    the dominance stage. Memoized+persisted: the full verdict and the
+    recall eval both scan it."""
+    from ..cache import memo
+    from ..functions import vectors as V
+    from .encoding import _hash_embedded
+    from .similarity import sign_lsh_bucket
+
+    def build() -> DataFrame:
+        have = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id")
+        )
+        missing = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .join(have, "doc_id", "left_anti")
+        )
+        nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
+        return _hash_embedded(spark, sf_dir).join(missing, "doc_id").select(
+            "doc_id",
+            "embedding",
+            F.when(nz, sign_lsh_bucket(F.col("embedding"))).alias("bucket"),
+        )
+
+    return memo(
+        spark, ("semantic_dedup_full_hm", sf_dir), build, persist=True
+    )
+
+
 def _sql_semantic_dedup_full() -> str:
     from ..functions.encoder import sql_hash_embedding
     from ..registry import REGISTRY
@@ -1623,8 +1657,6 @@ def _register_semantic_dedup_full() -> None:
         exercises it for real."""
         from ..cache import memo
         from ..functions import vectors as V
-        from .encoding import _hash_embedded
-        from .similarity import sign_lsh_bucket
 
         def build() -> DataFrame:
             table_v = semantic_dedup_table(spark, sf_dir).select(
@@ -1634,28 +1666,7 @@ def _register_semantic_dedup_full() -> None:
                 "kept",
                 F.lit("table").alias("space"),
             )
-            have = load_table(spark, sf_dir, "embeddings").select(
-                F.col("vec_id").alias("doc_id")
-            )
-            missing = (
-                load_table(spark, sf_dir, "documents")
-                .select("doc_id")
-                .join(have, "doc_id", "left_anti")
-            )
-            h = _hash_embedded(spark, sf_dir)
-            nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
-            hm = memo(
-                spark,
-                ("semantic_dedup_full_hm", sf_dir),
-                lambda: h.join(missing, "doc_id").select(
-                    "doc_id",
-                    "embedding",
-                    F.when(nz, sign_lsh_bucket(F.col("embedding"))).alias(
-                        "bucket"
-                    ),
-                ),
-                persist=True,
-            )
+            hm = _hash_fallback_vectors(spark, sf_dir)
             # hot-bucket guard (r11 verdict task 3 — the per-cluster
             # budget discipline of semantic_dedup applied to the
             # fallback's 2^LSH_BITS sign buckets): the unembedded tail is
@@ -1776,6 +1787,100 @@ FROM sdf GROUP BY space ORDER BY space
 
 
 _register_semantic_dedup_by_space()
+
+
+def _sql_semdedup_hash_recall() -> str:
+    from ..functions.encoder import sql_hash_embedding
+
+    sign_sql = " + ".join(
+        f"(CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH {sql_hash_embedding()},
+hdense9 AS (
+    SELECT doc_id, list(v ORDER BY dim) AS emb FROM hemb GROUP BY doc_id
+),
+miss9 AS (
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+),
+hm9 AS (
+    SELECT h.doc_id, h.emb, {sign_sql} AS bucket
+    FROM hdense9 h JOIN miss9 m ON m.doc_id = h.doc_id
+    WHERE list_dot_product(h.emb, h.emb) > 0
+),
+tp9 AS (
+    SELECT CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS bucketed
+    FROM hm9 a JOIN hm9 b ON a.doc_id < b.doc_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_TAU}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(coalesce(sum(bucketed), 0) AS BIGINT) AS n_bucketed_pairs,
+       round(CASE WHEN count(*) > 0
+                  THEN sum(bucketed) * 1.0 / count(*) ELSE 1.0 END,
+             6) AS recall
+FROM tp9
+"""
+
+
+@register(
+    "semdedup_hash_recall_eval",
+    sql=_sql_semdedup_hash_recall(),
+    tags=("dedup", "similarity", "eval"),
+)
+def q_semdedup_hash_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall harness for ``semantic_dedup_full``'s HASH-FALLBACK space
+    (r11 verdict task 8: the table space has ``semdedup_recall_eval``;
+    the fallback's quality was covered but never MEASURED): of all
+    cosine > tau pairs among the hash embeddings of the unembedded
+    tail, what fraction shares a sign-LSH bucket — i.e. is even
+    visible to the fallback's bucketed dominance stage? Zero-norm
+    (token-less) docs are outside both sides, exactly as the gate
+    treats them.
+
+    The truth side is the brute-force all-pairs cosine over the tail —
+    GROUND TRUTH, not a serving path: at 100 TB it runs on a sampled
+    slice, like every sibling harness (``ivf/lsh/semdedup_recall``).
+    Same 6-dp cosine grid and the same memoized vector table
+    (``_hash_fallback_vectors``) as the gate itself, so the measured
+    pair universe is the one the gate actually judges. On the
+    synthetic SFs the tail is empty (recall 1.0 by convention, the
+    n_true_pairs = 0 row); the planted missing-embedding test
+    exercises a real tail."""
+    from ..functions import vectors as V
+
+    hm = _hash_fallback_vectors(spark, sf_dir).filter(
+        F.col("bucket").isNotNull()
+    )
+    a = hm.select(
+        F.col("doc_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket").alias("ba"),
+    )
+    b = hm.select(
+        F.col("doc_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    tp = a.join(b, F.col("va") < F.col("vb")).filter(
+        F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > SEMDEDUP_TAU
+    )
+    same = F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)
+    return tp.agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        F.coalesce(F.sum(same), F.lit(0))
+        .cast("bigint")
+        .alias("n_bucketed_pairs"),
+        F.round(
+            F.when(F.count("*") > 0, F.sum(same) / F.count("*")).otherwise(
+                1.0
+            ),
+            6,
+        ).alias("recall"),
+    )
 
 
 # --------------------------------------------------- LSH recall evaluation

@@ -695,6 +695,81 @@ def int8_margin_bound(d: int) -> float:
     return 4.0 * math.sqrt(max(d, 1)) / 254.0
 
 
+def _with_int8_embedding_cols(df: DataFrame) -> DataFrame:
+    """Add the embedding gate's three columns to a batch table carrying
+    an ``embedding`` column — ONE definition shared by the ingest
+    pipeline and the incremental manifest (the sign_lsh_bucket
+    discipline: the quantization scheme and bucket rule must be
+    byte-identical across every face or the pruning-exactness argument
+    breaks):
+
+    - ``emb_bucket``: sign-LSH bucket from the ORIGINAL floats (the
+      shared ``sign_lsh_bucket`` expression — bucket parity with the
+      batch ``embedding_near_dup`` is the pruning-exactness
+      precondition);
+    - ``emb_q``: symmetric max-abs int8 codes (scale = max|x|/127, the
+      ``embedding_quantize_int8`` scheme; cosine is scale-invariant so
+      the codes need no scale column) — the cheap PRUNE tier;
+    - ``emb_f``: the float vector riding along for the CONFIRM tier.
+
+    Zero/absent embeddings get NULL in all three and bypass the gate,
+    as NULL simhash does."""
+    from ..functions import vectors as V
+    from ..operators.similarity import sign_lsh_bucket
+
+    emb = V.as_double(F.coalesce(F.col("embedding"), F.array()))
+    mx = F.array_max(F.transform(emb, F.abs))
+    bkt = sign_lsh_bucket(emb)
+    return (
+        df.withColumn(
+            "emb_q",
+            F.when(
+                mx > 0,
+                F.transform(
+                    emb,
+                    lambda x: F.round(x * F.lit(127.0) / mx).cast("tinyint"),
+                ),
+            ),
+        )
+        .withColumn("emb_bucket", F.when(mx > 0, bkt).cast("int"))
+        .withColumn("emb_f", F.when(mx > 0, emb))
+    )
+
+
+def _resolve_prune_margin(
+    vec_df: DataFrame, explicit: float | None, caller: str
+) -> float:
+    """Derive or validate the int8 prune margin against the OBSERVED
+    embedding dimension (r11 ADVICE): with ``explicit`` None the margin
+    is the provable bound for this batch's dimension; an explicit
+    margin below the bound raises loudly — silently pruning true pairs
+    would turn the exact-drop-set guarantee into silent
+    under-deduplication. One first() over the (persisted) batch table;
+    a batch with no embeddings forms no pairs, so any margin is
+    vacuously safe there."""
+    drow = (
+        vec_df.filter(F.col("emb_f").isNotNull())
+        .select(F.size("emb_f").alias("d"))
+        .first()
+    )
+    if drow is None:
+        return EMB_COS_MARGIN if explicit is None else explicit
+    bound = int8_margin_bound(drow["d"])
+    if explicit is None:
+        return bound
+    if explicit < bound:
+        raise ValueError(
+            f"{caller}: int8_prune_margin={explicit} is below the "
+            f"quantization-error bound {bound:.6f} for the observed "
+            f"{drow['d']}-dim embeddings (4*sqrt(d)/254 with both pair "
+            "sides quantized) — the int8 prune tier would silently "
+            "drop TRUE near-dup pairs and the drop set would no longer "
+            "equal the batch float rule. Pass a margin >= the bound or "
+            "omit it to derive per batch."
+        )
+    return explicit
+
+
 # audit threshold for store_hot_buckets: a sign-LSH bucket holding more
 # stored vectors than this fans the embedding gate's candidate join out
 # (every new doc hashing there compares against the whole bucket)
@@ -1048,40 +1123,10 @@ def run_streaming_ingest_dedup(
                 ),
             ).withColumn("n_shingles", F.size("shingle_hashes"))
         if near_dup_cosine is not None:
-            from ..functions import vectors as V
-            from ..operators.similarity import sign_lsh_bucket
-
-            # sign-LSH bucket from the ORIGINAL floats — the SHARED
-            # sign_lsh_bucket expression (bucket parity with the batch
-            # embedding_near_dup is the pruning-exactness precondition,
-            # so there is exactly one copy of the rule) — + symmetric
-            # int8 codes (scale = max|x|/127, the embedding_quantize_int8
-            # scheme; cosine is scale-invariant so the codes need no
-            # scale column). Zero/absent embeddings get NULL bucket and
-            # bypass the gate, as NULL simhash does.
-            emb = V.as_double(F.coalesce(F.col("embedding"), F.array()))
-            mx = F.array_max(F.transform(emb, F.abs))
-            bkt = sign_lsh_bucket(emb)
-            fp = (
-                fp.withColumn(
-                    "emb_q",
-                    F.when(
-                        mx > 0,
-                        F.transform(
-                            emb,
-                            lambda x: F.round(x * F.lit(127.0) / mx).cast(
-                                "tinyint"
-                            ),
-                        ),
-                    ),
-                )
-                .withColumn("emb_bucket", F.when(mx > 0, bkt).cast("int"))
-                # the FLOAT vector rides along for the confirm tier (r10
-                # verdict task 6): the int8 codes prune, the floats
-                # decide — drop-set equality with the batch float rule
-                # is exact, not ~1e-2-tolerant
-                .withColumn("emb_f", F.when(mx > 0, emb))
-            )
+            # shared prep (one definition with the incremental
+            # manifest): sign-LSH bucket + int8 prune codes + the float
+            # confirm vector; zero/absent embeddings bypass the gate
+            fp = _with_int8_embedding_cols(fp)
         keeper = Window.partitionBy("fingerprint")
         batch_kept = (
             fp.withColumn("first_id", F.min("doc_id").over(keeper))
@@ -1461,44 +1506,11 @@ def run_streaming_ingest_dedup(
                 # ~1e-2 quantization tolerance near the threshold. The
                 # batch side broadcasts; the bucket-pruned store is
                 # probed in place.
-                # margin vs observed dim (r11 ADVICE): derive the prune
-                # margin from this batch's embedding dimension, or
-                # validate an explicit one against the bound — an
-                # under-bound margin silently prunes TRUE pairs, turning
-                # the exact-drop-set guarantee into silent
-                # under-deduplication. One first() over the persisted
-                # batch table; batches with no embeddings form no pairs.
-                drow = (
-                    batch_kept.filter(F.col("emb_f").isNotNull())
-                    .select(F.size("emb_f").alias("d"))
-                    .first()
+                # margin vs observed dim (r11 ADVICE): shared
+                # derive-or-validate helper
+                eff_margin = _resolve_prune_margin(
+                    batch_kept, int8_prune_margin, "run_streaming_ingest_dedup"
                 )
-                if drow is None:
-                    eff_margin = (
-                        EMB_COS_MARGIN
-                        if int8_prune_margin is None
-                        else int8_prune_margin
-                    )
-                else:
-                    bound = int8_margin_bound(drow["d"])
-                    if int8_prune_margin is None:
-                        eff_margin = bound
-                    elif int8_prune_margin < bound:
-                        raise ValueError(
-                            f"run_streaming_ingest_dedup: "
-                            f"int8_prune_margin={int8_prune_margin} is "
-                            f"below the quantization-error bound "
-                            f"{bound:.6f} for the observed "
-                            f"{drow['d']}-dim embeddings "
-                            "(4*sqrt(d)/254 with both pair sides "
-                            "quantized) — the int8 prune tier would "
-                            "silently drop TRUE near-dup pairs and the "
-                            "drop set would no longer equal the batch "
-                            "float rule. Pass a margin >= the bound or "
-                            "omit it to derive per batch."
-                        )
-                    else:
-                        eff_margin = int8_prune_margin
                 vec_me = batch_kept.filter(
                     F.col("emb_bucket").isNotNull()
                 ).select(
@@ -1727,6 +1739,9 @@ def run_incremental_manifest(
     decontam_bench_dir: str | None = None,
     mixture: str = "docs",
     corrupt_col: str = "_corrupt_record",
+    near_dup_cosine: float | None = None,
+    max_cosine_store_candidates: int | None = VECTOR_CANDIDATE_BUDGET,
+    int8_prune_margin: float | None = None,
 ) -> None:
     """Incremental TRAINING-CORPUS MANIFEST (r9 verdict task 5): the
     streaming ingest store composed with the manifest's gate ladder, so
@@ -1764,6 +1779,25 @@ def run_incremental_manifest(
        boilerplate-only near-identicals the batch gate now leaves to
        the fingerprint/strip family — the parity domain is corpora
        below the cap (any healthy one);
+    3c. (optional, r11 verdict task 4) SEMANTIC gate: with
+       ``near_dup_cosine`` set (stream must carry an ``embedding``
+       column — enforced loudly), a pool candidate is dropped iff its
+       float cosine with ANY earlier per-fingerprint representative in
+       the SAME sign-LSH bucket — lower doc_id this batch, or the
+       bucketed int8 vector store of strictly earlier batches —
+       reaches the threshold. The gate is the ingest pipeline's
+       TWO-TIER machinery verbatim (shared ``_with_int8_embedding_cols``
+       prep, dim-derived prune margin, ``probe_vector_store`` with the
+       ``max_cosine_store_candidates`` budget + loud refusal), so the
+       drop set equals the keep-first closure of the float
+       ``embedding_near_dup`` rule EXACTLY. PARITY DOMAIN, stated
+       plainly: this is the streamed sign-LSH/cosine near-dup rule,
+       NOT the batch manifest's k-means SemDeDup — the two agree
+       whenever semantic duplicates share a sign-LSH bucket (which is
+       what the batch ``embedding_near_dup``/``semdedup_recall_eval``
+       harnesses measure); the corpus-global k-means verdict remains
+       the periodic-rebuild layer, exactly like the trained-BPE
+       re-budget;
     4. the PREFIX-STABLE verdicts (rule ∧ exact-keeper ∧ not-near-dup)
        land as the append-only POOL delta at ``out_dir/pool/batch=<id>``
        — rows (doc_id, lang, quality), each batch overwriting its own
@@ -1808,16 +1842,18 @@ def run_incremental_manifest(
     DELTA CARD (r10 verdict task 7 — the monitoring row an ingest
     dashboard tails): gate-ladder attrition counts for this batch
     (n_in = n_rule_fail + n_exact_dup + n_near_dup_drop +
-    n_decontam_drop + n_pool_delta, pinned in tests), plus the
-    cumulative pool/manifest sizes after the re-rank.
+    n_cosine_drop + n_decontam_drop + n_pool_delta, pinned in tests),
+    plus the cumulative pool/manifest sizes after the re-rank.
 
     Parity contract (pinned in tests): after the last batch, the
-    snapshot equals the batch composition rule ∧ exact ∧ ¬near-dup ∧
-    mixture of the REGISTERED queries on the same corpus — i.e. the
-    ``training_corpus_manifest`` ladder minus its two corpus-global
-    MODEL layers (SemDeDup clustering and the trained-BPE re-budget),
-    which depend on full-corpus model state (k-means centroids, the
-    merge table) and are the periodic-rebuild layer by design: run
+    snapshot equals the batch composition rule ∧ exact ∧ ¬near-dup
+    (∧ ¬cosine-near-dup when the semantic tier is on) ∧ mixture of the
+    REGISTERED queries on the same corpus — i.e. the
+    ``training_corpus_manifest`` ladder with the semantic tier realized
+    as the streamed sign-LSH/cosine rule (see 3c for the stated parity
+    domain vs k-means SemDeDup) and minus the trained-BPE re-budget,
+    which depends on full-corpus model state (the merge table) and is
+    the periodic-rebuild layer by design: run
     ``training_corpus_manifest`` over the shipped pool on whatever
     cadence the models retrain. The delta layer is what must never
     require a full-corpus pass — and here it never does: per batch the
@@ -1861,6 +1897,13 @@ def run_incremental_manifest(
             f"mixture must be 'docs' or 'tokens', got {mixture!r} — a "
             "typo here would silently ship the wrong sampling policy"
         )
+    if near_dup_cosine is not None and "embedding" not in docs_stream.columns:
+        raise ValueError(
+            "near_dup_cosine requested but the stream has no 'embedding' "
+            "column — the semantic gate would silently ship every "
+            "semantic duplicate; add the column (array<float|double>) or "
+            "run without near_dup_cosine"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
@@ -1890,8 +1933,11 @@ def run_incremental_manifest(
             batch_df.select("doc_id", "text")
         ).select("doc_id", "quality", "keep")
         sh_toks = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
+        emb_cols = (
+            ["embedding"] if near_dup_cosine is not None else []
+        )
         fp = (
-            batch_df.select("doc_id", "lang", "text")
+            batch_df.select("doc_id", "lang", "text", *emb_cols)
             .withColumn(
                 "fingerprint", H.fingerprint(TX.cleaned("text"))
             )
@@ -1904,6 +1950,10 @@ def run_incremental_manifest(
             .withColumn("n_shingles", F.size("shingle_hashes"))
             .join(verdicts, "doc_id")
         )
+        if near_dup_cosine is not None:
+            # shared prep with the ingest pipeline (3c): sign-LSH bucket
+            # + int8 prune codes + float confirm vector
+            fp = _with_int8_embedding_cols(fp)
 
         # exact gate over ALL docs (a rule-failed doc still vetoes later
         # copies, exactly as the batch fingerprint_dedup's keeper rule)
@@ -2024,16 +2074,96 @@ def run_incremental_manifest(
             )
             drops = drops.unionByName(store_drops)
 
-        pool0 = (
+        pool_nd = (
             flagged.filter(F.col("keep") & F.col("is_keeper"))
             .join(drops.distinct(), "doc_id", "left_anti")
             .select("doc_id", "lang", "quality", "text")
         )
-        n_pool0 = pool0.count()
+        n_pool_nd = pool_nd.count()
         n_near_dup_drop = (
             int(g["n_in"]) - int(g["n_rule_fail"]) - int(g["n_exact_dup"])
-            - n_pool0
+            - n_pool_nd
         )
+        pool0 = pool_nd
+        n_pool0 = n_pool_nd
+        if near_dup_cosine is not None:
+            # 3c SEMANTIC gate: the ingest pipeline's two-tier cosine
+            # rule over per-fingerprint representatives — int8 codes
+            # prune at threshold - (dim-derived) margin, stored floats
+            # decide at the threshold, candidates only inside a sign-LSH
+            # bucket (batch lower-doc_id reps + the bucket-pruned vector
+            # store of earlier batches, budget-guarded)
+            from ..functions import vectors as V
+
+            eff_margin = _resolve_prune_margin(
+                flagged, int8_prune_margin, "run_incremental_manifest"
+            )
+            vreps = flagged.filter(
+                (F.col("doc_id") == F.col("first_id"))
+                & F.col("emb_bucket").isNotNull()
+            )
+            vec_me = vreps.select(
+                "doc_id",
+                F.col("emb_q").alias("qa"),
+                F.col("emb_f").alias("fa"),
+                F.col("emb_bucket").alias("bucket"),
+            )
+            vec_others = vreps.select(
+                F.col("doc_id").alias("o_rank"),
+                F.col("emb_q").alias("qb"),
+                F.col("emb_f").alias("fb"),
+                F.col("emb_bucket").alias("bucket"),
+            )
+            prune = V.cosine(
+                V.as_double(F.col("qa")), V.as_double(F.col("qb"))
+            ) >= F.lit(near_dup_cosine - eff_margin)
+            confirm = V.cosine(F.col("fa"), F.col("fb")) >= F.lit(
+                near_dup_cosine
+            )
+            vdrops = (
+                vec_others.join(F.broadcast(vec_me), "bucket")
+                .filter(F.col("o_rank") < F.col("doc_id"))
+                .filter(prune)
+                .filter(confirm)
+                .select("doc_id")
+            )
+            if has_store:
+                vbuckets = [
+                    r["bucket"]
+                    for r in vec_me.select("bucket").distinct().collect()
+                ]
+                vstore = probe_vector_store(
+                    spark, store_dir, batch_id, vbuckets
+                )
+                _check_store_candidate_budget(
+                    vstore,
+                    vec_me,
+                    "bucket",
+                    max_cosine_store_candidates,
+                    batch_id,
+                    "incremental manifest semantic gate",
+                    "max_cosine_store_candidates",
+                    "store_hot_buckets",
+                    "add planes / a rotation upstream",
+                )
+                vs_store = (
+                    vstore.join(F.broadcast(vec_me), "bucket")
+                    .filter(
+                        V.cosine(
+                            V.as_double(F.col("qa")), V.as_double(F.col("q"))
+                        )
+                        >= F.lit(near_dup_cosine - eff_margin)
+                    )
+                    .filter(
+                        V.cosine(F.col("fa"), F.col("emb"))
+                        >= F.lit(near_dup_cosine)
+                    )
+                    .select("doc_id")
+                )
+                vdrops = vdrops.unionByName(vs_store)
+            pool0 = pool_nd.join(vdrops.distinct(), "doc_id", "left_anti")
+            n_pool0 = pool0.count()
+        n_cosine_drop = n_pool_nd - n_pool0
         pool = pool0
         if bench_grams is not None:
             from ..operators.text_analysis import DECON_NGRAM
@@ -2104,6 +2234,31 @@ def run_incremental_manifest(
         ).write.mode("overwrite").partitionBy("bucket").parquet(
             f"{shingle_store_dir(store_dir)}/batch={batch_id}"
         )
+        if near_dup_cosine is not None:
+            # bucketed vector sibling (3c): one row per NEW fingerprint
+            # keeper carrying an embedding — int8 prune codes + the
+            # float confirm vector, partitioned by sign-LSH bucket so
+            # later batches probe only matching buckets. Written BEFORE
+            # the fingerprint partition (the shingle-store
+            # commit-ordering invariant); cosine-DROPPED keepers still
+            # store their vector, as the ingest pipeline does, so they
+            # veto later copies.
+            (
+                flagged.filter(
+                    (F.col("doc_id") == F.col("first_id"))
+                    & F.col("in_store").isNull()
+                    & F.col("emb_bucket").isNotNull()
+                )
+                .select(
+                    F.col("fingerprint").alias("o_id"),
+                    F.col("emb_q").alias("q"),
+                    F.col("emb_f").alias("emb"),
+                    F.col("emb_bucket").alias("bucket"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{vector_store_dir(store_dir)}/batch={batch_id}")
+            )
         flagged.filter(F.col("in_store").isNull()).select(
             "fingerprint"
         ).distinct().write.mode("overwrite").parquet(
@@ -2197,8 +2352,9 @@ def run_incremental_manifest(
 
         # per-batch DELTA CARD (r10 verdict task 7): the gate-ladder
         # attrition row an ingest dashboard tails. Ladder identity
-        # n_in = rule + exact + near_dup + decontam + pool_delta is
-        # pinned in tests; cumulative pool/manifest close the row.
+        # n_in = rule + exact + near_dup + cosine + decontam +
+        # pool_delta is pinned in tests; cumulative pool/manifest
+        # close the row.
         spark.createDataFrame(
             [
                 (
@@ -2209,6 +2365,7 @@ def run_incremental_manifest(
                     int(g["n_rule_fail"]),
                     int(g["n_exact_dup"]),
                     int(n_near_dup_drop),
+                    int(n_cosine_drop),
                     int(n_decontam_drop),
                     int(n_pool_delta),
                     int(n_pool_total),
@@ -2217,7 +2374,8 @@ def run_incremental_manifest(
             ],
             "batch_id long, mixture string, n_quarantined long, "
             "n_in long, n_rule_fail long, n_exact_dup long, "
-            "n_near_dup_drop long, n_decontam_drop long, "
+            "n_near_dup_drop long, n_cosine_drop long, "
+            "n_decontam_drop long, "
             "n_pool_delta long, n_pool_total long, n_manifest long",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/card/batch={batch_id}"
@@ -2230,6 +2388,59 @@ def run_incremental_manifest(
         .start()
         .awaitTermination()
     )
+
+
+def export_incremental_token_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    incr_out_dir: str,
+    export_out_dir: str,
+) -> None:
+    """The TRAINER-FACING TAIL over the incremental manifest snapshot
+    (r11 verdict task 5 — 'a production ingest still needs a full batch
+    rebuild to ship what a trainer mounts'): token-id shards + the
+    decode context, exported from ``run_incremental_manifest``'s
+    ``{incr_out_dir}/manifest`` by REUSING the batch export verbatim.
+
+    The tokenizer is the periodic-rebuild MODEL layer (the same parity
+    domain the incremental manifest's docstring states for the BPE
+    re-budget): merges/ids/budgets come from the registered BPE fit
+    over ``sf_dir``, applied to the snapshot's doc set. Steps:
+
+    1. read the snapshot (doc_id, lang, quality[, n_tokens]);
+    2. join the registered ``bpe_token_counts`` budgets (memoized; the
+       snapshot's docs are a subset of the corpus the tokenizer was
+       fitted on) and write ``{export_out_dir}/manifest_tokens`` in the
+       staged-pipeline shape;
+    3. call ``export_token_shards`` — per-doc token-id table, the
+       per-curriculum-phase packing, shard-partitioned token_shards,
+       and ``tokenizer/{piece_vocab,merges,meta}`` with the content
+       hash stamped per shard row.
+
+    Because every step reuses the batch code paths, the export over an
+    incremental snapshot that EQUALS the batch token manifest is
+    byte-identical to ``run_curation_pipeline(export_tokens=True)``'s
+    artifact (pinned in tests); on snapshots that differ (the stated
+    streaming parity domain), the artifact is exactly the batch export
+    of that snapshot. Idempotent: a re-run overwrites the same dirs —
+    run it per snapshot, or on whatever cadence the trainer pulls."""
+    from ..operators.bpe import q_bpe_token_counts
+    from ..operators.curation import export_token_shards
+    from ..sources.io import write_parquet
+
+    snap = spark.read.parquet(f"{incr_out_dir}/manifest").select(
+        "doc_id", "lang", "quality"
+    )
+    bpec = q_bpe_token_counts(spark, sf_dir).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    write_parquet(
+        snap.join(bpec, "doc_id").select(
+            "doc_id", "lang", "quality", "n_bpe_tokens"
+        ),
+        f"{export_out_dir}/manifest_tokens",
+    )
+    export_token_shards(spark, sf_dir, export_out_dir)
 
 
 # ----------------------------------------- per-batch quality-drift (PSI)
