@@ -874,22 +874,25 @@ def test_curriculum_cut_has_no_corpus_proportional_topk(spark, sf_dir):
     assert "GlobalLimit" not in plan, plan[:800]
 
 
-def test_vocab_broadcast_warns_on_unpersisted_lineage(spark):
+def test_vocab_broadcast_warns_on_unpersisted_lineage(spark, sf_dir):
     """r11 ADVICE: vocab_broadcast's cheap-count contract ('callers hand
     in persisted or checkpointed tables') is enforced, not assumed — an
-    input whose sizing count would recompute a real lineage warns
-    loudly, while the call-site idiom (a thin filter/select over a
-    persisted or checkpointed table, a file scan, or an explicit
-    n_rows) stays silent."""
+    input whose sizing count would recompute a real lineage (the r10
+    scale-killer shape: an unpersisted aggregation straight off a raw
+    scan) warns loudly, while the call-site idioms (a thin
+    filter/select over a persisted or checkpointed table, a plain file
+    scan, an aggregate whose leaves are all cached or literal, or an
+    explicit n_rows) stay silent."""
     import warnings
 
     from pyspark.sql import functions as F
 
     from topic_modeling_ajin_spark.functions.joins import vocab_broadcast
+    from topic_modeling_ajin_spark.sources import load_table
 
-    base = spark.range(0, 50).select(F.col("id").alias("k"))
-    # aggregation over an unpersisted lineage: the count re-runs it
-    expensive = base.groupBy((F.col("k") % 5).alias("g")).count()
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # aggregation over an unpersisted raw-scan lineage: the count re-runs it
+    expensive = base.groupBy("lang").count()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         vocab_broadcast(expensive)
@@ -899,7 +902,7 @@ def test_vocab_broadcast_warns_on_unpersisted_lineage(spark):
     cached = expensive.persist()
     cached.count()
     try:
-        thin = cached.filter(F.col("g") >= 0).select("g")
+        thin = cached.filter(F.col("count") >= 0).select("lang")
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             vocab_broadcast(thin)
@@ -907,7 +910,9 @@ def test_vocab_broadcast_warns_on_unpersisted_lineage(spark):
         # real work whose every leaf is the cache (the plsa/topics
         # idiom: an aggregation over a persisted table) — the count is
         # a cache scan, silent
-        agg_over_cache = cached.groupBy("g").agg(F.count("*").alias("n"))
+        agg_over_cache = cached.groupBy("lang").agg(
+            F.count("*").alias("n")
+        )
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             vocab_broadcast(agg_over_cache)
@@ -924,5 +929,5 @@ def test_vocab_broadcast_warns_on_unpersisted_lineage(spark):
     ckpt = base.localCheckpoint()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        vocab_broadcast(ckpt.select("k"))
+        vocab_broadcast(ckpt.select("doc_id"))
         assert not w, [str(x.message) for x in w]

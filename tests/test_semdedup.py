@@ -276,7 +276,9 @@ def test_semantic_dedup_full_covers_missing_embeddings(spark, tmp_path):
     from topic_modeling_ajin_spark.functions.encoder import (
         hash_embed_texts,
     )
-    from topic_modeling_ajin_spark.operators.dedup import SEMDEDUP_TAU
+    from topic_modeling_ajin_spark.operators.dedup import (
+        SEMDEDUP_HASH_TAU,
+    )
     from topic_modeling_ajin_spark.registry import load_all
 
     reg = load_all()
@@ -329,7 +331,7 @@ def test_semantic_dedup_full_covers_missing_embeddings(spark, tmp_path):
         dominated = any(
             j < i
             and bucket(hvecs[j]) == bucket(hvecs[i])
-            and round(cos(hvecs[i], hvecs[j]), 6) > SEMDEDUP_TAU
+            and round(cos(hvecs[i], hvecs[j]), 6) > SEMDEDUP_HASH_TAU
             for j in (200, 201, 202)
             if j != i
         )
@@ -390,15 +392,17 @@ def test_semdedup_hash_recall_eval_matches_python_replay(spark, tmp_path):
     from topic_modeling_ajin_spark.functions.encoder import (
         hash_embed_texts,
     )
-    from topic_modeling_ajin_spark.operators.dedup import SEMDEDUP_TAU
+    from topic_modeling_ajin_spark.operators.dedup import (
+        SEMDEDUP_HASH_TAU,
+    )
     from topic_modeling_ajin_spark.registry import load_all
 
     reg = load_all()
     texts = {
         0: "table embedded doc aa bb",
         200: "shared boiler plate line qq ww",
-        201: "shared boiler plate line qq ww zz",
-        202: "shared boiler plate line qq",
+        201: "shared boiler plate line qq ww",   # identical: cos = 1.0
+        202: "shared boiler plate line qq ww zz",  # near but below tau
         203: "totally different words xyz uvw rst",
         204: "   ",  # zero-norm: outside both sides
     }
@@ -424,7 +428,7 @@ def test_semdedup_hash_recall_eval_matches_python_replay(spark, tmp_path):
         (a, b)
         for a in tail
         for b in tail
-        if a < b and round(cos(vecs[a], vecs[b]), 6) > SEMDEDUP_TAU
+        if a < b and round(cos(vecs[a], vecs[b]), 6) > SEMDEDUP_HASH_TAU
     ]
     assert pairs, "planted tail must produce true pairs"
     n_bucketed = sum(

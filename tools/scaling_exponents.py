@@ -54,6 +54,12 @@ CLAIMS: dict[str, tuple[str, float]] = {
     "doc_token_ids": ("documents", 1.4),
     "training_corpus_manifest_stripped": ("documents", 1.4),
     "training_corpus_manifest_tokens": ("documents", 1.4),
+    # r11 verdict task 6: the QM-family cold entries spiked 3-4x in the
+    # r11 driver bench with quality_model.py untouched — pinned here so
+    # a REAL superlinear regression in the training/scoring chain fails
+    # mechanically instead of being argued from contended bench medians
+    "quality_model_score": ("documents", 1.4),
+    "curation_funnel_by_source": ("documents", 1.4),
 }
 
 

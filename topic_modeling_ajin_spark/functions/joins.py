@@ -73,10 +73,17 @@ def vocab_broadcast(
     return F.broadcast(vocab) if n <= cap else vocab
 
 
-# leaves already materialized IN MEMORY: persisted cache, local/reliable
-# checkpoint, literal rows — re-reading them is a cache scan
+# leaves already materialized IN MEMORY (persisted cache, local/reliable
+# checkpoint, literal rows) or generated from literals (Range,
+# OneRowRelation) — re-reading them is a cache scan or free
 _CACHED_LEAVES = frozenset(
-    {"InMemoryRelation", "LogicalRDD", "LocalRelation"}
+    {
+        "InMemoryRelation",
+        "LogicalRDD",
+        "LocalRelation",
+        "Range",
+        "OneRowRelation",
+    }
 )
 
 # unary nodes under which a bare FILE relation still counts cheaply —

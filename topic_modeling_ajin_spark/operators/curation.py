@@ -2416,17 +2416,24 @@ ORDER BY mt.doc_id
         global-order window, no corpus-sized limit, no membership
         broadcast. Exactness: the rank is totally ordered by
         (quality DESC, doc_id), so both engines cut the identical doc
-        set and the DuckDB top-k oracle is unchanged."""
+        set and the DuckDB top-k oracle is unchanged.
+
+        Memoized+persisted (the verdict-table discipline): the phase
+        report, the phased packer, the shard balance and the export all
+        compose this, and each call otherwise re-pays the rank's
+        offsets collect + membership join."""
+        from ..cache import memo
         from ..registry import REGISTRY as _R
 
-        mt = _R["training_corpus_manifest_tokens"].fn(spark, sf_dir)
-        return (
-            curriculum_phases_for(
+        def build() -> DataFrame:
+            mt = _R["training_corpus_manifest_tokens"].fn(spark, sf_dir)
+            return curriculum_phases_for(
                 mt, memo_key=("curriculum_ranked", sf_dir)
-            )
-            .select("doc_id", "lang", "quality", "n_bpe_tokens", "phase")
-            .orderBy("doc_id")
-        )
+            ).select("doc_id", "lang", "quality", "n_bpe_tokens", "phase")
+
+        return memo(
+            spark, ("curriculum_assign", sf_dir), build, persist=True
+        ).orderBy("doc_id")
 
     @register(
         "curriculum_phase_report",
@@ -2505,27 +2512,36 @@ ORDER BY 1, 2
         is where it STARTS), with the cumulative sum partitioned by
         phase — in Spark each phase runs the same two-phase distributed
         prefix sum; phases are a 2-way split, so this is two passes
-        over the doc-keyed manifest, nothing corpus-global."""
+        over the doc-keyed manifest, nothing corpus-global.
+
+        Memoized+persisted: ``token_shard_balance`` composes it, and
+        each call otherwise re-pays two pack prefix sums (driver
+        offsets collect per phase) over the manifest."""
+        from ..cache import memo
         from ..registry import REGISTRY as _R
 
-        ca = _R["curriculum_phase_assignments"].fn(spark, sf_dir)
-        parts = [
-            pack_manifest(
-                ca.filter(F.col("phase") == p).select(
-                    "doc_id", F.col("n_bpe_tokens").alias("n")
-                ),
-                BPE_PACK_BUDGET,
-            ).withColumn("phase", F.lit(p))
-            for p in ("anneal", "main")
-        ]
-        out = parts[0].unionByName(parts[1])
-        return out.select(
-            "phase",
-            "pack_id",
-            F.col("n_docs").cast("bigint").alias("n_docs"),
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            "first_doc",
-            "last_doc",
+        def build() -> DataFrame:
+            ca = _R["curriculum_phase_assignments"].fn(spark, sf_dir)
+            parts = [
+                pack_manifest(
+                    ca.filter(F.col("phase") == p).select(
+                        "doc_id", F.col("n_bpe_tokens").alias("n")
+                    ),
+                    BPE_PACK_BUDGET,
+                ).withColumn("phase", F.lit(p))
+                for p in ("anneal", "main")
+            ]
+            return parts[0].unionByName(parts[1]).select(
+                "phase",
+                "pack_id",
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                "first_doc",
+                "last_doc",
+            )
+
+        return memo(
+            spark, ("pack_phases", sf_dir), build, persist=True
         ).orderBy("phase", "pack_id")
 
 

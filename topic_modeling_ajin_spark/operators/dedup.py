@@ -1114,6 +1114,18 @@ SEMDEDUP_TAU = 0.35
 # pre-bucketing by sign-LSH (embedding_near_dup), both semantics-visible.
 SEMDEDUP_MAX_PAIRS_PER_CLUSTER = 4_000_000
 
+# Within-bucket cosine threshold for the HASH-FALLBACK space of
+# semantic_dedup_full (r12). The table-space SEMDEDUP_TAU=0.35 is tuned
+# for the synthetic embeddings table (near-orthogonal vectors, max
+# pairwise cosine ~0.51); hash n-gram embeddings of same-language text
+# have a HIGH baseline cosine (measured at sf0.1's real 3,000-doc
+# unembedded tail: in-bucket median 0.73, p99 0.92), so reusing 0.35
+# there made the fallback drop 99% of the tail — a de-facto
+# "drop unembedded docs" gate. 0.95 is SemDeDup's published operating
+# point and, in hash space, means a near-identical token multiset
+# (sf0.1 tail: 469/3000 dropped — the genuinely templated near-dups).
+SEMDEDUP_HASH_TAU = 0.95
+
 # Per-BUCKET candidate-pair budget for semantic_dedup_full's hash-fallback
 # dominance join (r11 verdict task 3): the fallback space has only
 # 2^LSH_BITS sign buckets, so a large unembedded tail grows in-bucket
@@ -1605,7 +1617,7 @@ hm2 AS (
 hdom AS (
     SELECT DISTINCT a.doc_id
     FROM hm2 a JOIN hm2 b ON a.bucket = b.bucket AND b.doc_id < a.doc_id
-    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_TAU}
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_HASH_TAU}
 ),
 hsd AS (
     SELECT h.doc_id,
@@ -1643,7 +1655,11 @@ def _register_semantic_dedup_full() -> None:
           cross-space cosine would be meaningless, so the fallback space
           dedups only against itself — the ``semantic_decontam_full``
           discipline), and dropped iff a LOWER-id same-bucket doc sits
-          above the same ``SEMDEDUP_TAU`` cosine (keep-first dominance;
+          above the ``SEMDEDUP_HASH_TAU`` cosine (0.95 — SemDeDup's
+          published operating point; the table-space 0.35 is tuned for
+          near-orthogonal synthetic vectors and would drop ~99% of a
+          real same-language tail, see the constant) (keep-first
+          dominance;
           no centroid exists in the hash space, so ``cent_cos`` is 0.0
           and priority is the deterministic id order). Zero-norm
           (token-less) docs carry (cluster=-1, kept=1): an empty doc
@@ -1716,7 +1732,7 @@ def _register_semantic_dedup_full() -> None:
                 .filter(F.col("vb") < F.col("va"))
                 .filter(
                     F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
-                    > SEMDEDUP_TAU
+                    > SEMDEDUP_HASH_TAU
                 )
                 .select(F.col("va").alias("doc_id"))
                 .distinct()
@@ -1813,7 +1829,7 @@ hm9 AS (
 tp9 AS (
     SELECT CASE WHEN a.bucket = b.bucket THEN 1 ELSE 0 END AS bucketed
     FROM hm9 a JOIN hm9 b ON a.doc_id < b.doc_id
-    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_TAU}
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) > {SEMDEDUP_HASH_TAU}
 )
 SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
        CAST(coalesce(sum(bucketed), 0) AS BIGINT) AS n_bucketed_pairs,
@@ -1866,7 +1882,7 @@ def q_semdedup_hash_recall_eval(
         F.col("bucket").alias("bb"),
     )
     tp = a.join(b, F.col("va") < F.col("vb")).filter(
-        F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > SEMDEDUP_TAU
+        F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > SEMDEDUP_HASH_TAU
     )
     same = F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)
     return tp.agg(
