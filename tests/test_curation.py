@@ -1841,3 +1841,59 @@ def test_funnel_hash_space_agrees_with_savings_report(spark, sf_dir):
         == card["n_sem_hash_space"]
         == sav["n_sem_hash_space"]
     )
+
+
+def test_export_token_shards_reranks_changed_snapshot(spark, tmp_path):
+    """r12 ADVICE (medium): a same-session re-export after
+    {out_dir}/manifest_tokens changed — exactly the per-snapshot
+    cadence the incremental tail documents — must NOT serve the stale
+    memoized curriculum rank: new snapshot docs would silently vanish
+    through the inner phase join and survivors would keep stale
+    phases. The memo is keyed on snapshot identity (row count +
+    order-free doc_id hash), so the second export re-ranks the
+    manifest it just read."""
+    from topic_modeling_ajin_spark.operators.curation import (
+        export_token_shards,
+    )
+
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                "src",
+                "the is " + " ".join(f"w{i}x{j}" for j in range(6)),
+            )
+            for i in range(1, 10)
+        ],
+        "doc_id long, lang string, source string, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    out = str(tmp_path / "exp")
+
+    def write_mt(ids):
+        spark.createDataFrame(
+            [(i, "en", round(1.0 - i / 100.0, 6), 6 + i) for i in ids],
+            "doc_id long, lang string, quality double, n_bpe_tokens long",
+        ).write.mode("overwrite").parquet(f"{out}/manifest_tokens")
+
+    write_mt(range(1, 7))
+    export_token_shards(spark, d, out)
+    got1 = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/token_shards").collect()
+    }
+    assert got1 == set(range(1, 7))
+
+    # SAME session, SAME out_dir, changed snapshot: 3 new docs
+    write_mt(range(1, 10))
+    export_token_shards(spark, d, out)
+    rows = spark.read.parquet(f"{out}/token_shards").collect()
+    assert {r["doc_id"] for r in rows} == set(range(1, 10)), (
+        "new snapshot docs must never be silently absent from the shards"
+    )
+    # phases come from a FRESH rank over the new 9-doc snapshot:
+    # floor(9 * 0.2) = 1 anneal doc, the quality-top doc 1
+    phases = {r["doc_id"]: r["phase"] for r in rows}
+    assert phases[1] == "anneal"
+    assert all(phases[i] == "main" for i in range(2, 10))

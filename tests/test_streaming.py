@@ -2673,3 +2673,38 @@ def test_incremental_export_equals_batch_export(spark, tmp_path):
     meta_i = spark.read.parquet(f"{out_i}/tokenizer/meta").collect()[0]
     meta_b = spark.read.parquet(f"{out_b}/tokenizer/meta").collect()[0]
     assert meta_i == meta_b
+
+
+def test_incremental_export_refuses_unbudgeted_snapshot_docs(
+    spark, tmp_path
+):
+    """r12 verdict task 1: a snapshot doc OUTSIDE the corpus the
+    tokenizer/budgets were fitted on (a JSONL-ingested doc that
+    outpaced the periodic tokenizer rebuild) has no bpe_token_counts
+    row — the budget join must refuse loudly naming the rebuild lever,
+    never silently drop it from the trainer shards."""
+    import pytest
+
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        [
+            (
+                i,
+                "en",
+                "src",
+                "the is " + " ".join(f"w{i}x{j}" for j in range(6)),
+            )
+            for i in range(1, 5)
+        ],
+        "doc_id long, lang string, source string, text string",
+    ).write.parquet(f"{d}/documents.parquet")
+    incr = str(tmp_path / "incr")
+    # doc 99 streamed in after the last tokenizer rebuild: no budget row
+    spark.createDataFrame(
+        [(1, "en", 0.5), (99, "en", 0.5)],
+        "doc_id long, lang string, quality double",
+    ).write.parquet(f"{incr}/manifest")
+    with pytest.raises(ValueError, match="no bpe_token_counts"):
+        ST.export_incremental_token_shards(
+            spark, d, incr, str(tmp_path / "exp")
+        )

@@ -1696,13 +1696,34 @@ def export_token_shards(
         f"{out_dir}/tokenizer/meta",
     )
     mt = spark.read.parquet(f"{out_dir}/manifest_tokens")
+    # snapshot identity for the curriculum memo (r12 ADVICE, medium):
+    # keyed on out_dir alone, a same-session re-export after
+    # manifest_tokens changed (the per-snapshot cadence the incremental
+    # tail documents) served the STALE ranked table — new snapshot docs
+    # silently vanished through the inner phase join. The key now
+    # carries (row count, order-free doc_id hash sum), so a changed
+    # snapshot misses the memo and re-ranks; an unchanged snapshot
+    # still hits. One model-sized aggregate, reused by the coverage
+    # audit below.
+    srow = mt.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(
+                _md5_u32(
+                    F.concat(F.lit("snap|"), F.col("doc_id").cast("string"))
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+    ).collect()[0]
+    n_mt, snap_fp = int(srow["n"]), int(srow["fp"])
     # curriculum phase via THE shared rank rule (r11 verdict task 7):
     # packing runs WITHIN each phase so no training sequence mixes
     # 'main' and 'anneal' docs — the two-phase schedule is executable
     # from the mounted shards alone, and every row carries its phase
     ph = curriculum_phases_for(
         mt.select("doc_id", "quality"),
-        memo_key=("export_curriculum_ranked", out_dir),
+        memo_key=("export_curriculum_ranked", out_dir, n_mt, snap_fp),
     ).select("doc_id", "phase")
     mtp = mt.join(ph, "doc_id")
     assign = None
@@ -1756,6 +1777,25 @@ def export_token_shards(
         f"{out_dir}/token_shards",
         partition_by=("shard",),
     )
+    # coverage audit (r12 verdict task 1, extended): the shard build is
+    # three doc-keyed inner joins (phase, pack assignment, token ids) —
+    # each preserves the manifest by construction, but a stale memo or
+    # an out-of-corpus token table would drop docs SILENTLY from the
+    # one artifact a trainer mounts. Assert doc-count preservation on
+    # the written table (a parquet footer count — no data scan) and
+    # refuse loudly naming the joins if anything vanished.
+    n_shipped = spark.read.parquet(f"{out_dir}/token_shards").count()
+    if n_shipped != n_mt:
+        raise ValueError(
+            f"export_token_shards: manifest_tokens has {n_mt} docs but "
+            f"token_shards shipped {n_shipped} rows — a doc-keyed join "
+            "(curriculum phase, pack assignment, or doc_token_ids) "
+            "dropped documents from the trainer artifact. Every "
+            "manifest doc must appear in exactly one (phase, pack) "
+            "sequence slot; rebuild doc_token_ids against the corpus "
+            "the manifest was budgeted on (the periodic "
+            "tokenizer-rebuild lever) before re-exporting."
+        )
 
 
 def staged_manifest(

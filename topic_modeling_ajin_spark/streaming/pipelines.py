@@ -744,24 +744,24 @@ def _resolve_prune_margin(
     is the provable bound for this batch's dimension; an explicit
     margin below the bound raises loudly — silently pruning true pairs
     would turn the exact-drop-set guarantee into silent
-    under-deduplication. One first() over the (persisted) batch table;
-    a batch with no embeddings forms no pairs, so any margin is
-    vacuously safe there."""
-    drow = (
-        vec_df.filter(F.col("emb_f").isNotNull())
-        .select(F.size("emb_f").alias("d"))
-        .first()
-    )
-    if drow is None:
+    under-deduplication. The bound uses the MAX observed dimension
+    (one aggregate over the persisted batch table — r12 ADVICE: the
+    earlier first() could observe the SMALLER side of a
+    mixed-dimension batch nondeterministically, under-bounding the
+    margin and silently pruning true pairs; max d is conservative for
+    every pair in the batch). A batch with no embeddings forms no
+    pairs, so any margin is vacuously safe there."""
+    dmax = vec_df.agg(F.max(F.size("emb_f")).alias("d")).collect()[0]["d"]
+    if dmax is None:
         return EMB_COS_MARGIN if explicit is None else explicit
-    bound = int8_margin_bound(drow["d"])
+    bound = int8_margin_bound(dmax)
     if explicit is None:
         return bound
     if explicit < bound:
         raise ValueError(
             f"{caller}: int8_prune_margin={explicit} is below the "
             f"quantization-error bound {bound:.6f} for the observed "
-            f"{drow['d']}-dim embeddings (4*sqrt(d)/254 with both pair "
+            f"{dmax}-dim embeddings (4*sqrt(d)/254 with both pair "
             "sides quantized) — the int8 prune tier would silently "
             "drop TRUE near-dup pairs and the drop set would no longer "
             "equal the batch float rule. Pass a margin >= the bound or "
@@ -2409,9 +2409,12 @@ def export_incremental_token_shards(
 
     1. read the snapshot (doc_id, lang, quality[, n_tokens]);
     2. join the registered ``bpe_token_counts`` budgets (memoized; the
-       snapshot's docs are a subset of the corpus the tokenizer was
-       fitted on) and write ``{export_out_dir}/manifest_tokens`` in the
-       staged-pipeline shape;
+       snapshot's docs must be a subset of the corpus the tokenizer was
+       fitted on — ENFORCED by a loud anti-join refusal, r12 verdict
+       task 1, naming the periodic tokenizer-rebuild lever; never a
+       silent inner-join drop) and write
+       ``{export_out_dir}/manifest_tokens`` in the staged-pipeline
+       shape;
     3. call ``export_token_shards`` — per-doc token-id table, the
        per-curriculum-phase packing, shard-partitioned token_shards,
        and ``tokenizer/{piece_vocab,merges,meta}`` with the content
@@ -2434,6 +2437,25 @@ def export_incremental_token_shards(
     bpec = q_bpe_token_counts(spark, sf_dir).select(
         "doc_id", "n_bpe_tokens"
     )
+    # coverage audit (r12 verdict task 1 — the docstring's subset
+    # assumption, ENFORCED): the budget join below is inner, so a
+    # snapshot doc outside the corpus the tokenizer/budgets were fitted
+    # on would silently vanish from manifest_tokens and the shards —
+    # the exact "silently absent from the training set" class the
+    # manifest family refuses elsewhere. One doc-keyed anti-join; the
+    # count is model-sized.
+    n_unbudgeted = snap.join(bpec, "doc_id", "left_anti").count()
+    if n_unbudgeted:
+        raise ValueError(
+            f"export_incremental_token_shards: {n_unbudgeted} snapshot "
+            f"doc(s) have no bpe_token_counts row in {sf_dir} — the "
+            "ingest stream has outpaced the corpus the tokenizer and "
+            "token budgets were fitted on, and an inner budget join "
+            "would silently drop them from the trainer shards. Run the "
+            "periodic tokenizer rebuild over the current corpus (so "
+            "every snapshot doc gets a budget row) and re-export; the "
+            "parity domain requires snapshot ⊆ fitted corpus."
+        )
     write_parquet(
         snap.join(bpec, "doc_id").select(
             "doc_id", "lang", "quality", "n_bpe_tokens"
