@@ -75,6 +75,8 @@ HEADLINE = (
     "pack_sequences_phases",  # per-curriculum-phase sequence packing
     "token_shard_balance",    # phase+pack md5 shard-balance audit
     "semdedup_hash_recall_eval",  # hash-fallback bucketing recall harness
+    # r13 additions
+    "semdedup_hash_tau_sweep",   # hash-space operating-point audit sweep
 )
 
 # n=5 (r4 VERDICT task 6): r3/r4 showed single-query medians-of-3 still
@@ -147,6 +149,16 @@ def main() -> None:
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
+    # per-query spread (r12 verdict task 5): three consecutive rounds
+    # spent judge/builder time re-adjudicating warm drift that was
+    # really run-order/JVM-warmth variance — the bench now self-reports
+    # each query's min/max over the N_RUNS samples, so "the median
+    # moved less than the same session's own spread" is a mechanical
+    # check instead of an ad-hoc solo rerun.
+    spread = {
+        name: {"min": round(min(xs), 3), "max": round(max(xs), 3)}
+        for name, xs in samples.items()
+    }
 
     # cold capstone (r7 verdict task 6): the warm manifest entry times a
     # memoized localCheckpoint read, so a regression in the actual gate
@@ -188,6 +200,7 @@ def main() -> None:
         "pack_sequences_phases",     # curriculum rank memo + pack sums
     )
     cold_queries: dict[str, float] = {}
+    cold_spread: dict[str, dict] = {}
     from topic_modeling_ajin_spark.cache import clear_caches
 
     for name in COLD_QUERIES:
@@ -203,6 +216,10 @@ def main() -> None:
             ).format("noop").save()
             cold.append(time.perf_counter() - t0)
         cold_queries[name] = round(median(cold), 3)
+        cold_spread[name] = {
+            "min": round(min(cold), 3),
+            "max": round(max(cold), 3),
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -213,6 +230,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold_queries,
+                "query_spread": spread,
+                "cold_spread": cold_spread,
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf else None,
             }

@@ -768,6 +768,14 @@ def test_data_card_equals_composed_queries(spark, sf_dir):
         "n_manifest_tokens": reg["training_corpus_manifest_tokens"]
         .fn(spark, sf_dir)
         .count(),
+        # r12 verdict task 4: the fallback-quality cells equal the
+        # standalone recall harnesses
+        "sem_table_recall": reg["semdedup_recall_eval"]
+        .fn(spark, sf_dir)
+        .collect()[0]["recall"],
+        "sem_hash_recall": reg["semdedup_hash_recall_eval"]
+        .fn(spark, sf_dir)
+        .collect()[0]["recall"],
     }
     for k, v in expect.items():
         assert card[k] == v, (k, card[k], v)
@@ -1897,3 +1905,78 @@ def test_export_token_shards_reranks_changed_snapshot(spark, tmp_path):
     phases = {r["doc_id"]: r["phase"] for r in rows}
     assert phases[1] == "anneal"
     assert all(phases[i] == "main" for i in range(2, 10))
+
+
+def test_curriculum_phase_cuts_are_parameters(spark, tmp_path):
+    """r12 verdict task 8: the curriculum schedule is a PARAMETER of
+    curriculum_phases_for, not an edit of the rank rule. Over a fixed
+    manifest (quality ties included): (1) every cut configuration's
+    phase masses sum to N and match a pure-Python replay of the
+    cumulative-fraction cut over (quality DESC, doc_id); (2) growing
+    the anneal fraction only ever moves docs INTO anneal (monotone
+    nesting — the rank rule is stable across fracs); (3) a three-phase
+    decay ladder works through the same rule; (4) the default equals
+    the registered ANNEAL_FRAC schedule; (5) bad configurations refuse
+    loudly."""
+    import pytest
+
+    from topic_modeling_ajin_spark.operators.curation import (
+        ANNEAL_FRAC,
+        curriculum_phases_for,
+    )
+
+    n = 37
+    rows = [(i, round(0.2 + ((i * 7) % 10) / 20.0, 6)) for i in range(n)]
+    mt = spark.createDataFrame(rows, "doc_id long, quality double")
+    key = ("test_curriculum_prop", "fixed")
+
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+
+    def replay(phase_cuts, final="main"):
+        want, lo, cum = {}, 0, 0.0
+        for name, frac in phase_cuts:
+            cum += frac
+            hi = int(n * cum)
+            for doc_id, _q in order[lo:hi]:
+                want[doc_id] = name
+            lo = hi
+        for doc_id, _q in order[lo:]:
+            want[doc_id] = final
+        return want
+
+    def got(phase_cuts, final="main"):
+        return {
+            r["doc_id"]: r["phase"]
+            for r in curriculum_phases_for(
+                mt, key, phase_cuts=phase_cuts, final_phase=final
+            ).collect()
+        }
+
+    prev_anneal: set = set()
+    for frac in (0.1, 0.2, 0.35, 0.5, 1.0):
+        g = got((("anneal", frac),))
+        assert len(g) == n  # masses sum to N
+        assert g == replay((("anneal", frac),)), frac
+        anneal = {d for d, p in g.items() if p == "anneal"}
+        assert prev_anneal <= anneal, frac  # monotone nesting
+        prev_anneal = anneal
+
+    ladder = (("anneal", 0.1), ("mid", 0.3))
+    g = got(ladder)
+    assert len(g) == n and g == replay(ladder)
+    assert {"anneal", "mid", "main"} == set(g.values())
+
+    # the default IS the registered two-phase schedule
+    assert got((("anneal", ANNEAL_FRAC),)) == {
+        r["doc_id"]: r["phase"]
+        for r in curriculum_phases_for(mt, key).collect()
+    }
+
+    for bad in (
+        (("anneal", 0.0),),
+        (("anneal", -0.1),),
+        (("anneal", 0.6), ("mid", 0.6)),
+        (("main", 0.2),),
+    ):
+        with pytest.raises(ValueError):
+            curriculum_phases_for(mt, key, phase_cuts=bad)

@@ -447,8 +447,10 @@ BNLJ_ALLOW = {
     "pq_adc_topk", "semantic_decontam", "semantic_decontam_full",
     "semdedup_recall_eval", "jaccard_threshold_sweep",
     # brute-force ground-truth side of the hash-fallback recall harness
-    # (the semdedup_recall_eval convention: truth runs on a sampled
-    # slice at scale, never a serving path)
+    # — BOUNDED in code (r12 verdict task 2): the truth universe
+    # refuses loudly over SEMDEDUP_RECALL_TRUTH_MAX_DOCS, and the
+    # deterministic truth_sample_mod slice is the documented scale
+    # path, recorded per run in n_truth_docs
     "semdedup_hash_recall_eval",
 }
 

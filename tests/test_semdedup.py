@@ -438,6 +438,7 @@ def test_semdedup_hash_recall_eval_matches_python_replay(spark, tmp_path):
     assert got["n_true_pairs"] == len(pairs)
     assert got["n_bucketed_pairs"] == n_bucketed
     assert got["recall"] == round(n_bucketed / len(pairs), 6)
+    assert got["n_truth_docs"] == len(tail)
 
     # empty tail (every doc embedded): the 1.0-by-convention row
     d2 = str(tmp_path / "data2")
@@ -448,4 +449,266 @@ def test_semdedup_hash_recall_eval_matches_python_replay(spark, tmp_path):
         [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
     ).write.parquet(f"{d2}/embeddings.parquet")
     got2 = reg["semdedup_hash_recall_eval"].fn(spark, d2).collect()[0]
-    assert tuple(got2) == (0, 0, 1.0)
+    assert tuple(got2) == (0, 0, 1.0, 0)
+
+
+def test_fallback_bucket_width_derives_from_tail_size(
+    spark, tmp_path, monkeypatch
+):
+    """r12 verdict task 3: the hash-fallback bucket width is an
+    OPERATIONAL seam, not a source edit — the sign-bit count derives
+    from the observed unembedded-tail size (integer rule, replayed by
+    the DuckDB oracle from the same count), widening automatically
+    when the tail outgrows the 8-bit space up to the hash-embedding
+    dimensionality. A planted tail with the derivation forced wide
+    must show the gate AND the recall harness judging in the widened
+    space, verified against a pure-Python replay at the wider width."""
+    import math
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+    )
+    from topic_modeling_ajin_spark.operators import dedup as dd
+    from topic_modeling_ajin_spark.operators import similarity as sim
+    from topic_modeling_ajin_spark.registry import load_all
+
+    # the integer rule itself: small tails keep the 8-bit space,
+    # growth widens one bit at the target-occupancy boundary, and the
+    # hash-embedding dimensionality caps the width
+    assert sim.fallback_lsh_bits(0) == sim.LSH_BITS
+    assert sim.fallback_lsh_bits(
+        sim.FALLBACK_TARGET_BUCKET_DOCS << sim.LSH_BITS
+    ) == sim.LSH_BITS
+    assert sim.fallback_lsh_bits(
+        (sim.FALLBACK_TARGET_BUCKET_DOCS << sim.LSH_BITS) + 1
+    ) == sim.LSH_BITS + 1
+    assert sim.fallback_lsh_bits(10**12) == sim.FALLBACK_MAX_BITS
+
+    reg = load_all()
+    texts = {0: "table zero aa bb"}
+    texts.update(
+        {
+            i: f"tail doc t{i} shared boiler words qq ww"
+            for i in range(200, 216)
+        }
+    )
+    texts[300] = "planted duplicate pair line zz yy"
+    texts[301] = "planted duplicate pair line zz yy"  # cos = 1.0
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    # force the derivation to the widened space: with a target of 0
+    # expected docs per bucket, any non-empty tail saturates to the
+    # dimensionality cap (a planted >16k-doc tail would do the same
+    # through the unpatched rule)
+    monkeypatch.setattr(sim, "FALLBACK_TARGET_BUCKET_DOCS", 0)
+    bits = dd.fallback_bits_for(spark, d)
+    assert bits == sim.FALLBACK_MAX_BITS > sim.LSH_BITS
+
+    tail = sorted(i for i in texts if i != 0)
+    vecs = dict(zip(tail, hash_embed_texts([texts[i] for i in tail])))
+    bucket = lambda v: sum(  # noqa: E731
+        1 << i for i in range(bits) if v[i] > 0
+    )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    got = {
+        r["doc_id"]: (r["cluster"], r["kept"])
+        for r in reg["semantic_dedup_full"].fn(spark, d).collect()
+        if r["space"] == "hash"
+    }
+    assert set(got) == set(tail)
+    for i in tail:
+        dominated = any(
+            j < i
+            and bucket(vecs[j]) == bucket(vecs[i])
+            and round(cos(vecs[i], vecs[j]), 6) > dd.SEMDEDUP_HASH_TAU
+            for j in tail
+            if j != i
+        )
+        assert got[i] == (bucket(vecs[i]), 0 if dominated else 1), i
+    assert got[301][1] == 0 and got[300][1] == 1  # the planted pair
+
+    # the recall harness runs green in the SAME widened space
+    pairs = [
+        (a, b)
+        for a in tail
+        for b in tail
+        if a < b and round(cos(vecs[a], vecs[b]), 6) > dd.SEMDEDUP_HASH_TAU
+    ]
+    n_bucketed = sum(
+        1 for a, b in pairs if bucket(vecs[a]) == bucket(vecs[b])
+    )
+    rec = reg["semdedup_hash_recall_eval"].fn(spark, d).collect()[0]
+    assert rec["n_true_pairs"] == len(pairs) >= 1
+    assert rec["n_bucketed_pairs"] == n_bucketed
+
+
+def test_semdedup_recall_truth_side_is_budgeted(spark, tmp_path):
+    """r12 verdict task 2: the recall harness's brute-force truth side
+    is GROUND TRUTH, not a serving path — so its "sampled slice at
+    scale" story must be code: a truth universe over the doc cap
+    refuses loudly BEFORE the quadratic join, naming the
+    truth_sample_mod lever; passing the lever measures the
+    deterministic md5-keyed 1/m doc slice (both pair sides sliced
+    together), with the slice size recorded in n_truth_docs — replayed
+    here in pure Python."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+    )
+    from topic_modeling_ajin_spark.operators.dedup import (
+        SEMDEDUP_HASH_TAU,
+        semdedup_hash_recall,
+    )
+
+    texts = {0: "table embedded doc aa bb"}
+    texts.update(
+        {
+            i: f"shared boiler plate line qq ww t{i % 2}"
+            for i in range(200, 212)
+        }
+    )
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    # 12 tail docs over a 4-doc cap: loud refusal naming the lever
+    with pytest.raises(ValueError, match="truth_sample_mod"):
+        semdedup_hash_recall(spark, d, truth_max_docs=4)
+
+    # the deterministic 1/3 slice fits the cap and matches the pure
+    # Python replay of the same md5 rule over the same hash kernel
+    m = 4
+    tail = sorted(i for i in texts if i != 0)
+    sliced = [
+        i
+        for i in tail
+        if int(hashlib.md5(f"rtruth|{i}".encode()).hexdigest()[:8], 16)
+        % m
+        == 0
+    ]
+    assert 0 < len(sliced) <= 4, "planted slice must fit the cap"
+    vecs = dict(zip(tail, hash_embed_texts([texts[i] for i in tail])))
+    bucket = lambda v: sum(1 << i for i in range(8) if v[i] > 0)  # noqa: E731
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    pairs = [
+        (a, b)
+        for a in sliced
+        for b in sliced
+        if a < b and round(cos(vecs[a], vecs[b]), 6) > SEMDEDUP_HASH_TAU
+    ]
+    n_bucketed = sum(
+        1 for a, b in pairs if bucket(vecs[a]) == bucket(vecs[b])
+    )
+    assert pairs, "planted slice must contain a true pair"
+    got = semdedup_hash_recall(
+        spark, d, truth_sample_mod=m, truth_max_docs=4
+    ).collect()[0]
+    assert got["n_truth_docs"] == len(sliced)
+    assert got["n_true_pairs"] == len(pairs)
+    assert got["n_bucketed_pairs"] == n_bucketed
+
+
+def test_hash_tau_sweep_pins_the_gate_operating_point(spark, tmp_path):
+    """r12 verdict task 6: the tau sweep is the audit face of the
+    SEMDEDUP_HASH_TAU operating point — its row AT the gate's tau must
+    equal the gate's actual hash-space drop count (the sweep can never
+    disagree with the gate it tunes), monotonicity must hold across
+    the grid (higher tau never drops more), and the pure-Python replay
+    over the same hash kernel must reproduce every row."""
+    import math
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embed_texts,
+    )
+    from topic_modeling_ajin_spark.operators.dedup import (
+        SEMDEDUP_HASH_TAU,
+        SEMDEDUP_HASH_TAU_GRID,
+    )
+    from topic_modeling_ajin_spark.registry import load_all
+
+    assert SEMDEDUP_HASH_TAU in SEMDEDUP_HASH_TAU_GRID
+
+    reg = load_all()
+    texts = {
+        0: "table embedded doc aa bb",
+        200: "shared boiler plate line qq ww",
+        201: "shared boiler plate line qq ww",    # identical: cos 1.0
+        202: "shared boiler plate line qq ww zz",  # near, mid-tau band
+        203: "shared boiler plate line qq yy zz",  # near, lower band
+        204: "totally different words xyz uvw rst",
+        205: "   ",                                # zero-norm: outside
+    }
+    d = str(tmp_path / "data")
+    spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    tail = [i for i in sorted(texts) if i != 0 and texts[i].strip()]
+    vecs = dict(zip(tail, hash_embed_texts([texts[i] for i in tail])))
+    bucket = lambda v: sum(1 << i for i in range(8) if v[i] > 0)  # noqa: E731
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(y * y for y in b)
+        )
+
+    got = {
+        r["tau"]: (r["n_pairs"], r["n_dropped_docs"])
+        for r in reg["semdedup_hash_tau_sweep"].fn(spark, d).collect()
+    }
+    assert set(got) == set(SEMDEDUP_HASH_TAU_GRID)
+    for tau in SEMDEDUP_HASH_TAU_GRID:
+        pairs = [
+            (a, b)
+            for a in tail
+            for b in tail
+            if b < a
+            and bucket(vecs[a]) == bucket(vecs[b])
+            and round(cos(vecs[a], vecs[b]), 6) > tau
+        ]
+        assert got[tau] == (len(pairs), len({a for a, _ in pairs})), tau
+    # the fixture exercises a real gradient, not all-or-nothing
+    assert got[SEMDEDUP_HASH_TAU_GRID[0]][0] > got[SEMDEDUP_HASH_TAU][0] > 0
+    # monotone: higher tau never drops more
+    drops = [got[t][1] for t in SEMDEDUP_HASH_TAU_GRID]
+    assert drops == sorted(drops, reverse=True)
+
+    # THE pin: the sweep's row at the gate's tau equals the gate's
+    # actual hash-space drop count
+    gate_drops = (
+        reg["semantic_dedup_full"]
+        .fn(spark, d)
+        .filter("space = 'hash' AND kept = 0")
+        .count()
+    )
+    assert got[SEMDEDUP_HASH_TAU][1] == gate_drops > 0

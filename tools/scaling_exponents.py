@@ -164,6 +164,50 @@ def stage_attribution(sf_dir: str, runs: int = 1, spark=None) -> dict:
     out["funnel_src_rest"] = warm(
         lambda: noop(reg["curation_funnel_by_source"].fn(spark, sf_dir))
     )
+
+    # hash-fallback semantic chain (r12 verdict task 7 — the fallback
+    # work was priced only inside the manifest-family cold totals;
+    # attribute it per step so a cold delta decomposes mechanically):
+    #   hash_vectors      — cold build of the fallback vector table
+    #                       (tail anti-join + hash embed + derived-width
+    #                       sign buckets; empty on SFs whose embeddings
+    #                       cover every doc — sf0.1's real 3,000-doc
+    #                       tail is the measurement target),
+    #   hash_bucket_stats — the hot-bucket guard aggregate over the
+    #                       warm vector table (<= 2^bits rows),
+    #   sdf_rest          — semantic_dedup_full given warm fallback
+    #                       vectors (table-space verdict + the bucketed
+    #                       dominance join),
+    #   hash_recall_rest  — the recall harness's brute-force truth side
+    #                       given warm vectors,
+    #   tau_sweep_rest    — the operating-point sweep given warm
+    #                       vectors (one bucket-bounded pair join).
+    from topic_modeling_ajin_spark.operators.dedup import (
+        _hash_fallback_vectors,
+    )
+
+    out["hash_vectors"] = cold(
+        lambda: noop(_hash_fallback_vectors(spark, sf_dir))
+    )
+    out["hash_bucket_stats"] = warm(
+        lambda: _hash_fallback_vectors(spark, sf_dir)
+        .filter("bucket IS NOT NULL")
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    out["sdf_rest"] = warm(
+        lambda: noop(reg["semantic_dedup_full"].fn(spark, sf_dir))
+    )
+    out["hash_recall_rest"] = warm(
+        lambda: noop(reg["semdedup_hash_recall_eval"].fn(spark, sf_dir))
+    )
+    out["tau_sweep_rest"] = warm(
+        lambda: noop(reg["semdedup_hash_tau_sweep"].fn(spark, sf_dir))
+    )
+    out["sdf_cold_total"] = cold(
+        lambda: noop(reg["semantic_dedup_full"].fn(spark, sf_dir))
+    )
     return {k: round(v, 2) for k, v in out.items()}
 
 

@@ -2387,31 +2387,74 @@ ANNEAL_FRAC = 0.2
 
 
 def curriculum_phases_for(
-    mt: DataFrame, memo_key: tuple
+    mt: DataFrame,
+    memo_key: tuple,
+    phase_cuts: tuple = (("anneal", ANNEAL_FRAC),),
+    final_phase: str = "main",
 ) -> DataFrame:
-    """(doc_id, phase) under THE curriculum rank rule — top ANNEAL_FRAC
-    of rows by (quality DESC, doc_id) → 'anneal', rest → 'main' — over
-    ANY (doc_id, quality, ...) manifest table. One definition shared by
-    the registered ``curriculum_phase_assignments`` and the shard
-    export's per-phase packing, so the schedule a trainer mounts can
-    never disagree with the audited one.
+    """(doc_id, phase) under THE curriculum rank rule — rows ranked by
+    (quality DESC, doc_id) are cut into phases from the TOP:
+    ``phase_cuts`` is an ordered tuple of (name, frac) consumed
+    best-first (phase i covers ranks in
+    (floor(N·cumfrac_{i-1}), floor(N·cumfrac_i)]), and whatever
+    remains is ``final_phase``. The default pins the registered
+    two-phase schedule — top ANNEAL_FRAC → 'anneal', rest → 'main' —
+    so a production schedule change (a different anneal fraction, a
+    three-phase decay ladder) is a PARAMETER, not an edit of the rank
+    rule (r12 verdict task 8, the DSIR_SELECT_K convention: the
+    registered face pins the default for its static oracle). Works
+    over ANY (doc_id, quality, ...) manifest table; one definition
+    shared by ``curriculum_phase_assignments`` and the shard export's
+    per-phase packing, so the schedule a trainer mounts can never
+    disagree with the audited one.
+
+    Cut boundaries are on CUMULATIVE fractions, so phase masses always
+    sum to N and growing a fraction only ever moves docs from later
+    phases into earlier ones (monotone nesting — the property test
+    pins both). Fractions must be positive and sum to at most 1.
 
     Scale shape (r11 verdict task 2): the two-phase range-partitioned
     row-number (``_range_partitioned_row_numbers``) — no global-order
     window, no corpus-proportional limit, no membership broadcast; the
-    cut is ``rn <= floor(frac × N)`` computed where the row lives."""
+    cut is ``rn <= floor(cumfrac × N)`` computed where the row lives,
+    whatever the phase count."""
     from .relational import _range_partitioned_row_numbers
 
+    names = [name for name, _ in phase_cuts] + [final_phase]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"curriculum_phases_for: phase names must be distinct, got "
+            f"{names}"
+        )
+    total = 0.0
+    for name, frac in phase_cuts:
+        if not frac > 0:
+            raise ValueError(
+                f"curriculum_phases_for: phase {name!r} has "
+                f"non-positive fraction {frac}"
+            )
+        total += frac
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"curriculum_phases_for: phase fractions sum to {total} > 1"
+        )
     ranked, n_rows = _range_partitioned_row_numbers(
         mt,
         [F.desc("quality"), F.asc("doc_id")],
         memo_key=memo_key,
     )
-    k = int(n_rows * ANNEAL_FRAC)
-    return ranked.withColumn(
-        "phase",
-        F.when(F.col("rn") <= k, "anneal").otherwise("main"),
-    ).drop("rn", "pid")
+    phase = None
+    cum = 0.0
+    for name, frac in phase_cuts:
+        cum += frac
+        cond = F.col("rn") <= int(n_rows * cum)
+        phase = (
+            F.when(cond, name) if phase is None else phase.when(cond, name)
+        )
+    phase = (
+        F.lit(final_phase) if phase is None else phase.otherwise(final_phase)
+    )
+    return ranked.withColumn("phase", phase).drop("rn", "pid")
 
 
 def _register_curriculum() -> None:
@@ -2660,6 +2703,8 @@ md AS ({_REG["training_corpus_manifest_decontam"].sql}),
 ms AS ({_REG["training_corpus_manifest_stripped"].sql}),
 mt AS ({_REG["training_corpus_manifest_tokens"].sql}),
 ftok AS ({_REG["curation_funnel_tokens"].sql}),
+trec AS ({_REG["semdedup_recall_eval"].sql}),
+hrec AS ({_REG["semdedup_hash_recall_eval"].sql}),
 toks AS (SELECT CAST(sum(length(t.toks)) AS BIGINT) AS n
          FROM ({_SQL_TOKS}) t)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
@@ -2675,6 +2720,8 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
            AS n_semdedup_drops,
        (SELECT CAST(count(*) AS BIGINT) FROM sem WHERE space = 'hash')
            AS n_sem_hash_space,
+       (SELECT recall FROM trec) AS sem_table_recall,
+       (SELECT recall FROM hrec) AS sem_hash_recall,
        (SELECT CAST(count(*) AS BIGINT) FROM wb WHERE flagged)
            AS n_winnow_flagged,
        (SELECT CAST(count(*) AS BIGINT) FROM dc WHERE flagged)
@@ -2707,7 +2754,10 @@ def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``t_total`` raw / ``t_mixed`` shipped, the ``curation_funnel_tokens``
     figures composed verbatim — r8 verdict task 8) — language/source
     spread, the FULL gate ladder's tallies — exact dedup, near-dup,
-    SemDeDup drops, winnow-flagged docs, contamination, boilerplate
+    SemDeDup drops (with the bucketing RECALL of both SemDeDup spaces
+    next to the hash-space coverage count, r12 verdict task 4: the
+    card shows how many docs each space judged AND how good its
+    bucketing was), winnow-flagged docs, contamination, boilerplate
     token savings, rule-gate pass — the five manifest sizes
     (base/winnow/decontam/stripped/token-budget), and mean heuristic
     quality (r7
@@ -2796,6 +2846,21 @@ def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_sem_hash_space",
             )
         )
+        # fallback QUALITY next to fallback COVERAGE (r12 verdict
+        # task 4): a card reader sees both how many docs each SemDeDup
+        # space judged and how good its bucketing was — the registered
+        # recall harnesses composed verbatim (bounded truth sides:
+        # cluster-bucketed table space, capped hash tail)
+        .crossJoin(
+            _REG["semdedup_recall_eval"]
+            .fn(spark, sf_dir)
+            .select(F.col("recall").alias("sem_table_recall"))
+        )
+        .crossJoin(
+            _REG["semdedup_hash_recall_eval"]
+            .fn(spark, sf_dir)
+            .select(F.col("recall").alias("sem_hash_recall"))
+        )
         .crossJoin(
             cnt(
                 q_doc_winnow_boilerplate(spark, sf_dir).filter(
@@ -2852,6 +2917,8 @@ def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_near_dup_discards",
             "n_semdedup_drops",
             "n_sem_hash_space",
+            "sem_table_recall",
+            "sem_hash_recall",
             "n_winnow_flagged",
             "n_contaminated",
             "n_tokens_stripped",

@@ -1556,33 +1556,65 @@ def semantic_dedup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fallback_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids of every corpus doc with NO embeddings row — the
+    hash-fallback universe. One slim anti-join on the id column."""
+    have = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(have, "doc_id", "left_anti")
+    )
+
+
+def fallback_bits_for(spark: SparkSession, sf_dir: str) -> int:
+    """The DERIVED sign-bit count for the hash-fallback space (r12
+    verdict task 3): ``fallback_lsh_bits`` over the observed
+    unembedded-tail size, memoized per corpus (one count over the slim
+    anti-join). The DuckDB oracle computes the identical integer rule
+    from the same count (``sql_fallback_bits_cte``), so widening is
+    never a source edit and never desyncs the engines."""
+    from ..cache import memo
+    from .similarity import fallback_lsh_bits
+
+    return memo(
+        spark,
+        ("semdedup_fallback_bits", sf_dir),
+        lambda: fallback_lsh_bits(_fallback_tail(spark, sf_dir).count()),
+    )
+
+
 def _hash_fallback_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, embedding, bucket) for every corpus doc with NO
     embeddings row — the hash-fallback universe of
     ``semantic_dedup_full``, factored out (r12) so the recall harness
     measures EXACTLY the vectors and buckets the gate judges.
     ``bucket`` is NULL for zero-norm (token-less) docs, which bypass
-    the dominance stage. Memoized+persisted: the full verdict and the
-    recall eval both scan it."""
+    the dominance stage; its width is the DERIVED ``fallback_bits_for``
+    count (r12 verdict task 3 — a tail that outgrows the 8-bit space
+    widens automatically instead of detonating the budget guard).
+    Memoized+persisted: the full verdict and the recall eval both scan
+    it."""
     from ..cache import memo
     from ..functions import vectors as V
     from .encoding import _hash_embedded
     from .similarity import sign_lsh_bucket
 
     def build() -> DataFrame:
-        have = load_table(spark, sf_dir, "embeddings").select(
-            F.col("vec_id").alias("doc_id")
-        )
-        missing = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .join(have, "doc_id", "left_anti")
-        )
+        bits = fallback_bits_for(spark, sf_dir)
         nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
-        return _hash_embedded(spark, sf_dir).join(missing, "doc_id").select(
-            "doc_id",
-            "embedding",
-            F.when(nz, sign_lsh_bucket(F.col("embedding"))).alias("bucket"),
+        return (
+            _hash_embedded(spark, sf_dir)
+            .join(_fallback_tail(spark, sf_dir), "doc_id")
+            .select(
+                "doc_id",
+                "embedding",
+                F.when(
+                    nz, sign_lsh_bucket(F.col("embedding"), bits)
+                ).alias("bucket"),
+            )
         )
 
     return memo(
@@ -1593,11 +1625,9 @@ def _hash_fallback_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_semantic_dedup_full() -> str:
     from ..functions.encoder import sql_hash_embedding
     from ..registry import REGISTRY
+    from .similarity import sql_fallback_bits_cte, sql_sign_bucket_dynamic
 
-    sign_sql = " + ".join(
-        f"(CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(8)
-    )
+    sign_sql = sql_sign_bucket_dynamic("h.emb", "fbb2")
     return f"""
 WITH sdt AS ({REGISTRY["semantic_dedup"].sql}),
 {sql_hash_embedding()},
@@ -1608,6 +1638,7 @@ miss2 AS (
     SELECT d.doc_id FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
 ),
+{sql_fallback_bits_cte("miss2", "fbb2")},
 hm2 AS (
     SELECT h.doc_id, h.emb,
            CASE WHEN list_dot_product(h.emb, h.emb) > 0
@@ -1700,20 +1731,24 @@ def _register_semantic_dedup_full() -> None:
                 or 0
             )
             if worst * (worst - 1) // 2 > SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET:
-                from .similarity import LSH_BITS
+                from .similarity import FALLBACK_MAX_BITS
 
+                bits = fallback_bits_for(spark, sf_dir)
                 raise ValueError(
                     f"semantic_dedup_full: hottest hash-fallback bucket "
                     f"has {worst} unembedded docs -> "
                     f"{worst * (worst - 1) // 2} candidate pairs, over "
                     f"the per-bucket budget "
                     f"SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET="
-                    f"{SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET}. The "
-                    f"unembedded tail is too large for {LSH_BITS}-bit "
-                    "sign-LSH: widen the fallback bucket space (more "
-                    "sign bits — a semantics-visible change that must "
-                    "move both engines together), run the embedding job "
-                    "so the tail shrinks back into the table space, or "
+                    f"{SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET}. The bucket "
+                    f"width is already DERIVED from the tail size "
+                    f"({bits} sign bits, max {FALLBACK_MAX_BITS} — the "
+                    "hash-embedding dimensionality), so this tail is "
+                    "SKEWED into one bucket, not merely large: run the "
+                    "embedding job so the tail shrinks back into the "
+                    "table space, raise the hash-embedding "
+                    "dimensionality (ENCODER_DIM, which raises the "
+                    "width cap — both engines derive in lockstep), or "
                     "raise the budget if the executors can hold the "
                     "pair join."
                 )
@@ -1807,11 +1842,9 @@ _register_semantic_dedup_by_space()
 
 def _sql_semdedup_hash_recall() -> str:
     from ..functions.encoder import sql_hash_embedding
+    from .similarity import sql_fallback_bits_cte, sql_sign_bucket_dynamic
 
-    sign_sql = " + ".join(
-        f"(CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(8)
-    )
+    sign_sql = sql_sign_bucket_dynamic("h.emb", "fbb9")
     return f"""
 WITH {sql_hash_embedding()},
 hdense9 AS (
@@ -1821,6 +1854,7 @@ miss9 AS (
     SELECT d.doc_id FROM documents d
     WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
 ),
+{sql_fallback_bits_cte("miss9", "fbb9")},
 hm9 AS (
     SELECT h.doc_id, h.emb, {sign_sql} AS bucket
     FROM hdense9 h JOIN miss9 m ON m.doc_id = h.doc_id
@@ -1835,18 +1869,27 @@ SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
        CAST(coalesce(sum(bucketed), 0) AS BIGINT) AS n_bucketed_pairs,
        round(CASE WHEN count(*) > 0
                   THEN sum(bucketed) * 1.0 / count(*) ELSE 1.0 END,
-             6) AS recall
+             6) AS recall,
+       (SELECT CAST(count(*) AS BIGINT) FROM hm9) AS n_truth_docs
 FROM tp9
 """
 
 
-@register(
-    "semdedup_hash_recall_eval",
-    sql=_sql_semdedup_hash_recall(),
-    tags=("dedup", "similarity", "eval"),
-)
-def q_semdedup_hash_recall_eval(
-    spark: SparkSession, sf_dir: str
+# Truth-side document cap for the recall harnesses' brute-force
+# all-pairs stage (r12 verdict task 2 — "truth runs on a sampled slice
+# at 100 TB" was prose with no code behind it): above this many docs
+# the quadratic truth join refuses loudly and names the deterministic
+# sampling lever. 20k docs = ~200M cosine pairs, the most a single
+# harness run should brute-force; every test SF (sf0.1's real 3,000-doc
+# tail included) runs the FULL exact truth.
+SEMDEDUP_RECALL_TRUTH_MAX_DOCS = 20_000
+
+
+def semdedup_hash_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    truth_sample_mod: int | None = None,
+    truth_max_docs: int = SEMDEDUP_RECALL_TRUTH_MAX_DOCS,
 ) -> DataFrame:
     """Recall harness for ``semantic_dedup_full``'s HASH-FALLBACK space
     (r11 verdict task 8: the table space has ``semdedup_recall_eval``;
@@ -1858,19 +1901,48 @@ def q_semdedup_hash_recall_eval(
     treats them.
 
     The truth side is the brute-force all-pairs cosine over the tail —
-    GROUND TRUTH, not a serving path: at 100 TB it runs on a sampled
-    slice, like every sibling harness (``ivf/lsh/semdedup_recall``).
-    Same 6-dp cosine grid and the same memoized vector table
-    (``_hash_fallback_vectors``) as the gate itself, so the measured
-    pair universe is the one the gate actually judges. On the
-    synthetic SFs the tail is empty (recall 1.0 by convention, the
-    n_true_pairs = 0 row); the planted missing-embedding test
-    exercises a real tail."""
+    GROUND TRUTH, not a serving path — and its sampling story is CODE,
+    not prose (r12 verdict task 2): with ``truth_sample_mod=m`` the
+    truth universe is the deterministic 1/m doc slice
+    (md5(doc_id) % m == 0, both pair sides from the same slice —
+    bucketing recall over a uniform doc sample is an unbiased estimate
+    of tail recall), and a truth universe larger than
+    ``truth_max_docs`` refuses loudly BEFORE the quadratic join,
+    naming the lever. ``n_truth_docs`` records the slice actually
+    measured in the output row. Same 6-dp cosine grid and the same
+    memoized vector table (``_hash_fallback_vectors`` — derived bucket
+    width included) as the gate itself, so the measured pair universe
+    is the one the gate actually judges. The registered face pins
+    no-sampling defaults: the full exact truth at every test SF, the
+    refusal beyond the cap."""
     from ..functions import vectors as V
+    from ..functions.hashing import md5_base32
 
     hm = _hash_fallback_vectors(spark, sf_dir).filter(
         F.col("bucket").isNotNull()
     )
+    if truth_sample_mod is not None:
+        hm = hm.filter(
+            md5_base32(
+                F.concat(F.lit("rtruth|"), F.col("doc_id").cast("string"))
+            )
+            % truth_sample_mod
+            == 0
+        )
+    n_truth = hm.count()
+    if n_truth > truth_max_docs:
+        raise ValueError(
+            f"semdedup_hash_recall: the brute-force truth side would "
+            f"run all-pairs cosine over {n_truth} docs "
+            f"({n_truth * (n_truth - 1) // 2} pairs), over "
+            f"truth_max_docs={truth_max_docs}. Pass truth_sample_mod=m "
+            "for the deterministic 1/m doc slice (md5-keyed, both pair "
+            "sides sliced together — an unbiased recall estimate), or "
+            "raise truth_max_docs if the executors can hold the pair "
+            "join. The harness never silently samples: the slice is "
+            "always the operator's explicit call, recorded in "
+            "n_truth_docs."
+        )
     a = hm.select(
         F.col("doc_id").alias("va"),
         F.col("embedding").alias("ea"),
@@ -1896,6 +1968,138 @@ def q_semdedup_hash_recall_eval(
             ),
             6,
         ).alias("recall"),
+    ).withColumn("n_truth_docs", F.lit(n_truth).cast("bigint"))
+
+
+@register(
+    "semdedup_hash_recall_eval",
+    sql=_sql_semdedup_hash_recall(),
+    tags=("dedup", "similarity", "eval"),
+)
+def q_semdedup_hash_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered face of ``semdedup_hash_recall`` with the
+    no-sampling defaults pinned (full exact truth under the
+    ``SEMDEDUP_RECALL_TRUTH_MAX_DOCS`` cap, loud refusal beyond it) —
+    see that docstring for the harness semantics and the sampling
+    lever."""
+    return semdedup_hash_recall(spark, sf_dir)
+
+
+# The operating-point grid for the hash-space tau sweep (r12 verdict
+# task 6): SEMDEDUP_HASH_TAU = 0.95 was calibrated once on sf0.1's
+# measured in-bucket cosine distribution (median 0.73, p99 0.92) — the
+# sweep makes that operating point AUDITABLE per corpus instead of
+# hard-coded folklore. The grid brackets the measured distribution's
+# body (0.5-0.9), the chosen point, and the near-identical band (0.99).
+SEMDEDUP_HASH_TAU_GRID = (0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
+
+
+def _sql_semdedup_hash_tau_sweep() -> str:
+    from ..functions.encoder import sql_hash_embedding
+    from .similarity import sql_fallback_bits_cte, sql_sign_bucket_dynamic
+
+    grid = ", ".join(repr(t) for t in SEMDEDUP_HASH_TAU_GRID)
+    return f"""
+WITH {sql_hash_embedding()},
+hdenseT AS (
+    SELECT doc_id, list(v ORDER BY dim) AS emb FROM hemb GROUP BY doc_id
+),
+missT AS (
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+),
+{sql_fallback_bits_cte("missT", "fbbT")},
+hmT AS (
+    SELECT h.doc_id, h.emb,
+           {sql_sign_bucket_dynamic('h.emb', 'fbbT')} AS bucket
+    FROM hdenseT h JOIN missT m ON m.doc_id = h.doc_id
+    WHERE list_dot_product(h.emb, h.emb) > 0
+),
+pairsT AS (
+    SELECT a.doc_id AS va,
+           round(list_cosine_similarity(a.emb, b.emb), 6) AS c
+    FROM hmT a JOIN hmT b ON a.bucket = b.bucket AND b.doc_id < a.doc_id
+),
+gridT AS (SELECT CAST(unnest([{grid}]) AS DOUBLE) AS tau)
+SELECT g.tau,
+       CAST(count(p.c) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT p.va) AS BIGINT) AS n_dropped_docs
+FROM gridT g LEFT JOIN pairsT p ON p.c > g.tau
+GROUP BY g.tau ORDER BY g.tau
+"""
+
+
+@register(
+    "semdedup_hash_tau_sweep",
+    sql=_sql_semdedup_hash_tau_sweep(),
+    tags=("dedup", "similarity", "eval"),
+)
+def q_semdedup_hash_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the hash-fallback space's cosine
+    threshold (r12 verdict task 6): per tau on the grid, how many
+    in-bucket candidate pairs sit above it and how many docs the
+    keep-first dominance rule would drop — the
+    ``jaccard_threshold_sweep`` discipline applied to
+    ``SEMDEDUP_HASH_TAU``, so the 0.95 operating point is auditable
+    against each corpus's own in-bucket cosine distribution rather
+    than trusted from the one sf0.1 calibration. The row at tau =
+    SEMDEDUP_HASH_TAU is pinned equal to the gate's actual hash-space
+    drop count (the sweep can never disagree with the gate it tunes).
+
+    Scale shape: ONE bucket-bounded pair join over the memoized
+    fallback vector table (identical to the gate's dominance join,
+    derived bucket width included) with the 6-dp cosine computed once
+    per pair; each pair then fans out to at most |grid| rows JVM-side
+    (explode of a filtered 7-element literal array — no per-tau
+    re-join, no driver loop). The zero rows come from a
+    literal-grid union, not a join. On the synthetic SFs the tail is
+    empty: 7 rows of zeros, which is itself the audit signal."""
+    from ..functions import vectors as V
+
+    hm = _hash_fallback_vectors(spark, sf_dir).filter(
+        F.col("bucket").isNotNull()
+    )
+    a = hm.select(
+        F.col("doc_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    b = hm.select(
+        F.col("doc_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vb") < F.col("va"))
+        .select(
+            "va",
+            F.round(V.cosine(F.col("ea"), F.col("eb")), 6).alias("c"),
+        )
+    )
+    taus = F.array(*[F.lit(float(t)) for t in SEMDEDUP_HASH_TAU_GRID])
+    hits = pairs.select(
+        F.explode(F.filter(taus, lambda t: F.col("c") > t)).alias("tau"),
+        "va",
+        "c",
+    )
+    zeros = spark.createDataFrame(
+        [(float(t),) for t in SEMDEDUP_HASH_TAU_GRID], "tau double"
+    ).select(
+        "tau",
+        F.lit(None).cast("long").alias("va"),
+        F.lit(None).cast("double").alias("c"),
+    )
+    return (
+        hits.unionByName(zeros)
+        .groupBy("tau")
+        .agg(
+            F.count("c").cast("bigint").alias("n_pairs"),
+            F.countDistinct("va").cast("bigint").alias("n_dropped_docs"),
+        )
+        .orderBy("tau")
     )
 
 

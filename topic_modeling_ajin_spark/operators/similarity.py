@@ -232,16 +232,84 @@ LSH_BITS = 8  # axis-aligned hyperplane signs -> 2^8 buckets
 # cosine ~0.43) -- 0.3 keeps the pair path exercised with real output
 NEAR_DUP_COS = 0.3
 
+# --- hash-FALLBACK bucket-width seam (r12 verdict task 3) -------------
+# The budget refusal in semantic_dedup_full's hash branch used to tell
+# the operator to "widen the fallback bucket space (more sign bits)",
+# but the only lever was a source edit of LSH_BITS that moved the TABLE
+# space too. The fallback space now DERIVES its sign-bit count from the
+# observed unembedded-tail size (fallback_lsh_bits below): the smallest
+# b in [LSH_BITS, FALLBACK_MAX_BITS] whose 2^b buckets hold the tail at
+# <= FALLBACK_TARGET_BUCKET_DOCS expected docs per bucket. Small tails
+# (every test SF) resolve to LSH_BITS — behavior unchanged there — and
+# a tail that outgrows the 8-bit space widens automatically, with the
+# DuckDB oracle computing the identical integer rule from the same
+# tail count (sql_fallback_bits_cte), so both engines move together.
+# FALLBACK_MAX_BITS is bounded by the hash-embedding dimensionality
+# (each sign bit consumes one component, encoder.ENCODER_DIM = 16).
+FALLBACK_TARGET_BUCKET_DOCS = 64  # ~2k expected in-bucket pairs
+FALLBACK_MAX_BITS = 16  # == functions.encoder.ENCODER_DIM
 
-def sign_lsh_bucket(emb: F.Column) -> F.Column:
+
+def fallback_lsh_bits(n_tail: int) -> int:
+    """Sign-bit count for the hash-fallback space, derived from the
+    observed tail size: smallest b in [LSH_BITS, FALLBACK_MAX_BITS]
+    with n_tail <= FALLBACK_TARGET_BUCKET_DOCS * 2^b (pure integer
+    arithmetic so the SQL oracle replays it exactly); capped at
+    FALLBACK_MAX_BITS when even the widest space is over-full — the
+    hot-bucket budget then remains the loud backstop."""
+    for b in range(LSH_BITS, FALLBACK_MAX_BITS + 1):
+        if n_tail <= FALLBACK_TARGET_BUCKET_DOCS << b:
+            return b
+    return FALLBACK_MAX_BITS
+
+
+def sql_sign_bucket(col: str = "emb", bits: int = LSH_BITS) -> str:
+    """DuckDB sum-of-sign-bits bucket expression for a FIXED bit count,
+    generated from the same constants as ``sign_lsh_bucket`` (r12
+    ADVICE: hand-copied range(8) bit weights in each SQL builder would
+    silently desync the oracle from the gate when the bit count
+    moves — there is now exactly one generator)."""
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+
+
+def sql_fallback_bits_cte(tail_cte: str, name: str) -> str:
+    """CTE computing the DERIVED fallback bit count from the tail
+    count, in integer lockstep with ``fallback_lsh_bits``. ``name``
+    must be unique per composed statement (DuckDB CTE names are global
+    per statement)."""
+    return f"""{name} AS (
+    SELECT coalesce(min(b), {FALLBACK_MAX_BITS}) AS bits
+    FROM (SELECT unnest(range({LSH_BITS}, {FALLBACK_MAX_BITS + 1})) AS b)
+    WHERE (SELECT count(*) FROM {tail_cte})
+          <= {FALLBACK_TARGET_BUCKET_DOCS} * (1 << b)
+)"""
+
+
+def sql_sign_bucket_dynamic(col: str, bits_cte: str) -> str:
+    """DuckDB sign-bucket expression whose bit count comes from a
+    ``sql_fallback_bits_cte`` scalar at query time — the oracle-side
+    face of the derived fallback bucket width."""
+    return " + ".join(
+        f"(CASE WHEN {i} < (SELECT bits FROM {bits_cte}) "
+        f"AND {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(FALLBACK_MAX_BITS)
+    )
+
+
+def sign_lsh_bucket(emb: F.Column, bits: int = LSH_BITS) -> F.Column:
     """THE sign-LSH candidate-bucket rule: sum of 1<<i over the first
-    {LSH_BITS} components strictly > 0. Shared by the batch
-    ``embedding_near_dup`` and the streaming ingest's vector store —
-    bucket parity between the two IS the precondition that makes the
-    store's partition pruning exact (candidates only form inside a
-    bucket), so there must be exactly one copy of this expression."""
+    ``bits`` components strictly > 0 (default {LSH_BITS}). Shared by
+    the batch ``embedding_near_dup`` and the streaming ingest's vector
+    store — bucket parity between the two IS the precondition that
+    makes the store's partition pruning exact (candidates only form
+    inside a bucket), so there must be exactly one copy of this
+    expression. The hash-fallback space passes the DERIVED bit count
+    (``fallback_lsh_bits``); every table-space face pins the default."""
     bucket = None
-    for i in range(LSH_BITS):
+    for i in range(bits):
         bit = F.when(emb[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket
@@ -252,14 +320,7 @@ def sign_lsh_bucket(emb: F.Column) -> F.Column:
     sql=f"""
 WITH sig AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb,
-           (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-         + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-         + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-         + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-         + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-         + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-         + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-         + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           {sql_sign_bucket('embedding')} AS bucket
     FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
