@@ -1605,12 +1605,17 @@ def _hash_fallback_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         bits = fallback_bits_for(spark, sf_dir)
         nz = V.dot(F.col("embedding"), F.col("embedding")) > 0
+        # nrm precomputed ONCE per doc (the semantic_dedup `cc` pattern):
+        # every pair stage over this table then pays a single array fold
+        # (the dot) per candidate pair instead of three — numerically
+        # identical, cosine is dot/(norm_a*norm_b) either way
         return (
             _hash_embedded(spark, sf_dir)
             .join(_fallback_tail(spark, sf_dir), "doc_id")
             .select(
                 "doc_id",
                 "embedding",
+                V.norm(F.col("embedding")).alias("nrm"),
                 F.when(
                     nz, sign_lsh_bucket(F.col("embedding"), bits)
                 ).alias("bucket"),
@@ -1755,20 +1760,24 @@ def _register_semantic_dedup_full() -> None:
             a = hm.select(
                 F.col("doc_id").alias("va"),
                 F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
                 "bucket",
             )
             b = hm.select(
                 F.col("doc_id").alias("vb"),
                 F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
                 "bucket",
+            )
+            # one array fold (the dot) per candidate pair — both norms
+            # come precomputed from the persisted vector table
+            pair_cos = V.dot(F.col("ea"), F.col("eb")) / (
+                F.col("na") * F.col("nb")
             )
             dom = (
                 a.join(b, "bucket")
                 .filter(F.col("vb") < F.col("va"))
-                .filter(
-                    F.round(V.cosine(F.col("ea"), F.col("eb")), 6)
-                    > SEMDEDUP_HASH_TAU
-                )
+                .filter(F.round(pair_cos, 6) > SEMDEDUP_HASH_TAU)
                 .select(F.col("va").alias("doc_id"))
                 .distinct()
                 .withColumn("dropped", F.lit(1))
@@ -1943,18 +1952,32 @@ def semdedup_hash_recall(
             "always the operator's explicit call, recorded in "
             "n_truth_docs."
         )
+    # the truth join is a BroadcastNestedLoopJoin (no equi-key by
+    # design — it IS the brute force): spread the stream side over the
+    # full core count (the memoized table otherwise arrives in a
+    # handful of partitions and the quadratic stage runs near-serial),
+    # pay ONE array fold per pair (norms precomputed in the persisted
+    # vector table), and test the cheap id order BEFORE the dot so
+    # only the N(N-1)/2 unordered pairs evaluate it
     a = hm.select(
         F.col("doc_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
         F.col("bucket").alias("ba"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = hm.select(
         F.col("doc_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
         F.col("bucket").alias("bb"),
     )
-    tp = a.join(b, F.col("va") < F.col("vb")).filter(
-        F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > SEMDEDUP_HASH_TAU
+    pair_cos = V.dot(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
+    tp = a.join(
+        b,
+        (F.col("va") < F.col("vb"))
+        & (F.round(pair_cos, 6) > SEMDEDUP_HASH_TAU),
     )
     same = F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)
     return tp.agg(
@@ -2064,20 +2087,23 @@ def q_semdedup_hash_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = hm.select(
         F.col("doc_id").alias("va"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
         "bucket",
     )
     b = hm.select(
         F.col("doc_id").alias("vb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
         "bucket",
+    )
+    # one array fold per pair — norms precomputed in the vector table
+    pair_cos = V.dot(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
     )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("vb") < F.col("va"))
-        .select(
-            "va",
-            F.round(V.cosine(F.col("ea"), F.col("eb")), 6).alias("c"),
-        )
+        .select("va", F.round(pair_cos, 6).alias("c"))
     )
     taus = F.array(*[F.lit(float(t)) for t in SEMDEDUP_HASH_TAU_GRID])
     hits = pairs.select(
@@ -2214,15 +2240,32 @@ def q_semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .clustering import _points, lloyd_assignments
 
     pts = _points(spark, sf_dir)
-    a = pts.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
-    b = pts.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
-    tp = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .filter(
-            F.round(V.cosine(F.col("ea"), F.col("eb")), 6) > SEMDEDUP_TAU
-        )
-        .select("va", "vb")
+    # the truth side is a BroadcastNestedLoopJoin by design (it IS the
+    # brute force); three things keep it from running near-serial with
+    # three interpreted array folds per ordered pair (88 s cold at
+    # sf0.1): norms precomputed once per row (ONE fold — the dot — per
+    # pair; numerically identical), the cheap id-order conjunct placed
+    # BEFORE the cosine so only unordered pairs evaluate it, and the
+    # stream side spread over the full core count (the persisted points
+    # table otherwise arrives in one scan partition)
+    a = pts.select(
+        F.col("vec_id").alias("va"),
+        F.col("emb").alias("ea"),
+        V.norm(F.col("emb")).alias("na"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = pts.select(
+        F.col("vec_id").alias("vb"),
+        F.col("emb").alias("eb"),
+        V.norm(F.col("emb")).alias("nb"),
     )
+    pair_cos = V.dot(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
+    tp = a.join(
+        b,
+        (F.col("va") < F.col("vb"))
+        & (F.round(pair_cos, 6) > SEMDEDUP_TAU),
+    ).select("va", "vb")
     asg = lloyd_assignments(spark, sf_dir).select("vec_id", "cluster")
     j = (
         tp.join(asg.select(F.col("vec_id").alias("va"), F.col("cluster").alias("ca")), "va")
