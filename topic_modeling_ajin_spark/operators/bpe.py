@@ -123,8 +123,16 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
             .withColumn("seq", _char_seq("word"))
             .persist()
         )
-        seq.count()
         merges = []
+        # ONE job per round, not two: each round's top-pair collect is
+        # the first action over the (persisted) current seq, so it
+        # materializes the previous round's merge application as a side
+        # effect of counting pairs — the separate count() that existed
+        # only to materialize-before-unpersist is gone, halving the
+        # driver-coordinated job count of the fit. The parent table is
+        # unpersisted AFTER the collect that cached its child, so no
+        # round ever recomputes the chain.
+        parent = None
         for rank in range(1, BPE_MERGES + 1):
             best = (
                 _pair_counts(seq)
@@ -132,13 +140,15 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
                 .limit(1)
                 .collect()
             )
+            if parent is not None:  # seq is cached now; parent is free
+                parent.unpersist()
+                parent = None
             if not best:  # vocabulary exhausted (every word one symbol)
                 break
             lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
             merges.append((rank, lhs, rhs, int(n)))
             nxt = _apply_merge(seq, lhs, rhs).persist()
-            nxt.count()  # materialize BEFORE dropping the parent
-            seq.unpersist()
+            parent = seq
             seq = nxt
         # collapse the 12-round lineage to a LogicalRDD (the
         # _manifest_base discipline): the final seq table is persisted,
@@ -148,6 +158,8 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
         # token ids) at sf0.01
         final = seq.localCheckpoint()
         seq.unpersist()
+        if parent is not None:  # last round's parent fed the checkpoint
+            parent.unpersist()
         return merges, final
 
     return memo(spark, ("bpe_fit", sf_dir), build)
