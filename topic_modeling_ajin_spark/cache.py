@@ -19,11 +19,23 @@ releases both.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, Any] = {}
+# memo is now callable from several driver threads at once (the composed
+# verdict-table builders overlap independent gate chains per guide §2.6's
+# concurrent-jobs pattern): a global registry lock guards the dict, and a
+# per-key build lock makes two threads racing the SAME key serialize —
+# one builds, the other waits and reads the memo — instead of both
+# building (double work, double persist of semantically-equal plans: the
+# exact bug class this registry exists to prevent). Lock order follows
+# the build-dependency DAG (a build holding key X only ever acquires
+# locks for its own sub-chains), so no cycle is possible.
+_REGISTRY_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
 
 
 def memo(
@@ -41,13 +53,51 @@ def memo(
     k = (spark, key)
     if k in _CACHE:
         return _CACHE[k]
-    val = build()
-    if persist:
-        val = val.persist()
-        if eager:
-            val.count()
-    _CACHE[k] = val
+    with _REGISTRY_LOCK:
+        if k in _CACHE:
+            return _CACHE[k]
+        lock = _KEY_LOCKS.setdefault(k, threading.Lock())
+    with lock:
+        if k in _CACHE:
+            return _CACHE[k]
+        val = build()
+        if persist:
+            val = val.persist()
+            if eager:
+                val.count()
+        with _REGISTRY_LOCK:
+            _CACHE[k] = val
     return val
+
+
+def build_concurrently(builders: list[Callable[[], Any]]) -> list[Any]:
+    """Run independent memoized-chain builders from driver threads and
+    return their results in order (guide §2.6: Spark happily runs several
+    jobs at once inside one application; chains are only sequential
+    because the driver calls their eager sections sequentially).
+
+    The win is for COLD composed queries: the gate chains a manifest or
+    data card joins are independent until the final join, but several of
+    them contain driver-coordinated eager sections (the BPE fit's
+    per-round collects, k-means/EM iterations, model-sized plan collects,
+    localCheckpoint materializations) that leave most of the cluster idle
+    while they run one after another. Building them from a small thread
+    pool lets one chain's tiny jobs back-fill executors the other chains
+    are not using; FIFO scheduling keeps the earliest chain prioritized.
+    Results are deterministic: each builder returns the same memoized
+    value it would have built serially (memo's per-key locks serialize
+    shared sub-chains), only the wall-clock overlaps.
+
+    The first builder exception propagates (after all threads finish, so
+    no half-built chain is abandoned mid-persist)."""
+    if len(builders) <= 1:
+        return [b() for b in builders]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = [pool.submit(b) for b in builders]
+        # collect in submission order; .result() re-raises build errors
+        return [f.result() for f in futures]
 
 
 def _unpersist(val: Any) -> None:
@@ -65,9 +115,11 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     """Unpersist and drop every memoized value (optionally only one
     session's). Returns the number of entries released."""
     n = 0
-    for k in list(_CACHE):
-        if spark is not None and k[0] is not spark:
-            continue
-        _unpersist(_CACHE.pop(k))
-        n += 1
+    with _REGISTRY_LOCK:
+        for k in list(_CACHE):
+            if spark is not None and k[0] is not spark:
+                continue
+            _unpersist(_CACHE.pop(k))
+            _KEY_LOCKS.pop(k, None)
+            n += 1
     return n

@@ -1187,26 +1187,6 @@ def semantic_dedup(
     if k is None:
         k = semdedup_default_k(_points(spark, sf_dir).count())
     assigned, centroids = lloyd_fit(spark, sf_dir, k=k, iters=iters)
-    # hot-cluster guard: sizes are a k-row aggregate over the assignment
-    # (map-side combined, model-sized collect — the TextRank discipline:
-    # count BEFORE the quadratic stage, never after it detonates)
-    worst = assigned.groupBy("cluster").count().agg(
-        F.max("count").alias("mx")
-    ).collect()[0]["mx"] or 0
-    # unordered a<b pairs — the count the within-cluster join actually
-    # generates (r6 advice: the ordered-pair formula tripped the guard
-    # at half the documented budget)
-    if worst * (worst - 1) // 2 > max_pairs_per_cluster:
-        raise ValueError(
-            f"semantic_dedup: largest cluster has {worst} members -> "
-            f"{worst * (worst - 1) // 2} candidate pairs, over the "
-            f"per-cluster budget "
-            f"max_pairs_per_cluster={max_pairs_per_cluster}. Raise "
-            "k (finer coarse buckets; default is sqrt(N)), pre-bucket the "
-            "hot cluster with sign-LSH (embedding_near_dup) before the "
-            "cosine test, or raise the budget if the executors can hold "
-            "the pair join."
-        )
     cent = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cluster long, cvec array<double>",
@@ -1231,6 +1211,29 @@ def semantic_dedup(
         ),
         persist=True,
     )
+    # hot-cluster guard: sizes are a k-row aggregate — model-sized
+    # collect, the TextRank discipline: count BEFORE the quadratic pair
+    # stage, never after it detonates. Counted over the PERSISTED cc
+    # table (not the raw assignment): the final Lloyd assignment is an
+    # unpersisted mapInPandas pass, so counting it directly re-executed
+    # the whole Python assign kernel once per guard — the cc scan is the
+    # same k-row aggregate off the cache this guard's consumers populate
+    # anyway. Unordered a<b pairs (r6 advice: the ordered-pair formula
+    # tripped the guard at half the documented budget).
+    worst = cc.groupBy("cluster").count().agg(
+        F.max("count").alias("mx")
+    ).collect()[0]["mx"] or 0
+    if worst * (worst - 1) // 2 > max_pairs_per_cluster:
+        raise ValueError(
+            f"semantic_dedup: largest cluster has {worst} members -> "
+            f"{worst * (worst - 1) // 2} candidate pairs, over the "
+            f"per-cluster budget "
+            f"max_pairs_per_cluster={max_pairs_per_cluster}. Raise "
+            "k (finer coarse buckets; default is sqrt(N)), pre-bucket the "
+            "hot cluster with sign-LSH (embedding_near_dup) before the "
+            "cosine test, or raise the budget if the executors can hold "
+            "the pair join."
+        )
     a = cc.select(
         "cluster",
         F.col("vec_id").alias("va"),
@@ -1711,29 +1714,46 @@ def _register_semantic_dedup_full() -> None:
         from ..functions import vectors as V
 
         def build() -> DataFrame:
-            table_v = semantic_dedup_table(spark, sf_dir).select(
-                F.col("vec_id").alias("doc_id"),
-                "cluster",
-                "cent_cos",
-                "kept",
-                F.lit("table").alias("space"),
-            )
-            hm = _hash_fallback_vectors(spark, sf_dir)
-            # hot-bucket guard (r11 verdict task 3 — the per-cluster
-            # budget discipline of semantic_dedup applied to the
-            # fallback's 2^LSH_BITS sign buckets): the unembedded tail is
-            # exactly the case this branch exists for, so its quadratic
-            # stage must refuse loudly instead of detonating when the
-            # tail is large. Sizes are a <=2^LSH_BITS-row aggregate over
-            # the persisted hash table — model-sized collect BEFORE the
-            # pair join, never after it detonates.
-            worst = (
-                hm.filter(F.col("bucket").isNotNull())
-                .groupBy("bucket")
-                .count()
-                .agg(F.max("count").alias("mx"))
-                .collect()[0]["mx"]
-                or 0
+            from ..cache import build_concurrently
+
+            # the table space (Lloyd fit + dominance over `embeddings`)
+            # and the hash-fallback space (hash-embed the unembedded
+            # tail) touch disjoint inputs and are independent until the
+            # final union — build them from driver threads (guide §2.6)
+            # so the fit's per-iteration collects overlap the tail's
+            # hash-embedding pass instead of serializing the cold chain
+            def hash_branch():
+                # hot-bucket guard (r11 verdict task 3 — the per-cluster
+                # budget discipline of semantic_dedup applied to the
+                # fallback's 2^LSH_BITS sign buckets): the unembedded
+                # tail is exactly the case this branch exists for, so its
+                # quadratic stage must refuse loudly instead of
+                # detonating when the tail is large. Sizes are a
+                # <=2^LSH_BITS-row aggregate over the persisted hash
+                # table — model-sized collect BEFORE the pair join,
+                # never after it detonates.
+                hm = _hash_fallback_vectors(spark, sf_dir)
+                worst = (
+                    hm.filter(F.col("bucket").isNotNull())
+                    .groupBy("bucket")
+                    .count()
+                    .agg(F.max("count").alias("mx"))
+                    .collect()[0]["mx"]
+                    or 0
+                )
+                return hm, worst
+
+            table_v, (hm, worst) = build_concurrently(
+                [
+                    lambda: semantic_dedup_table(spark, sf_dir).select(
+                        F.col("vec_id").alias("doc_id"),
+                        "cluster",
+                        "cent_cos",
+                        "kept",
+                        F.lit("table").alias("space"),
+                    ),
+                    hash_branch,
+                ]
             )
             if worst * (worst - 1) // 2 > SEMDEDUP_HASH_MAX_PAIRS_PER_BUCKET:
                 from .similarity import FALLBACK_MAX_BITS
