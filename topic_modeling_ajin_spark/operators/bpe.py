@@ -96,8 +96,17 @@ def _apply_merge(seq_df: DataFrame, lhs: str, rhs: str) -> DataFrame:
     non-empty), which is exactly the non-overlapping guarantee."""
     a = lhs.replace("\\", "\\\\").replace("'", "\\'")
     b = rhs.replace("\\", "\\\\").replace("'", "\\'")
+    # cheap containment guard before the string-accumulator fold: a word
+    # whose symbol sequence lacks either merge symbol cannot contain the
+    # adjacent pair, and the fold would rebuild it unchanged — two
+    # array_contains probes skip the per-symbol concat/allocation work
+    # for the vast majority of the vocabulary each round (the merged
+    # pair typically touches a small fraction of words). For words that
+    # DO carry both symbols the fold runs exactly as before, so the
+    # resulting sequences are byte-identical.
     fold = f"""
-      split(
+      CASE WHEN array_contains(seq, '{a}') AND array_contains(seq, '{b}')
+      THEN split(
         aggregate(
           slice(seq, 2, size(seq) - 1),
           element_at(seq, 1),
@@ -106,6 +115,7 @@ def _apply_merge(seq_df: DataFrame, lhs: str, rhs: str) -> DataFrame:
                       THEN concat(acc, '{b}')
                       ELSE concat(acc, ' ', s) END
         ), ' ')
+      ELSE seq END
     """
     return seq_df.withColumn("seq", F.expr(fold))
 

@@ -3087,28 +3087,39 @@ def _funnel_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cache import build_concurrently
     from .dedup import q_fingerprint_dedup, q_near_dup_discard
     from .text_analysis import q_curation_filter_report
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    fr = q_curation_filter_report(spark, sf_dir).select("doc_id", "keep")
-    keepers = q_fingerprint_dedup(spark, sf_dir).select(
-        F.col("keeper").alias("doc_id"), F.lit(True).alias("is_keeper")
-    )
-    ndd = q_near_dup_discard(spark, sf_dir).select(
-        F.col("discard_doc_id").alias("doc_id"),
-        F.lit(True).alias("is_near_dup"),
-    )
-    # FULL-coverage SemDeDup (r11 verdict task 1): the flag table carries
-    # which SPACE produced each verdict so the funnel can surface the
-    # hash-fallback share as a first-class coverage row
-    sem = _REG["semantic_dedup_full"].fn(spark, sf_dir).select(
-        "doc_id",
-        (F.col("kept") == 1).alias("sem_ok"),
-        (F.col("space") == "hash").alias("sem_hash"),
-    )
-    mix = q_mixture_sample(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("in_mix")
+    # the five flag chains are independent until the doc-keyed join —
+    # build them from driver threads (guide §2.6, the premix pattern) so
+    # their eager sections overlap on a cold session. The FULL-coverage
+    # SemDeDup flag (r11 verdict task 1) is unchanged: the flag table
+    # carries which SPACE produced each verdict so the funnel can
+    # surface the hash-fallback share as a first-class coverage row.
+    fr, keepers, ndd, sem, mix = build_concurrently(
+        [
+            lambda: q_curation_filter_report(spark, sf_dir).select(
+                "doc_id", "keep"
+            ),
+            lambda: q_fingerprint_dedup(spark, sf_dir).select(
+                F.col("keeper").alias("doc_id"),
+                F.lit(True).alias("is_keeper"),
+            ),
+            lambda: q_near_dup_discard(spark, sf_dir).select(
+                F.col("discard_doc_id").alias("doc_id"),
+                F.lit(True).alias("is_near_dup"),
+            ),
+            lambda: _REG["semantic_dedup_full"].fn(spark, sf_dir).select(
+                "doc_id",
+                (F.col("kept") == 1).alias("sem_ok"),
+                (F.col("space") == "hash").alias("sem_hash"),
+            ),
+            lambda: q_mixture_sample(spark, sf_dir).select(
+                "doc_id", F.lit(True).alias("in_mix")
+            ),
+        ]
     )
     return (
         d.join(fr, "doc_id", "left")
@@ -3371,6 +3382,23 @@ def q_corpus_data_card_by_source(
     from .text_analysis import q_quality_score
 
     def build() -> DataFrame:
+        from ..cache import build_concurrently
+
+        # prewarm the composed chains from driver threads (guide §2.6,
+        # the corpus-card pattern): the two funnels, the strip savings
+        # and the quality verdict are independent until the source-keyed
+        # joins below; their eager sections overlap instead of
+        # serializing the cold build
+        build_concurrently(
+            [
+                lambda: q_quality_score(spark, sf_dir),
+                lambda: q_curation_funnel_by_source(spark, sf_dir),
+                lambda: _REG["curation_funnel_tokens_by_source"].fn(
+                    spark, sf_dir
+                ),
+                lambda: q_strip_savings_by_source(spark, sf_dir),
+            ]
+        )
         d = load_table(spark, sf_dir, "documents")
         base = d.groupBy("source").agg(
             F.count("*").cast("bigint").alias("n_docs"),

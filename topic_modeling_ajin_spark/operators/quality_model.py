@@ -557,14 +557,24 @@ def q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import memo
 
     def build() -> DataFrame:
+        from ..cache import build_concurrently
         from .text_analysis import q_ngram_lm_perplexity, q_quality_score
 
-        qs = q_quality_score(spark, sf_dir).select("doc_id", "quality")
-        ms = q_quality_model_score(spark, sf_dir).select(
-            "doc_id", F.col("score").alias("model_score")
-        )
-        lm = q_ngram_lm_perplexity(spark, sf_dir).select(
-            "doc_id", "perplexity"
+        # three independent tiers until the doc-keyed join (guide §2.6):
+        # the trained-model fit's per-round collects overlap the LM's
+        # bigram-model build instead of serializing the cold panel
+        qs, ms, lm = build_concurrently(
+            [
+                lambda: q_quality_score(spark, sf_dir).select(
+                    "doc_id", "quality"
+                ),
+                lambda: q_quality_model_score(spark, sf_dir).select(
+                    "doc_id", F.col("score").alias("model_score")
+                ),
+                lambda: q_ngram_lm_perplexity(spark, sf_dir).select(
+                    "doc_id", "perplexity"
+                ),
+            ]
         )
         return qs.join(ms, "doc_id").join(lm, "doc_id", "left")
 
