@@ -255,8 +255,41 @@ def hash_embedding_expr(text_col, dim: int = ENCODER_DIM):
             ).otherwise(0),
         ),
     )
-    vf = F.transform(counts, lambda v: v.cast("double"))
-    n = F.sqrt(
-        F.aggregate(vf, F.lit(0.0), lambda acc, x: acc + x * x)
+    # LET-BINDING via a one-element array of struct: column expressions
+    # have no `let`, so referencing `counts` (the whole per-token fold)
+    # or the norm from several places textually INLINES the subtree at
+    # each reference — and subexpression elimination does not reach
+    # inside higher-order-function lambda bodies, so the norm (which
+    # itself contains the fold) was re-evaluated per OUTPUT ELEMENT in
+    # the final normalize transform: ~2*dim+1 full fold evaluations per
+    # row. Binding each stage as a lambda variable evaluates it exactly
+    # once per row; the arithmetic (same counts, same sqrt, same
+    # divisions) is unchanged, so the embedding is bit-identical.
+    bound_counts = F.array(F.struct(counts.alias("c")))
+    bound_norm = F.transform(
+        bound_counts,
+        lambda s: F.struct(
+            F.transform(s["c"], lambda v: v.cast("double")).alias("v"),
+        ),
     )
-    return F.transform(vf, lambda x: F.when(n > 0, x / n).otherwise(x))
+    bound_both = F.transform(
+        bound_norm,
+        lambda s: F.struct(
+            s["v"].alias("v"),
+            F.sqrt(
+                F.aggregate(
+                    s["v"], F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("n"),
+        ),
+    )
+    return F.element_at(
+        F.transform(
+            bound_both,
+            lambda s: F.transform(
+                s["v"],
+                lambda x: F.when(s["n"] > 0, x / s["n"]).otherwise(x),
+            ),
+        ),
+        1,
+    )

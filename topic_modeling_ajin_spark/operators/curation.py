@@ -1344,8 +1344,18 @@ def _register_stripped_manifest() -> None:
         re-count is one explode + broadcast vocab join + doc_id
         re-aggregate; the base manifest is the memoized localCheckpoint
         every manifest variant composes."""
-        base = _manifest(spark, sf_dir, strict=False)
-        per, _ = _strip_chunks(spark, sf_dir)
+        from ..cache import build_concurrently
+
+        # the base manifest's eager localCheckpoint and the strip chain
+        # are independent until the doc-keyed join — overlap them
+        # (guide §2.6); their shared BPE-fit memo serializes on its key
+        # lock, everything else runs in parallel on a cold session
+        base, (per, _) = build_concurrently(
+            [
+                lambda: _manifest(spark, sf_dir, strict=False),
+                lambda: _strip_chunks(spark, sf_dir),
+            ]
+        )
         audit = per.filter(F.col("n_tokens_kept") > 0).select(
             "doc_id", "cleaned_md5"
         )
@@ -2172,18 +2182,23 @@ ORDER BY fr.doc_id
         doc-count manifest."""
         from ..cache import memo
 
-        out = memo(
-            spark,
-            ("manifest_tokens_base", sf_dir),
-            lambda: _manifest_premix(spark, sf_dir)
-            .join(
-                q_mixture_sample_tokens(spark, sf_dir).select(
-                    "doc_id", "lang"
-                ),
-                "doc_id",
+        from ..cache import build_concurrently
+
+        def build() -> DataFrame:
+            # the gate prefix and the token sampler's length-table pass
+            # are independent until the doc-keyed join — overlap them
+            # (guide §2.6, the stripped-manifest pattern)
+            premix, mixt = build_concurrently(
+                [
+                    lambda: _manifest_premix(spark, sf_dir),
+                    lambda: q_mixture_sample_tokens(spark, sf_dir).select(
+                        "doc_id", "lang"
+                    ),
+                ]
             )
-            .localCheckpoint(),
-        )
+            return premix.join(mixt, "doc_id").localCheckpoint()
+
+        out = memo(spark, ("manifest_tokens_base", sf_dir), build)
         return out.select(
             "doc_id", "lang", "quality", "n_bpe_tokens"
         ).orderBy("doc_id")

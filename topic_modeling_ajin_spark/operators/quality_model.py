@@ -301,11 +301,25 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    return feats.select(
+    # two-step select: `score` and `predicted` previously each carried
+    # their own copy of round(sigmoid(w . feat(text))) — and feat() is
+    # the full hash-embedding fold, a higher-order-function tree that
+    # runs interpreted (HOFs have no whole-stage codegen), so the
+    # duplicate was genuinely evaluated twice per row. Referencing the
+    # non-cheap `score` attribute from a second projection evaluates the
+    # tree once (CollapseProject does not inline non-cheap expressions
+    # referenced more than once); values are unchanged — `predicted` is
+    # derived from the identical rounded score either way.
+    scored = feats.select(
         "doc_id",
         F.col("y").alias("teacher_label"),
         F.round(p, 6).alias("score"),
-        (F.round(p, 6) >= 0.5).cast("int").alias("predicted"),
+    )
+    return scored.select(
+        "doc_id",
+        "teacher_label",
+        "score",
+        (F.col("score") >= 0.5).cast("int").alias("predicted"),
     )
 
 

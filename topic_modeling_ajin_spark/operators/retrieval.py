@@ -173,40 +173,53 @@ def bm25_topk_for_queries(
     to the registered query: broadcast query-vocab cut BEFORE any
     aggregation, model-sized df/idf broadcasts, DECIMAL(18,6)-exact
     summation."""
-    stats = t.agg(
-        F.count("*").alias("n_docs"),
+    # ONE corpus pass total (was four tokenize passes per action: the
+    # stats aggregate twice — once per broadcast subtree that
+    # cross-joined it — and the postings build twice, once under the
+    # broadcast idf): the corpus stats ride the postings pass as an
+    # ``observe`` node (count/sum metrics are collected as a side effect
+    # of the localCheckpoint materialization — exact integers, so the
+    # downstream arithmetic is the identical expression over the
+    # identical values), and the CUT postings table — candidate-sized,
+    # query terms only — is materialized once so the idf build and the
+    # scoring join both read it instead of re-running tokenize+cut.
+    # The full (doc_id, term) postings table still never materializes:
+    # the broadcast vocabulary filter runs BEFORE any aggregation.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    tok = t.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("total_toks"),
-    )
-    # one exploded pass over the corpus; dl rides along so no separate
-    # doc-length join is ever needed
-    tok = t.select(
+    ).select(
         "doc_id",
         F.size("toks").cast("bigint").alias("dl"),
         F.explode("toks").alias("term"),
     )
     qvocab = qterm.select("term").distinct()
-    # the broadcast vocabulary filter runs BEFORE any aggregation: only
-    # query-term postings are ever shuffled — the full (doc_id, term)
-    # postings table never materializes
     qpost = (
         tok.join(F.broadcast(qvocab), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
+    srow = obs.get  # available: the checkpoint already ran the pass
+    n_docs = int(srow["n_docs"])
+    total_toks = int(srow["total_toks"] or 0)
     idf = (
         qpost.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(stats))
         .select(
             "term",
             F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                (F.lit(n_docs) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5))
                 + F.lit(1.0)
             ).alias("idf"),
         )
     )
-    avgdl = F.col("total_toks") * F.lit(1.0) / F.col("n_docs")
+    avgdl = F.lit(total_toks) * F.lit(1.0) / F.lit(n_docs)
     tf_weight = (
         F.col("tf")
         * (1 + BM25_K1)
@@ -222,7 +235,6 @@ def bm25_topk_for_queries(
         scored = scored.filter(F.col("cand_id") != F.col("query_id"))
     scored = (
         scored.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", F.col("cand_id").alias("doc_id"))
         .agg(
             F.sum(
