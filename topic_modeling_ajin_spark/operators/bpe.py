@@ -128,21 +128,25 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     form of every corpus word."""
 
     def build():
+        # every round's table is a LAZY localCheckpoint: the next
+        # round's top-pair collect is the first action over it, so one
+        # job per round both materializes the merge application and
+        # counts pairs — and, critically, every round's logical plan is
+        # a single _apply_merge over a flat LogicalRDD. The previous
+        # persist-chain kept the full 12-round lineage alive, so round t
+        # paid Catalyst analysis of rounds 1..t-1's ~KB-sized fold
+        # expressions again — measured 14-16 s of the fit's wall time at
+        # sf0.1 was this O(rounds^2) re-analysis, not computation (the
+        # sf0.1 vocabulary is 31 rows). Checkpointed round tables are
+        # released by the ContextCleaner when the loop rebinds seq; the
+        # final table returns still lineage-collapsed, exactly what the
+        # downstream consumers (encode, doc lengths, token ids) need.
         seq = (
             _word_vocab(spark, sf_dir)
             .withColumn("seq", _char_seq("word"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         merges = []
-        # ONE job per round, not two: each round's top-pair collect is
-        # the first action over the (persisted) current seq, so it
-        # materializes the previous round's merge application as a side
-        # effect of counting pairs — the separate count() that existed
-        # only to materialize-before-unpersist is gone, halving the
-        # driver-coordinated job count of the fit. The parent table is
-        # unpersisted AFTER the collect that cached its child, so no
-        # round ever recomputes the chain.
-        parent = None
         for rank in range(1, BPE_MERGES + 1):
             best = (
                 _pair_counts(seq)
@@ -150,27 +154,12 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
                 .limit(1)
                 .collect()
             )
-            if parent is not None:  # seq is cached now; parent is free
-                parent.unpersist()
-                parent = None
             if not best:  # vocabulary exhausted (every word one symbol)
                 break
             lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
             merges.append((rank, lhs, rhs, int(n)))
-            nxt = _apply_merge(seq, lhs, rhs).persist()
-            parent = seq
-            seq = nxt
-        # collapse the 12-round lineage to a LogicalRDD (the
-        # _manifest_base discipline): the final seq table is persisted,
-        # but every downstream action still re-ANALYZES the full
-        # per-round tree before the cache lookup — measured tens of
-        # seconds of pure planning per consumer (encode, doc lengths,
-        # token ids) at sf0.01
-        final = seq.localCheckpoint()
-        seq.unpersist()
-        if parent is not None:  # last round's parent fed the checkpoint
-            parent.unpersist()
-        return merges, final
+            seq = _apply_merge(seq, lhs, rhs).localCheckpoint(eager=False)
+        return merges, seq
 
     return memo(spark, ("bpe_fit", sf_dir), build)
 
