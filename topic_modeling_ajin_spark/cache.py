@@ -100,6 +100,20 @@ def build_concurrently(builders: list[Callable[[], Any]]) -> list[Any]:
         return [f.result() for f in futures]
 
 
+def materialized(df: Any) -> Any:
+    """Force a DataFrame's (persisted) backing relation to materialize
+    NOW — for use inside ``build_concurrently`` builders: the composed
+    verdict tables are persisted lazily, so without this the whole gate
+    stack's heavy lazy work runs serially inside the single downstream
+    join/checkpoint job; a count() per builder thread populates the
+    exact caches that job then reads, moving the work into the
+    overlapped section. Scanning an InMemoryRelation materializes all
+    of its columns, so the count is not a pruned shortcut. No-op cost
+    for chains that are already eager (localCheckpoint memos)."""
+    df.count()
+    return df
+
+
 def _unpersist(val: Any) -> None:
     if isinstance(val, DataFrame):
         try:

@@ -1092,7 +1092,7 @@ def _manifest_premix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import memo
 
     def build() -> DataFrame:
-        from ..cache import build_concurrently
+        from ..cache import build_concurrently, materialized
         from ..registry import REGISTRY
         from .dedup import q_fingerprint_dedup, q_near_dup_discard
         from .text_analysis import q_curation_filter_report
@@ -1100,29 +1100,39 @@ def _manifest_premix(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .bpe import q_bpe_token_counts
 
         # the five gate chains are independent until this join; build
-        # them from driver threads (guide §2.6) so their eager sections
-        # — the BPE fit's 12 per-round collects, SemDeDup's clustering
-        # iterations, the near-dup LSH chain — overlap on the cluster
-        # instead of serializing a cold manifest build. The FULL-coverage
-        # SemDeDup input (r11 verdict task 1) is unchanged: every corpus
-        # doc has a verdict row — table space where an embedding exists,
-        # deterministic hash space otherwise — so an unembedded doc is
-        # either kept here or visibly dropped, never silently absent.
+        # AND MATERIALIZE them from driver threads (guide §2.6) so both
+        # their eager sections — the BPE fit's per-round collects,
+        # SemDeDup's clustering iterations — and their persisted lazy
+        # bodies (all five verdicts are memoized+persisted) overlap on
+        # the cluster instead of serializing inside the downstream
+        # join/checkpoint job. The FULL-coverage SemDeDup input (r11
+        # verdict task 1) is unchanged: every corpus doc has a verdict
+        # row — table space where an embedding exists, deterministic
+        # hash space otherwise — so an unembedded doc is either kept
+        # here or visibly dropped, never silently absent.
         fr, keepers, discard, bpec, sem = build_concurrently(
             [
-                lambda: q_curation_filter_report(spark, sf_dir).filter(
-                    F.col("keep")
+                lambda: materialized(
+                    q_curation_filter_report(spark, sf_dir).filter(
+                        F.col("keep")
+                    )
                 ),
-                lambda: q_fingerprint_dedup(spark, sf_dir).select(
-                    F.col("keeper").alias("doc_id")
+                lambda: materialized(
+                    q_fingerprint_dedup(spark, sf_dir).select(
+                        F.col("keeper").alias("doc_id")
+                    )
                 ),
-                lambda: q_near_dup_discard(spark, sf_dir).select(
-                    F.col("discard_doc_id").alias("doc_id")
+                lambda: materialized(
+                    q_near_dup_discard(spark, sf_dir).select(
+                        F.col("discard_doc_id").alias("doc_id")
+                    )
                 ),
-                lambda: q_bpe_token_counts(spark, sf_dir).select(
-                    "doc_id", "n_bpe_tokens"
+                lambda: materialized(
+                    q_bpe_token_counts(spark, sf_dir).select(
+                        "doc_id", "n_bpe_tokens"
+                    )
                 ),
-                lambda: (
+                lambda: materialized(
                     REGISTRY["semantic_dedup_full"]
                     .fn(spark, sf_dir)
                     .filter(F.col("kept") == 1)
@@ -2825,16 +2835,28 @@ def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result of every builder is byte-identical to the serial build
     # — only the wall-clock overlaps. The assembly below then reads
     # warm memos.
+    from ..cache import materialized
+
     build_concurrently(
         [
-            lambda: q_quality_score(spark, sf_dir),
-            lambda: q_fingerprint_dedup(spark, sf_dir),
-            lambda: q_near_dup_discard(spark, sf_dir),
-            lambda: q_doc_decontam(spark, sf_dir),
-            lambda: _REG["semantic_dedup_full"].fn(spark, sf_dir),
+            # memoized+persisted verdict tables: materialize in-thread
+            # so their heavy lazy bodies overlap too (the assembly job
+            # then reads warm caches)
+            lambda: materialized(q_quality_score(spark, sf_dir)),
+            lambda: materialized(q_fingerprint_dedup(spark, sf_dir)),
+            lambda: materialized(q_near_dup_discard(spark, sf_dir)),
+            lambda: materialized(q_doc_decontam(spark, sf_dir)),
+            lambda: materialized(
+                _REG["semantic_dedup_full"].fn(spark, sf_dir)
+            ),
+            lambda: materialized(q_doc_winnow_boilerplate(spark, sf_dir)),
+            # construction-only prewarms: the recall evals are
+            # unmemoized 1-row harnesses over persisted inputs (an
+            # in-thread count would run their truth-side joins twice),
+            # the manifest variants are eager localCheckpoint memos
+            # already, and the rollups are cheap reads of warm flags
             lambda: _REG["semdedup_recall_eval"].fn(spark, sf_dir),
             lambda: _REG["semdedup_hash_recall_eval"].fn(spark, sf_dir),
-            lambda: q_doc_winnow_boilerplate(spark, sf_dir),
             lambda: q_strip_savings_report(spark, sf_dir),
             lambda: q_training_corpus_manifest(spark, sf_dir),
             lambda: _REG["training_corpus_manifest_stripped"].fn(
@@ -3113,23 +3135,33 @@ def _funnel_flags_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup flag (r11 verdict task 1) is unchanged: the flag table
     # carries which SPACE produced each verdict so the funnel can
     # surface the hash-fallback share as a first-class coverage row.
+    from ..cache import materialized
+
     fr, keepers, ndd, sem, mix = build_concurrently(
         [
-            lambda: q_curation_filter_report(spark, sf_dir).select(
-                "doc_id", "keep"
+            lambda: materialized(
+                q_curation_filter_report(spark, sf_dir).select(
+                    "doc_id", "keep"
+                )
             ),
-            lambda: q_fingerprint_dedup(spark, sf_dir).select(
-                F.col("keeper").alias("doc_id"),
-                F.lit(True).alias("is_keeper"),
+            lambda: materialized(
+                q_fingerprint_dedup(spark, sf_dir).select(
+                    F.col("keeper").alias("doc_id"),
+                    F.lit(True).alias("is_keeper"),
+                )
             ),
-            lambda: q_near_dup_discard(spark, sf_dir).select(
-                F.col("discard_doc_id").alias("doc_id"),
-                F.lit(True).alias("is_near_dup"),
+            lambda: materialized(
+                q_near_dup_discard(spark, sf_dir).select(
+                    F.col("discard_doc_id").alias("doc_id"),
+                    F.lit(True).alias("is_near_dup"),
+                )
             ),
-            lambda: _REG["semantic_dedup_full"].fn(spark, sf_dir).select(
-                "doc_id",
-                (F.col("kept") == 1).alias("sem_ok"),
-                (F.col("space") == "hash").alias("sem_hash"),
+            lambda: materialized(
+                _REG["semantic_dedup_full"].fn(spark, sf_dir).select(
+                    "doc_id",
+                    (F.col("kept") == 1).alias("sem_ok"),
+                    (F.col("space") == "hash").alias("sem_hash"),
+                )
             ),
             lambda: q_mixture_sample(spark, sf_dir).select(
                 "doc_id", F.lit(True).alias("in_mix")
@@ -3404,9 +3436,11 @@ def q_corpus_data_card_by_source(
         # and the quality verdict are independent until the source-keyed
         # joins below; their eager sections overlap instead of
         # serializing the cold build
+        from ..cache import materialized
+
         build_concurrently(
             [
-                lambda: q_quality_score(spark, sf_dir),
+                lambda: materialized(q_quality_score(spark, sf_dir)),
                 lambda: q_curation_funnel_by_source(spark, sf_dir),
                 lambda: _REG["curation_funnel_tokens_by_source"].fn(
                     spark, sf_dir

@@ -1743,9 +1743,17 @@ def _register_semantic_dedup_full() -> None:
                 )
                 return hm, worst
 
+            from ..cache import materialized
+
             table_v, (hm, worst) = build_concurrently(
                 [
-                    lambda: semantic_dedup_table(spark, sf_dir).select(
+                    # the table verdict is memoized+persisted:
+                    # materialize in-thread so the dominance join's lazy
+                    # body overlaps the hash branch (the union job then
+                    # reads a warm cache)
+                    lambda: materialized(
+                        semantic_dedup_table(spark, sf_dir)
+                    ).select(
                         F.col("vec_id").alias("doc_id"),
                         "cluster",
                         "cent_cos",

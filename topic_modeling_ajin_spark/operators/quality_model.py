@@ -577,11 +577,20 @@ def q_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three independent tiers until the doc-keyed join (guide §2.6):
         # the trained-model fit's per-round collects overlap the LM's
         # bigram-model build instead of serializing the cold panel
+        from ..cache import materialized
+
         qs, ms, lm = build_concurrently(
             [
-                lambda: q_quality_score(spark, sf_dir).select(
-                    "doc_id", "quality"
+                # persisted verdict: materialize in-thread so its lazy
+                # body overlaps the trained-model fit
+                lambda: materialized(
+                    q_quality_score(spark, sf_dir).select(
+                        "doc_id", "quality"
+                    )
                 ),
+                # scoring is an unmemoized projection (the fit behind it
+                # IS the eager part) — an in-thread count would score
+                # the corpus twice, so construction only
                 lambda: q_quality_model_score(spark, sf_dir).select(
                     "doc_id", F.col("score").alias("model_score")
                 ),
