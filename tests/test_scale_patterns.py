@@ -222,18 +222,25 @@ def test_source_js_divergence_broadcasts_vocab(spark, sf_dir):
 
 
 def test_bm25_never_shuffles_full_postings(spark, sf_dir):
-    """BM25's corpus-wide work must be ONE exploded scan cut to query
+    """BM25's corpus-wide work must be ONE tokenize pass cut to query
     terms by a broadcast vocabulary filter BEFORE any aggregation — the
     full (doc_id, term) postings table must never shuffle, and no join
-    may sort-merge. The idf/stats sides are model-sized broadcasts."""
+    may sort-merge. Since the r13 one-pass restructure the CUT postings
+    are localCheckpointed at construction (corpus stats ride that same
+    pass as observe metrics), so the returned plan reads the checkpoint
+    (ExistingRDD) and never re-tokenizes the corpus; the idf and query
+    joins remain model-sized broadcasts."""
     from topic_modeling_ajin_spark.operators.retrieval import q_bm25_topk
 
     plan = q_bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
     # the broadcast vocab cut feeds the postings aggregation, not vice
     # versa: every hash aggregate keyed on term sits above the join
     assert "CartesianProduct" not in plan
+    # the corpus pass happened once, at construction: the scoring plan
+    # consumes the checkpointed cut postings, not a fresh corpus scan
+    assert "ExistingRDD" in plan
 
 
 def test_winnowing_window_is_doc_partitioned(spark, sf_dir):

@@ -2039,8 +2039,22 @@ def q_mixture_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever forms one giant sort partition (the ``pack_sequences`` /
     ``domain_cap_salted`` discipline). Budgets are engine-computed and
     collected (langs-bounded), never re-derived driver-side."""
-    return token_budget_selection(mixtok_lengths(spark, sf_dir)).orderBy(
-        "doc_id"
+    return mixture_token_selection(spark, sf_dir).orderBy("doc_id")
+
+
+def mixture_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized+persisted token-budget selection verdict
+    (doc_id, lang, n_tokens) — the registered sampler AND the fill
+    report compose it, and un-memoized each call re-paid the two-phase
+    prefix sum INCLUDING its per-(lang, stride) driver collect (guide
+    §1.2 step 1: the verdict-table discipline applied to the sampler)."""
+    from ..cache import memo
+
+    return memo(
+        spark,
+        ("mixture_token_selection", sf_dir),
+        lambda: token_budget_selection(mixtok_lengths(spark, sf_dir)),
+        persist=True,
     )
 
 
@@ -2325,7 +2339,9 @@ ORDER BY b.lang
             .alias("token_budget"),
         )
         kept = (
-            q_mixture_sample_tokens(spark, sf_dir)
+            # the memoized selection verdict directly — same rows as the
+            # registered sampler minus its presentation orderBy
+            mixture_token_selection(spark, sf_dir)
             .groupBy("lang")
             .agg(
                 F.count("*").cast("bigint").alias("n_docs_kept"),

@@ -26,6 +26,26 @@ from ..sources import load_table, parallelized
 from .topics import SQL_CTFIDF, class_term_weights, topk_keywords
 
 
+def _topic_word_list(spark: SparkSession, sf_dir: str) -> list:
+    """Distinct topic keywords as a driver-side list, memoized per
+    (session, dataset). The window-cooc kernels close over this
+    K·k-bounded vocabulary; re-collecting it from the persisted topk
+    table cost each coherence metric one extra driver job per
+    invocation (guide §1.2 step 1 — the list cannot change within a
+    session, the topk table itself is memoized)."""
+    return memo(
+        spark,
+        ("topic_word_list", sf_dir),
+        lambda: sorted(
+            r.word
+            for r in topk_keywords(spark, sf_dir)
+            .select("word")
+            .distinct()
+            .collect()
+        ),
+    )
+
+
 @register(
     "topic_diversity",
     sql=f"""
@@ -186,7 +206,7 @@ def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
 
     topk = topk_keywords(spark, sf_dir)
-    words = [r.word for r in topk.select("word").distinct().collect()]
+    words = _topic_word_list(spark, sf_dir)
     # Document co-occurrence is the sliding-window kernel's degenerate case:
     # one window spanning the whole document (W ≥ any doc length) — the
     # per-doc membership vector's Gram matrix counts D(w) on the diagonal
@@ -232,6 +252,10 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int, memo_key=None):
     words (tiny by construction — the broadcast side). Returns
     (t_total, wc, pc): total window count, per-word window counts
     (word, cw), and per-pair window counts (wa, wb, cab) with wa < wb.
+    All three derive from ONE memoized kernel pass: the corpus-wide
+    window total travels as a sentinel (ia = ja = -1) row of the counts
+    table rather than as its own full-scan aggregate, so a warm caller
+    reads every statistic from the persisted K·k-bounded table.
 
     Scale design: the naive plan explodes every topic-word occurrence into
     its ≤W overlapping windows and self-joins the (doc, window, word)
@@ -254,10 +278,6 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int, memo_key=None):
     V = len(words)
     vocab = {w: i for i, w in enumerate(words)}
 
-    t_total = toks.select(
-        F.greatest(F.size("toks") - (W - 1), F.lit(1)).alias("nw")
-    ).agg(F.sum("nw").alias("t"))
-
     # Bound per-task memory regardless of document length: the Gram matrix
     # over all window rows equals the sum of Grams over disjoint window-row
     # chunks, so a very long document (nw ~ token count) costs at most
@@ -268,9 +288,16 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int, memo_key=None):
     def kernel(batches):
         acc = np.zeros((V, V), dtype=np.int64)
         touched = False
+        # the corpus-wide window total rides the SAME pass as the Gram
+        # accumulation (sentinel row ia = ja = -1): computing it as a
+        # separate toks aggregate cost every caller a second full
+        # tokenize scan per invocation (guide §1.2 step 1 / §2.3 — the
+        # memoized counts table already visits every document)
+        total = 0
         for pdf in batches:
             for tok_arr in pdf["toks"]:
                 n = len(tok_arr)
+                total += max(n - W + 1, 1)  # = greatest(size-(W-1), 1)
                 if n == 0:
                     continue
                 ids = np.fromiter(
@@ -304,6 +331,7 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int, memo_key=None):
                         M[left - s0 : right - s0 + 1, w_id] = 1
                     M64 = M.astype(np.int64)
                     acc += M64.T @ M64
+        yield pd.DataFrame({"ia": [-1], "ja": [-1], "cnt": [total]})
         if touched:
             iu = np.triu_indices(V)
             cnt = acc[iu]
@@ -337,9 +365,12 @@ def _window_cooc(toks: DataFrame, topic_words: list, W: int, memo_key=None):
     # convention of the oracle
     warr = F.array(*[F.lit(w) for w in words])
     word_at = lambda c: F.element_at(warr, F.col(c) + 1)  # noqa: E731
-    wc = counts.filter(F.col("ia") == F.col("ja")).select(
-        word_at("ia").alias("word"), F.col("cnt").alias("cw")
+    t_total = counts.filter(F.col("ia") == -1).select(
+        F.col("cnt").alias("t")
     )
+    wc = counts.filter(
+        (F.col("ia") == F.col("ja")) & (F.col("ia") >= 0)
+    ).select(word_at("ia").alias("word"), F.col("cnt").alias("cw"))
     pc = counts.filter(F.col("ia") < F.col("ja")).select(
         word_at("ia").alias("wa"),
         word_at("ja").alias("wb"),
@@ -426,7 +457,7 @@ def q_npmi_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
 
     topk = topk_keywords(spark, sf_dir)
-    words = [r.word for r in topk.select("word").distinct().collect()]
+    words = _topic_word_list(spark, sf_dir)
 
     toks = d.select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")
@@ -618,7 +649,7 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     W = CV_WINDOW
     d = parallelized(load_table(spark, sf_dir, "documents"))
     topk = topk_keywords(spark, sf_dir)
-    words = [r.word for r in topk.select("word").distinct().collect()]
+    words = _topic_word_list(spark, sf_dir)
 
     toks = d.select(
         "doc_id", TX.length_band(TX.tokens("text"), 2, 10_000).alias("toks")

@@ -402,7 +402,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus (measured 1.86s -> 1.52s median at sf0.1; the duplicated tf
     # subtree is coalesced at runtime)
     dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
-    n_docs = d.count()
+    # corpus-constant scalar, memoized per session (parquet-footer count,
+    # but still one driver job per invocation un-memoized)
+    from ..cache import memo
+
+    n_docs = memo(spark, ("n_docs", sf_dir), d.count)
     # dfc is vocab-sized — corpus-unbounded — and NOT persisted (a
     # count-based vocab_broadcast would re-run the tokenize), so the
     # join carries no forced hint: AQE sees dfc's true runtime size and
@@ -1902,10 +1906,20 @@ def q_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _doc_bigram_pairs(spark, sf_dir)
     bmodel = pairs.groupBy("a", "b").agg(F.count("*").alias("cab"))
     ctx = bmodel.groupBy("a").agg(F.sum("cab").alias("ca"))
-    vocab = (
-        _docs(spark, sf_dir)
+    # the Laplace V is a corpus constant (one row) that cannot be derived
+    # from the pair table (single-token docs and final tokens are absent
+    # there) — memoized+persisted so only the FIRST scoring call per
+    # session pays the vocabulary scan; un-memoized, every call
+    # re-tokenized the whole corpus for one integer (guide §1.2 step 1)
+    from ..cache import memo
+
+    vocab = memo(
+        spark,
+        ("lm_vocab_size", sf_dir),
+        lambda: _docs(spark, sf_dir)
         .select(F.explode(TX.word_tokens("text")).alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
+        .agg(F.countDistinct("w").alias("v")),
+        persist=True,
     )
     model = (
         bmodel.join(ctx, "a")
