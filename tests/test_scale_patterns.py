@@ -243,6 +243,26 @@ def test_bm25_never_shuffles_full_postings(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_simhash16_is_shuffle_free(spark, sf_dir):
+    """SimHash is a row-local function of each doc's own token array —
+    the plan must contain no Exchange (the old explode + groupBy(doc_id)
+    form shuffled every token row only to regroup rows that were never
+    apart) and the fingerprint kernel must be the only Python node."""
+    from topic_modeling_ajin_spark.operators.text_analysis import q_simhash16
+
+    plan = (
+        q_simhash16(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only allowed Exchange is parallelized()'s round-robin scan
+    # fan-out; the old form's Exchange hashpartitioning(doc_id) — a
+    # shuffle of every token row — must be gone
+    assert "hashpartitioning" not in plan, plan[:800]
+    assert "MapInPandas" in plan
+
+
 def test_winnowing_window_is_doc_partitioned(spark, sf_dir):
     """Winnowing's sliding-min window must partition by doc_id (doc-local,
     no global window) and the pair stage must equi-join on the fingerprint

@@ -236,27 +236,33 @@ def dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-ngram occurrences of ln p_target(bucket) - ln p_raw(bucket),
     both Laplace-smoothed over {DSIR_BUCKETS} buckets."""
     feats = _dsir_feats(spark, sf_dir)
-    raw = feats.groupBy("bucket").agg(F.count("*").alias("craw"))
-    tgt = (
-        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ctgt"))
-    )
-    tots = feats.agg(
-        F.count("*").alias("traw"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("ttgt"),
-    )
-    # bucket-weight table: <= {DSIR_BUCKETS} rows, broadcast into scoring
-    w = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
+
+    # bucket-weight table: <= {DSIR_BUCKETS} rows, broadcast into scoring.
+    # Memoized+persisted — it is a corpus constant shared by three
+    # registered faces (logweights, select, curated_select), and built in
+    # ONE aggregation pass: raw and target counts fold into a single
+    # groupBy (a bucket with no target rows yields ctgt = 0, exactly the
+    # old left-join's coalesce(ctgt, 0)), and the totals are the sums of
+    # that {DSIR_BUCKETS}-bounded table — the previous raw/tgt/tots trio
+    # re-scanned the feature table three times per call (guide §1.2
+    # step 1 / §2.3).
+    from ..cache import memo
+
+    def build_w() -> DataFrame:
+        bc = feats.groupBy("bucket").agg(
+            F.count("*").alias("craw"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ctgt"),
+        )
+        tots = bc.agg(
+            F.sum("craw").alias("traw"), F.sum("ctgt").alias("ttgt")
+        )
+        return bc.crossJoin(F.broadcast(tots)).select(
             "bucket",
             (
                 F.log(
-                    (F.coalesce(F.col("ctgt"), F.lit(0)) + 1)
+                    (F.col("ctgt") + 1)
                     / (F.col("ttgt") + F.lit(DSIR_BUCKETS))
                 )
                 - F.log(
@@ -264,7 +270,8 @@ def dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("lw"),
         )
-    )
+
+    w = memo(spark, ("dsir_bucket_weights", sf_dir), build_w, persist=True)
     return (
         feats.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")

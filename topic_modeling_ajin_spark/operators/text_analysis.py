@@ -290,23 +290,56 @@ def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 64). Near-dup docs land on nearby hashes — grouping by simhash (or
     by bit-bands of it) is an O(N) near-dup prefilter, the cheap cousin of
     MinHash-LSH. Hash source is md5 nibbles so the DuckDB oracle verifies
-    the *exact* bit math."""
-    df = _docs(spark, sf_dir)
-    tok = df.select("doc_id", F.explode(TX.word_tokens("text")).alias("word"))
-    v = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("int")
-    hv = tok.select("doc_id", v.alias("v"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("v"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(_SIMHASH_BITS)
-    ]
-    bits = hv.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    the *exact* bit math.
+
+    Computed as an Arrow-batched kernel (the ``minhash_signatures``
+    pattern): each doc's fingerprint is a row-local function of its own
+    token array, so the previous explode + groupBy(doc_id) shuffled
+    every token row only to regroup rows that were never apart —
+    doc_id is unique per input row (guide §2.4: remove shuffles
+    outright). The kernel hashes each token once in C (hashlib md5 ==
+    Spark md5 == DuckDB md5 on UTF-8 bytes) and takes vectorized ±1 bit
+    votes; integer arithmetic throughout, values byte-identical to the
+    aggregate form. Token-less docs emit no row, exactly as the explode
+    dropped them."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id", TX.word_tokens("text").alias("toks")
+    )
+    bit_idx = np.arange(_SIMHASH_BITS, dtype=np.int64)
+    weights = np.int64(1) << bit_idx
+
+    def kernel(batches):
+        for pdf in batches:
+            ids: list = []
+            out: list = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                n = len(toks)
+                if n == 0:
+                    continue
+                v = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16)
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                votes = (((v[:, None] >> bit_idx) & 1) * 2 - 1).sum(axis=0)
+                ids.append(doc_id)
+                out.append(int(((votes > 0) * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema="doc_id long, simhash long")
 
 
 @register(
@@ -1370,25 +1403,14 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     every PageRank round is a join over a broadcast-sized edge table —
     iterative graph analytics whose per-round cost is independent of
     corpus size."""
-    d = _docs(spark, sf_dir)
-    toks = d.select(TX.word_tokens("text").alias("toks"))
-    bigrams = toks.select(
-        F.explode(
-            F.filter(
-                F.transform(
-                    "toks",
-                    lambda t, i: F.when(
-                        i < F.size("toks") - 1,
-                        F.struct(
-                            t.alias("a"), F.element_at("toks", i + 2).alias("b")
-                        ),
-                    ),
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").filter(
-        (F.length("a") >= 2) & (F.length("b") >= 2)
+    # the adjacent-pair stream IS the memoized LM pair table (same
+    # tokenizer, same adjacency) — reusing it makes the cold edge build
+    # read one persisted table instead of re-exploding the corpus under
+    # each of the counts/edge-union branches (guide §1.2 step 1)
+    bigrams = (
+        _doc_bigram_pairs(spark, sf_dir)
+        .select("a", "b")
+        .filter((F.length("a") >= 2) & (F.length("b") >= 2))
     )
     counts = (
         bigrams.select(F.col("a").alias("word"))
@@ -1433,19 +1455,24 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warms the persisted edge cache the collect reuses). Beyond the cap,
     # driver-side iteration is the wrong plan — refuse with the
     # distributed alternative named rather than OOM the driver.
-    n_edges = und.count()
-    if n_edges > TEXTRANK_MAX_DRIVER_EDGES:
-        raise ValueError(
-            f"TextRank edge table has {n_edges} rows, over the driver "
-            f"budget TEXTRANK_MAX_DRIVER_EDGES={TEXTRANK_MAX_DRIVER_EDGES}."
-            " Lower TEXTRANK_VOCAB, or iterate distributed: keep pr as a"
-            " DataFrame and replay each round as the contribution join +"
-            " aggregate that _sql_textrank() spells out (join und on src,"
-            " sum pr*w/s per dst, damp, round), persisting pr per round."
-        )
-    edges = sorted(
-        ((r["src"], r["dst"], r["w"]) for r in und.collect())
-    )
+    # The collected list is itself memoized (the fitted-model
+    # discipline, like _qm_fit's weights): un-memoized, every call
+    # re-paid the count + collect jobs for an identical model-sized
+    # edge list.
+    def build_edges() -> list:
+        n_edges = und.count()
+        if n_edges > TEXTRANK_MAX_DRIVER_EDGES:
+            raise ValueError(
+                f"TextRank edge table has {n_edges} rows, over the driver "
+                f"budget TEXTRANK_MAX_DRIVER_EDGES={TEXTRANK_MAX_DRIVER_EDGES}."
+                " Lower TEXTRANK_VOCAB, or iterate distributed: keep pr as a"
+                " DataFrame and replay each round as the contribution join +"
+                " aggregate that _sql_textrank() spells out (join und on src,"
+                " sum pr*w/s per dst, damp, round), persisting pr per round."
+            )
+        return sorted((r["src"], r["dst"], r["w"]) for r in und.collect())
+
+    edges = memo(spark, ("textrank_edges_list", sf_dir), build_edges)
     strength: dict = {}
     for s, _, wgt in edges:
         strength[s] = strength.get(s, 0.0) + wgt
