@@ -178,6 +178,31 @@ def test_hash_embedding_expr_bit_identical_to_kernel(spark, sf_dir):
         assert list(got[r["doc_id"]]) == list(e), r["doc_id"]
 
 
+def test_hash_embedding_udf_bit_identical_to_expr(spark, sf_dir):
+    """The Arrow-batched UDF face (the batch scoring path) must equal
+    the pure-expression face bit-for-bit on real data AND on NULL/empty
+    text — all three faces (kernel, expression, UDF) are one function."""
+    from pyspark.sql import functions as F
+
+    from topic_modeling_ajin_spark.functions.encoder import (
+        hash_embedding_expr,
+        hash_embedding_udf,
+    )
+    from topic_modeling_ajin_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nulls = spark.createDataFrame(
+        [(-1, None), (-2, "")], "doc_id long, text string"
+    )
+    both = docs.unionByName(nulls).select(
+        "doc_id",
+        hash_embedding_expr("text").alias("e"),
+        hash_embedding_udf("text").alias("u"),
+    )
+    for r in both.collect():
+        assert list(r["e"]) == list(r["u"]), r["doc_id"]
+
+
 def test_hash_embedding_expr_null_text_equals_kernel_empty(spark):
     """NULL text through the pure expression must equal the kernel's
     (t or '') zero vector — not a NULL embedding (r5 review)."""

@@ -293,3 +293,26 @@ def hash_embedding_expr(text_col, dim: int = ENCODER_DIM):
         ),
         1,
     )
+
+
+def hash_embedding_udf(text_col, dim: int = ENCODER_DIM):
+    """The hash embedding as an Arrow-batched scalar pandas UDF — the
+    THIRD face of the same function, for BATCH scoring sites: values
+    bit-identical to ``hash_embed_texts`` (it IS that kernel, applied
+    per Arrow batch: md5 in C + numpy integer accumulation + the same
+    float64 normalize) and therefore to ``hash_embedding_expr``
+    (parity-pinned by test_encoder). Row-local like the expression
+    (ArrowEvalPython, no shuffle, composes inline with other columns),
+    but each batch costs one vectorized pass instead of ~16 interpreted
+    higher-order-function evaluations per token (HOF lambdas are
+    CodegenFallback — guide §4.1/§4.2). The streaming gate keeps the
+    pure-expression face: a micro-batch filter must stay a stateless
+    column predicate."""
+    import pandas as pd  # noqa: F811 (kernel-local, executor side)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _emb(texts: pd.Series) -> pd.Series:
+        return pd.Series(hash_embed_texts(texts, dim))
+
+    return _emb(text_col)

@@ -49,6 +49,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ features
 
 
+def _structural_feats(text_col: str = "text") -> F.Column:
+    """The 4 trailing feature slots (length, stop, punct, bias) as one
+    array expression — shared by both feature faces below."""
+    from ..operators.text_analysis import quality_exprs
+
+    e = quality_exprs(text_col)
+    length_feat = F.round(
+        F.least(e["n_tokens"] / F.lit(100.0), F.lit(1.0)), 6
+    )
+    return F.array(
+        length_feat,
+        F.round(e["stop_ratio"], 6),
+        F.round(e["punct_ratio"], 6),
+        F.lit(1.0),
+    )
+
+
 def feature_expr(text_col: str = "text") -> F.Column:
     """The QM_DIM feature vector as ONE column expression over ``text``:
     the hash embedding (``hash_embedding_expr`` — bit-identical to the
@@ -56,20 +73,25 @@ def feature_expr(text_col: str = "text") -> F.Column:
     ++ bias. Row-local and shuffle-free, so a streaming micro-batch can
     score documents with zero extra stages."""
     from ..functions.encoder import hash_embedding_expr
-    from ..operators.text_analysis import quality_exprs
 
-    e = quality_exprs(text_col)
-    length_feat = F.round(
-        F.least(e["n_tokens"] / F.lit(100.0), F.lit(1.0)), 6
-    )
     return F.concat(
-        hash_embedding_expr(text_col),
-        F.array(
-            length_feat,
-            F.round(e["stop_ratio"], 6),
-            F.round(e["punct_ratio"], 6),
-            F.lit(1.0),
-        ),
+        hash_embedding_expr(text_col), _structural_feats(text_col)
+    )
+
+
+def feature_batch_col(text_col: str = "text") -> F.Column:
+    """The SAME QM_DIM feature vector for batch sites: the embedding
+    slots come from the Arrow-batched UDF face (md5 in C + numpy — see
+    ``hash_embedding_udf``; bit-identical to the expression by the
+    pinned kernel parity), the structural slots from the shared
+    expression. Still row-local (ArrowEvalPython, no shuffle); only the
+    per-token interpreted HOF fold is gone. The streaming gate keeps
+    ``feature_expr`` — a micro-batch filter must stay a stateless
+    column predicate."""
+    from ..functions.encoder import hash_embedding_udf
+
+    return F.concat(
+        hash_embedding_udf(text_col), _structural_feats(text_col)
     )
 
 
@@ -84,7 +106,7 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.round(quality_exprs()["quality"], 6)
     return _docs(spark, sf_dir).select(
         "doc_id",
-        feature_expr().alias("feat"),
+        feature_batch_col().alias("feat"),
         (q >= F.lit(MIN_KEEP_QUALITY)).cast("int").alias("y"),
     )
 
@@ -160,12 +182,13 @@ def gradient_frame(feats: DataFrame, w: list) -> DataFrame:
     ulp drift vs the exploded form is absorbed by the per-round
     {QM_W_ROUND}-dp HALF_UP weight rounding — the invariant that already
     makes the DuckDB replay exact."""
-    w_lit = F.array(*[F.lit(float(v)) for v in w])
-    margin = F.aggregate(
-        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # same unrolled left-associated dot as the scoring face: identical
+    # IEEE addition order to the aggregate(zip_with(...)) fold, but in
+    # codegen — the fold ran interpreted once per row per GD round
+    # (8 rounds x the whole feature table)
+    margin = F.lit(0.0)
+    for d, v in enumerate(w):
+        margin = margin + F.element_at("feat", d + 1) * F.lit(float(v))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return feats.select((p - F.col("y")).alias("err"), "feat").agg(
         *[
@@ -294,12 +317,15 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract."""
     w = _qm_fit(spark, sf_dir)
     feats = _features(spark, sf_dir)
-    w_lit = F.array(*[F.lit(float(v)) for v in w])
-    margin = F.aggregate(
-        F.zip_with("feat", w_lit, lambda x, wd: x * wd),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # the dot product unrolled as an explicit left-associated sum of
+    # element_at terms: ((0 + f0*w0) + f1*w1) + ... is the identical
+    # IEEE addition order as the old aggregate(zip_with(...)) fold, but
+    # runs in whole-stage codegen instead of the interpreted HOF path
+    # (guide §4.1: HOF lambdas are CodegenFallback — measured ~0.75 s of
+    # the warm scoring pass for QM_DIM=20 terms over sf0.1)
+    margin = F.lit(0.0)
+    for i, v in enumerate(w):
+        margin = margin + F.element_at("feat", i + 1) * F.lit(float(v))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     # two-step select: `score` and `predicted` previously each carried
     # their own copy of round(sigmoid(w . feat(text))) — and feat() is
