@@ -117,25 +117,53 @@ def minhash_signatures(shingled, num_hashes: int):
 
     def kernel(batches):
         for pdf in batches:
-            sigs = []
-            for shl in pdf["shingles"]:
-                if len(shl) == 0:
-                    # Same init sentinel as the expression form's fold: an
-                    # empty doc gets the all-P signature instead of crashing
-                    # np.min on a zero-length axis.
-                    sigs.append(np.full(num_hashes, MINHASH_P, dtype=np.int64))
-                    continue
-                bases = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                        for s in shl
-                    ),
+            shl_list = pdf["shingles"]
+            n_docs = len(shl_list)
+            lens = np.fromiter(
+                (len(s) for s in shl_list), dtype=np.int64, count=n_docs
+            )
+            total = int(lens.sum())
+            # Same init sentinel as the expression form's fold: an empty
+            # doc keeps the all-P signature instead of crashing np.min on
+            # a zero-length axis.
+            sigs = np.full((n_docs, num_hashes), MINHASH_P, dtype=np.int64)
+            if total > 0:
+                # one flat affine+min pass over the whole batch instead
+                # of a small numpy call per document (the per-doc form
+                # paid ~100 µs of allocation/dispatch per row); shingles
+                # repeat heavily across near-dup docs, so the md5 base is
+                # memoized per batch — identical value either way
+                cache: dict = {}
+
+                def base_of(s, _c=cache):
+                    v = _c.get(s)
+                    if v is None:
+                        v = int(
+                            hashlib.md5(s.encode("utf-8")).hexdigest()[:8],
+                            16,
+                        )
+                        _c[s] = v
+                    return v
+
+                flat = np.fromiter(
+                    (base_of(s) for shl in shl_list for s in shl),
                     dtype=np.int64,
-                    count=len(shl),
+                    count=total,
                 )
                 # a * base < 2^63: base < 2^32 and max(A) is small
-                sigs.append(((a * bases + b) % MINHASH_P).min(axis=1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+                allsig = (a * flat + b) % MINHASH_P  # (num_hashes, total)
+                starts = np.zeros(n_docs, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                nz = np.nonzero(lens)[0]
+                # reduceat segment i spans starts[nz][i] .. next index-1:
+                # empty docs contribute zero length, so consecutive
+                # non-empty starts bound exactly each doc's shingles
+                sigs[nz] = np.minimum.reduceat(
+                    allsig, starts[nz], axis=1
+                ).T
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": list(sigs)}
+            )
 
     return shingled.select("doc_id", "shingles").mapInPandas(
         kernel, schema="doc_id long, sig array<long>"
