@@ -198,6 +198,10 @@ def main() -> None:
         "curriculum_phase_report",   # manifest_tokens memo + rank cut
         # r12 cache-backed headliners
         "pack_sequences_phases",     # curriculum rank memo + pack sums
+        # r13 cache-backed headliners (the recall verdict joined the
+        # memoized+persisted family this round — r8 task 3 discipline:
+        # every cache-backed headliner gets a cold entry)
+        "semdedup_hash_recall_eval",  # hash-tail truth-side pair join
     )
     cold_queries: dict[str, float] = {}
     cold_spread: dict[str, dict] = {}

@@ -2866,13 +2866,19 @@ def _data_card_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _REG["semantic_dedup_full"].fn(spark, sf_dir)
             ),
             lambda: materialized(q_doc_winnow_boilerplate(spark, sf_dir)),
-            # construction-only prewarms: the recall evals are
-            # unmemoized 1-row harnesses over persisted inputs (an
-            # in-thread count would run their truth-side joins twice),
-            # the manifest variants are eager localCheckpoint memos
-            # already, and the rollups are cheap reads of warm flags
-            lambda: _REG["semdedup_recall_eval"].fn(spark, sf_dir),
-            lambda: _REG["semdedup_hash_recall_eval"].fn(spark, sf_dir),
+            # the recall evals are memoized+persisted 1-row verdicts
+            # now — materialize them in-thread so the assembly job
+            # reads warm caches instead of re-running their truth-side
+            # pair joins
+            lambda: materialized(
+                _REG["semdedup_recall_eval"].fn(spark, sf_dir)
+            ),
+            lambda: materialized(
+                _REG["semdedup_hash_recall_eval"].fn(spark, sf_dir)
+            ),
+            # construction-only prewarms: the manifest variants are
+            # eager localCheckpoint memos already, and the rollups are
+            # cheap reads of warm flags
             lambda: q_strip_savings_report(spark, sf_dir),
             lambda: q_training_corpus_manifest(spark, sf_dir),
             lambda: _REG["training_corpus_manifest_stripped"].fn(
