@@ -202,6 +202,7 @@ def main() -> None:
         # memoized+persisted family this round — r8 task 3 discipline:
         # every cache-backed headliner gets a cold entry)
         "semdedup_hash_recall_eval",  # hash-tail truth-side pair join
+        "source_js_divergence",       # per-source distribution memo
     )
     cold_queries: dict[str, float] = {}
     cold_spread: dict[str, dict] = {}

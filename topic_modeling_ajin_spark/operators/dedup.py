@@ -2144,28 +2144,63 @@ def q_semdedup_hash_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vb") < F.col("va"))
         .select("va", F.round(pair_cos, 6).alias("c"))
     )
-    taus = F.array(*[F.lit(float(t)) for t in SEMDEDUP_HASH_TAU_GRID])
-    hits = pairs.select(
-        F.explode(F.filter(taus, lambda t: F.col("c") > t)).alias("tau"),
-        "va",
-        "c",
+    # The grid is sorted, so a pair with cosine c counts toward EXACTLY
+    # the taus below it — a prefix of the grid. Reduce each pair to its
+    # BAND (#{j : c > grid[j]}, a codegen when-cascade) and each doc to
+    # its max band (band is monotone in c, so max band == band of the
+    # doc's max cosine): per tau j, n_pairs = Σ_{band > j} band counts
+    # and n_dropped_docs = #{docs : max band > j}. The previous form
+    # exploded each pair into its matching taus (an interpreted HOF) and
+    # shuffled the n_pairs x |grid| hit rows through a countDistinct —
+    # this one shuffles two ≤ max(|grid|+1, n_docs)-row aggregates
+    # (guide §2.3: aggregate before you shuffle). Counting identities,
+    # so the values (and the DuckDB oracle) are unchanged.
+    grid = [float(t) for t in SEMDEDUP_HASH_TAU_GRID]
+    band = F.when(F.col("c") <= grid[0], 0)
+    for j in range(1, len(grid)):
+        band = band.when(F.col("c") <= grid[j], j)
+    band = band.otherwise(len(grid))
+    pb = pairs.select(band.alias("band"), "va")
+    nj = len(grid)
+    # ONE pass over the pair join: the per-doc aggregation carries both
+    # the doc's max band and its per-tau pair counts (map-side combined
+    # to ≤ n_docs rows), the 1-row rollup sums them, and the grid rows
+    # come from exploding a literal array — no second execution of the
+    # pair join, no grid-shaped shuffle
+    per_doc = pb.groupBy("va").agg(
+        F.max("band").alias("mb"),
+        *[
+            F.sum(F.when(F.col("band") > j, 1).otherwise(0)).alias(f"p{j}")
+            for j in range(nj)
+        ],
     )
-    zeros = spark.createDataFrame(
-        [(float(t),) for t in SEMDEDUP_HASH_TAU_GRID], "tau double"
-    ).select(
-        "tau",
-        F.lit(None).cast("long").alias("va"),
-        F.lit(None).cast("double").alias("c"),
+    one = per_doc.agg(
+        *[F.sum(f"p{j}").alias(f"np{j}") for j in range(nj)],
+        *[
+            F.sum(F.when(F.col("mb") > j, 1).otherwise(0)).alias(f"nd{j}")
+            for j in range(nj)
+        ],
     )
-    return (
-        hits.unionByName(zeros)
-        .groupBy("tau")
-        .agg(
-            F.count("c").cast("bigint").alias("n_pairs"),
-            F.countDistinct("va").cast("bigint").alias("n_dropped_docs"),
-        )
-        .orderBy("tau")
+    z = F.lit(0).cast("bigint")
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(grid[j]).alias("tau"),
+                        F.coalesce(F.col(f"np{j}"), z)
+                        .cast("bigint")
+                        .alias("n_pairs"),
+                        F.coalesce(F.col(f"nd{j}"), z)
+                        .cast("bigint")
+                        .alias("n_dropped_docs"),
+                    )
+                    for j in range(nj)
+                ]
+            )
+        ).alias("r")
     )
+    return rows.select("r.*").orderBy("tau")
 
 
 # --------------------------------------------------- LSH recall evaluation
