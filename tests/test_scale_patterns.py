@@ -656,8 +656,6 @@ BROADCAST_ALLOW: dict[tuple[str, str], str] = {
         "query-term table: bounded by the query set",
     ("operators/retrieval.py", "qvocab"):
         "query vocabulary: bounded by the query set",
-    ("operators/retrieval.py", "stats"):
-        "one-row corpus stats",
     ("operators/selection.py", "tots"):
         "one-row totals",
     ("operators/selection.py", "vocab"):
