@@ -49,12 +49,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ features
 
 
-def _structural_feats(text_col: str = "text") -> F.Column:
+def _structural_feats(text_col: str = "text", toks=None) -> F.Column:
     """The 4 trailing feature slots (length, stop, punct, bias) as one
-    array expression — shared by both feature faces below."""
+    array expression — shared by both feature faces below. ``toks`` lets
+    a batch caller that has staged the token array as a column pass it
+    through (quality_exprs' own seam), so the tokenize subtree is
+    evaluated once per row instead of once per referencing signal."""
     from ..operators.text_analysis import quality_exprs
 
-    e = quality_exprs(text_col)
+    e = quality_exprs(text_col, toks=toks)
     length_feat = F.round(
         F.least(e["n_tokens"] / F.lit(100.0), F.lit(1.0)), 6
     )
@@ -79,7 +82,7 @@ def feature_expr(text_col: str = "text") -> F.Column:
     )
 
 
-def feature_batch_col(text_col: str = "text") -> F.Column:
+def feature_batch_col(text_col: str = "text", toks=None) -> F.Column:
     """The SAME QM_DIM feature vector for batch sites: the embedding
     slots come from the Arrow-batched UDF face (md5 in C + numpy — see
     ``hash_embedding_udf``; bit-identical to the expression by the
@@ -91,7 +94,7 @@ def feature_batch_col(text_col: str = "text") -> F.Column:
     from ..functions.encoder import hash_embedding_udf
 
     return F.concat(
-        hash_embedding_udf(text_col), _structural_feats(text_col)
+        hash_embedding_udf(text_col), _structural_feats(text_col, toks)
     )
 
 
@@ -100,13 +103,22 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural signals ++ bias, teacher label from the heuristic gate.
     One shuffle-free projection over the scan (the round-4 join of the
     embedding kernel against the quality query is gone: both sides were
-    row-local expressions all along)."""
+    row-local expressions all along). The token array is staged as a
+    column (the quality_stats discipline) so the feat slots and the
+    teacher label share ONE tokenize per row instead of re-evaluating
+    the subtree inside each referencing signal."""
+    from ..functions import text as TX
     from ..operators.text_analysis import MIN_KEEP_QUALITY, quality_exprs
 
-    q = F.round(quality_exprs()["quality"], 6)
-    return _docs(spark, sf_dir).select(
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    staged = _docs(spark, sf_dir).select(
+        "doc_id", "text", TX.word_tokens(txt).alias("_toks")
+    )
+    toks = F.col("_toks")
+    q = F.round(quality_exprs(toks=toks)["quality"], 6)
+    return staged.select(
         "doc_id",
-        feature_batch_col().alias("feat"),
+        feature_batch_col(toks=toks).alias("feat"),
         (q >= F.lit(MIN_KEEP_QUALITY)).cast("int").alias("y"),
     )
 
