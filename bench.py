@@ -203,6 +203,12 @@ def main() -> None:
         # every cache-backed headliner gets a cold entry)
         "semdedup_hash_recall_eval",  # hash-tail truth-side pair join
         "source_js_divergence",       # per-source distribution memo
+        # r14 cache-backed headliners (r13 verdict tasks 5 and 7: every
+        # query that joins the memoized family gets a cold entry the
+        # same round)
+        "bm25_topk",                 # memoized cut-postings corpus pass
+        "winnowing_overlap_pairs",   # memoized fp pair verdict table
+        "semdedup_hash_tau_sweep",   # memoized operating-point sweep
     )
     cold_queries: dict[str, float] = {}
     cold_spread: dict[str, dict] = {}
@@ -227,21 +233,34 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold_queries,
-                "query_spread": spread,
-                "cold_spread": cold_spread,
-                "n_runs": N_RUNS,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    # r13 verdict task 3: the r12 stdout line never parsed and the
+    # archive keeps only a 2 KB tail, which cost r13 its entire
+    # automated round-over-round comparison. The contract line printed
+    # LAST on stdout now carries only the fields the driver compares
+    # (metric/value/queries/cold_queries — ~1.9 KB at 58 queries); the
+    # full record INCLUDING the r13 spread self-reports goes to
+    # bench_out.json next to this script, so variance adjudication
+    # survives even if stdout is truncated.
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold_queries,
+        "n_runs": N_RUNS,
+        "sf": float(sf) if sf else None,
+    }
+    full = dict(compact, query_spread=spread, cold_spread=cold_spread)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

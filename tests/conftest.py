@@ -14,7 +14,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from topic_modeling_ajin_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8)
+    # default.parallelism 8 (not the 32-core default): tests build
+    # hundreds of tiny createDataFrame frames, each parallelized into
+    # defaultParallelism PYTHON partitions — every scan pays that many
+    # Python-worker evaluations, and the staging writes' coalesce(1)
+    # evaluates them SERIALLY (measured ~5 s per one-file staging write
+    # at 32). 8 keeps multi-partition semantics (partition-invariance
+    # tests still see real parallelism) at a quarter of the per-frame
+    # Python-boundary tax.
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.default.parallelism": "8"},
+    )
     yield spark
 
 

@@ -1796,9 +1796,12 @@ def _stage_documents_batches(spark, sf_dir, tmp_path, sub, n_batches=3):
     schema = "doc_id long, lang string, text string"
     for b in range(n_batches):
         chunk = [tuple(r) for r in docs[b * per : (b + 1) * per]]
-        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(staging)
+        # one slice up front: createDataFrame(list) would parallelize
+        # into defaultParallelism Python partitions and coalesce(1)
+        # then evaluates them serially (~5 s per staging file)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(chunk, 1), schema
+        ).write.mode("append").parquet(staging)
         time.sleep(1.1)
     return staging, schema
 

@@ -1,5 +1,5 @@
 """Dump `.explain("formatted")` for named registered queries into
-plans/r13/<name>_<suffix>.txt — the judge-facing before/after plan
+plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt (default r14) — the judge-facing before/after plan
 evidence for the optimization rounds.
 
 Usage: python tools/dump_plan.py <suffix> <sf_dir> <name> [name ...]
@@ -23,7 +23,7 @@ def main() -> None:
 
     registry = load_all()
     spark = get_spark("dump-plan")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = registry[name].fn(spark, sf_dir)

@@ -19,6 +19,7 @@ releases both.
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Any, Callable
 
@@ -70,6 +71,25 @@ def memo(
     return val
 
 
+def _build_pool_cap(n_builders: int) -> int:
+    """Concurrent-builder cap (r13 verdict task 1): the r13 pool sized
+    itself ``max_workers=len(builders)`` — up to ~13 driver threads each
+    submitting Spark jobs over the same executor pool. Solo that
+    overlaps a straggler tail (guide §2.6: "2-3 jobs in flight is
+    plenty"); on a CONTENDED box (the driver times cold entries while
+    also running its 8-CPU bench and the oracle gate) the fan-out
+    oversubscribes the machine and the driver's cold numbers came out
+    1.5-3x worse than the builder's solo runs. Cap at cpus//4 (8 on the
+    32-core box, 2 on the 8-core run) so overlap still back-fills the
+    executor tail without fighting the rest of the machine;
+    ``SPARK_GRAFT_BUILD_POOL`` overrides for measurement experiments."""
+    env = os.environ.get("SPARK_GRAFT_BUILD_POOL")
+    if env:
+        return max(1, min(n_builders, int(env)))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return max(2, min(n_builders, cpus // 4))
+
+
 def build_concurrently(builders: list[Callable[[], Any]]) -> list[Any]:
     """Run independent memoized-chain builders from driver threads and
     return their results in order (guide §2.6: Spark happily runs several
@@ -88,13 +108,18 @@ def build_concurrently(builders: list[Callable[[], Any]]) -> list[Any]:
     value it would have built serially (memo's per-key locks serialize
     shared sub-chains), only the wall-clock overlaps.
 
+    The pool is CAPPED (``_build_pool_cap``): a queued builder has
+    acquired no memo lock yet, and a running builder holding one is
+    always making progress, so the cap cannot deadlock the
+    build-dependency DAG — later builders simply wait for a slot.
+
     The first builder exception propagates (after all threads finish, so
     no half-built chain is abandoned mid-persist)."""
     if len(builders) <= 1:
         return [b() for b in builders]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+    with ThreadPoolExecutor(max_workers=_build_pool_cap(len(builders))) as pool:
         futures = [pool.submit(b) for b in builders]
         # collect in submission order; .result() re-raises build errors
         return [f.result() for f in futures]

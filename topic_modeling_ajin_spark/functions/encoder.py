@@ -28,6 +28,7 @@ bytes in, ``ENCODER_DIM`` doubles out per row.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -307,12 +308,23 @@ def hash_embedding_udf(text_col, dim: int = ENCODER_DIM):
     higher-order-function evaluations per token (HOF lambdas are
     CodegenFallback — guide §4.1/§4.2). The streaming gate keeps the
     pure-expression face: a micro-batch filter must stay a stateless
-    column predicate."""
-    import pandas as pd  # noqa: F811 (kernel-local, executor side)
-    from pyspark.sql.functions import pandas_udf
+    column predicate.
 
-    @pandas_udf("array<double>")
-    def _emb(texts: pd.Series) -> pd.Series:
-        return pd.Series(hash_embed_texts(texts, dim))
+    The wrapped pandas_udf object is built once per ``dim`` and cached
+    (r13 ADVICE): constructing a fresh wrapper per call registered a
+    duplicate Python function for every invocation in a plan and
+    defeated common-subexpression reuse between them."""
+    udf = _HASH_EMB_UDFS.get(dim)
+    if udf is None:
+        import pandas as pd  # noqa: F811 (kernel-local, executor side)
+        from pyspark.sql.functions import pandas_udf
 
-    return _emb(text_col)
+        @pandas_udf("array<double>")
+        def _emb(texts: pd.Series) -> pd.Series:
+            return pd.Series(hash_embed_texts(texts, dim))
+
+        _HASH_EMB_UDFS[dim] = udf = _emb
+    return udf(text_col)
+
+
+_HASH_EMB_UDFS: dict[int, Any] = {}

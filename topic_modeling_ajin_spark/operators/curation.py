@@ -1157,8 +1157,20 @@ def _manifest_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a heuristic PREDICTION, and reporting it here would make
     # per-language manifest counts irreconcilable with mixture_plan's
     # expected n_keep (r5 review)
-    mix = q_mixture_sample(spark, sf_dir).select("doc_id", "lang")
-    return _manifest_premix(spark, sf_dir).join(mix, "doc_id")
+    from ..cache import build_concurrently
+
+    # the gate prefix and the doc-count sampler are independent until
+    # the doc-keyed join — overlap them (guide §2.6; r13 verdict task 9:
+    # the mixture chain previously ran only AFTER the premix barrier,
+    # serializing ~2 s of cold manifest wall-clock the token-budget
+    # manifest variant already overlapped)
+    premix, mix = build_concurrently(
+        [
+            lambda: _manifest_premix(spark, sf_dir),
+            lambda: q_mixture_sample(spark, sf_dir).select("doc_id", "lang"),
+        ]
+    )
+    return premix.join(mix, "doc_id")
 
 
 @register(

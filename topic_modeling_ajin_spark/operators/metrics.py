@@ -682,6 +682,17 @@ def q_cv_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wj",
         F.when(F.col("wi") == F.col("wj"), npmi_diag).otherwise(npmi_off).alias("npmi"),
     )
+    # Materialize the K·k²-row NPMI matrix ONCE (r13 verdict task 6):
+    # three downstream consumers reference m (s aggregates it, norms
+    # aggregates s, per_i joins m back to s), so un-materialized the
+    # whole joined tree above — the topk/wc/pc joins, ~870 Exchange
+    # nodes of analyzed plan — was planned and evaluated three times
+    # per action. The checkpoint truncates the lineage to a LogicalRDD
+    # holding a few thousand rows; every npmi value is computed by the
+    # IDENTICAL expression exactly once, and the aggregations below
+    # keep their exact r13 grouping structure, so the 6-dp-rounded
+    # outputs are unchanged (oracle hash-checked).
+    m = m.localCheckpoint()
     s = m.groupBy("label", "wj").agg(F.sum("npmi").alias("sv"))
     norms = s.groupBy("label").agg(F.sqrt(F.sum(F.col("sv") * F.col("sv"))).alias("ns"))
     per_i = (

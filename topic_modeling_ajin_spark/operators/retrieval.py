@@ -145,17 +145,42 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and engine-portable. The corpus-wide work is one
     doc-local tokenize pass + the candidate-sized aggregation; the full
     vocabulary is never shuffled."""
-    t = _docs(spark, sf_dir).select(
-        "doc_id", TX.word_tokens("text").alias("toks")
+    qpost, n_docs, total_toks, qterm = _bm25_corpus_inputs(spark, sf_dir)
+    return _bm25_score_cut_postings(
+        qpost, n_docs, total_toks, qterm, k=BM25_TOP_K, exclude_self=True
     )
-    qterm = (
-        t.filter(F.col("doc_id") < BM25_N_QUERIES)
-        .select(
-            F.col("doc_id").alias("query_id"), F.explode("toks").alias("term")
+
+
+def _bm25_corpus_inputs(spark: SparkSession, sf_dir: str):
+    """The registered query's corpus pass, memoized per (session,
+    dataset) — r13 verdict task 5: the query workload is a registered
+    CONSTANT (the first {BM25_N_QUERIES} docs' term sets), yet every
+    warm call re-ran the tokenize+cut+checkpoint pass and re-paid ~1-2 s
+    of Catalyst planning for it. One build per session returns the
+    checkpointed cut-postings table plus the exact integer corpus stats
+    (and the checkpointed query term sets); warm calls plan only the
+    candidate-sized scoring tree over two LogicalRDDs. The bench
+    carries a ``bm25_topk`` cold entry so the full corpus pass stays
+    policed."""
+    from ..cache import memo
+
+    def build():
+        t = _docs(spark, sf_dir).select(
+            "doc_id", TX.word_tokens("text").alias("toks")
         )
-        .distinct()
-    )
-    return bm25_topk_for_queries(t, qterm, k=BM25_TOP_K, exclude_self=True)
+        qterm = (
+            t.filter(F.col("doc_id") < BM25_N_QUERIES)
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode("toks").alias("term"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        qpost, n_docs, total_toks = _bm25_cut_postings(t, qterm)
+        return (qpost, n_docs, total_toks, qterm)
+
+    return memo(spark, ("bm25_corpus_inputs", sf_dir), build)
 
 
 def bm25_topk_for_queries(
@@ -185,6 +210,17 @@ def bm25_topk_for_queries(
     # scoring join both read it instead of re-running tokenize+cut.
     # The full (doc_id, term) postings table still never materializes:
     # the broadcast vocabulary filter runs BEFORE any aggregation.
+    qpost, n_docs, total_toks = _bm25_cut_postings(t, qterm)
+    return _bm25_score_cut_postings(
+        qpost, n_docs, total_toks, qterm, k=k, exclude_self=exclude_self
+    )
+
+
+def _bm25_cut_postings(t: DataFrame, qterm: DataFrame):
+    """One corpus pass: (checkpointed cut postings, n_docs, total_toks).
+    The corpus stats ride the postings pass as an ``observe`` node —
+    exact integers collected as a side effect of the checkpoint
+    materialization."""
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -205,8 +241,21 @@ def bm25_topk_for_queries(
         .localCheckpoint()
     )
     srow = obs.get  # available: the checkpoint already ran the pass
-    n_docs = int(srow["n_docs"])
-    total_toks = int(srow["total_toks"] or 0)
+    return qpost, int(srow["n_docs"]), int(srow["total_toks"] or 0)
+
+
+def _bm25_score_cut_postings(
+    qpost: DataFrame,
+    n_docs: int,
+    total_toks: int,
+    qterm: DataFrame,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Candidate-sized scoring over the materialized cut postings —
+    identical expressions and join shape to the r13 form, factored out
+    so the memoized registered query reuses one corpus pass across
+    warm calls."""
     idf = (
         qpost.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -608,8 +657,21 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consistent numerator/denominator over the compared space) via a
     broadcast anti-join on the tiny hot-fp list; they surface in
     ``winnowing_hot_fingerprints`` instead. fp_jaccard's only division
-    happens after integer aggregation, rounded at 6 dp."""
-    return winnow_overlap_pairs_from_fps(_winnow_fps(spark, sf_dir))
+    happens after integer aggregation, rounded at 6 dp.
+
+    Memoized+persisted since r14 (the verdict-table discipline —
+    r13 verdict task 7): the pair table is consumed by
+    ``winnow_components``' edge memo and re-ran its bucket-bounded
+    pair join on every warm call; the bench carries a cold entry so
+    the full fingerprint+pair chain stays policed."""
+    from ..cache import memo
+
+    return memo(
+        spark,
+        ("winnowing_overlap_pairs", sf_dir),
+        lambda: winnow_overlap_pairs_from_fps(_winnow_fps(spark, sf_dir)),
+        persist=True,
+    )
 
 
 def winnow_overlap_pairs_from_fps(

@@ -449,7 +449,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but still one driver job per invocation un-memoized)
     from ..cache import memo
 
-    n_docs = memo(spark, ("n_docs", sf_dir), d.count)
+    # key namespaced to the source table (r13 ADVICE): a future memo of
+    # a DIFFERENT document count (filtered, post-dedup) under a generic
+    # ("n_docs", sf_dir) key would silently collide with this one
+    n_docs = memo(spark, ("documents_n_docs", sf_dir), d.count)
     # dfc is vocab-sized — corpus-unbounded — and NOT persisted (a
     # count-based vocab_broadcast would re-run the tokenize), so the
     # join carries no forced hint: AQE sees dfc's true runtime size and

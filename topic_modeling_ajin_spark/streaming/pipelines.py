@@ -40,6 +40,25 @@ from ..operators.events import SESSION_GAP_SECONDS
 WATERMARK = "2 hours"
 
 
+def _one_row_audit(spark: SparkSession, schema: str, *values) -> DataFrame:
+    """One-row audit/card DataFrame built as a single JVM partition.
+
+    ``spark.createDataFrame([row])`` parallelizes the Python list into
+    defaultParallelism Python-RDD partitions, and the sink-side
+    ``coalesce(1)`` then evaluates every one of those Python partitions
+    SERIALLY in one task — measured ~5 s per one-row card write at
+    local[32], a fixed tax on every micro-batch of every pipeline that
+    writes a delta card (guide §4: the boundary crossing is the cost,
+    not the row). Projecting the values as literals over ``range(1)``
+    keeps the whole row one codegen'd JVM task (~0.1 s) with identical
+    values and column types."""
+    cols = []
+    for spec, v in zip(schema.split(", "), values):
+        name, typ = spec.rsplit(" ", 1)
+        cols.append(F.lit(v).cast(typ).alias(name))
+    return spark.range(1).select(*cols).coalesce(1)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
@@ -1065,17 +1084,14 @@ def run_streaming_ingest_dedup(
             )
             bins = quality_bins(batch_df)
             psi = psi_from_bins(bins, drift_ref_bins)
-            spark.createDataFrame(
-                [
-                    (
-                        int(batch_id),
-                        int(sum(bins)),
-                        float(round(psi, 6)),
-                        bool(psi > thr),
-                    )
-                ],
+            _one_row_audit(
+                spark,
                 "batch_id long, n_docs long, psi double, drifted boolean",
-            ).coalesce(1).write.mode("overwrite").parquet(
+                int(batch_id),
+                int(sum(bins)),
+                float(round(psi, 6)),
+                bool(psi > thr),
+            ).write.mode("overwrite").parquet(
                 f"{drift_out_dir}/batch={batch_id}"
             )
 
@@ -1638,6 +1654,16 @@ def run_streaming_ingest_dedup(
                         F.col("emb_f").alias("emb"),
                         F.col("emb_bucket").alias("bucket"),
                     )
+                    # cluster by the partition column before the
+                    # partitioned write (guide §6): without this every
+                    # upstream task writes a file into every bucket dir
+                    # it touches — tasks × buckets tiny files per batch
+                    # (measured 2k files/batch at sf0.001), paid again
+                    # by every later probe's file listing. One hash
+                    # shuffle of slim store rows puts each bucket in
+                    # exactly one task → one file per bucket, and AQE
+                    # coalesces the tiny-batch case further.
+                    .repartition("bucket")
                     .write.mode("overwrite")
                     .partitionBy("bucket")
                     .parquet(f"{vector_store_dir(store_dir)}/batch={batch_id}")
@@ -1661,6 +1687,9 @@ def run_streaming_ingest_dedup(
                         "bucket",
                         F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS)),
                     )
+                    # one file per bucket instead of tasks × buckets
+                    # (guide §6 — see the vector-store write above)
+                    .repartition("bucket")
                     .write.mode("overwrite")
                     .partitionBy("bucket")
                     .parquet(f"{shingle_store_dir(store_dir)}/batch={batch_id}")
@@ -1677,25 +1706,22 @@ def run_streaming_ingest_dedup(
                 n_shipped = spark.read.parquet(
                     f"{out_dir}/batch={batch_id}"
                 ).count()
-                spark.createDataFrame(
-                    [
-                        (
-                            int(batch_id),
-                            int(card["n_in"]),
-                            int(card["n_quality_fail"]),
-                            int(card["n_exact_dup"]),
-                            int(card["n_simhash_drop"]),
-                            int(card["n_jaccard_drop"]),
-                            int(card["n_cosine_drop"]),
-                            int(card["n_decontam_drop"]),
-                            int(n_shipped),
-                        )
-                    ],
+                _one_row_audit(
+                    spark,
                     "batch_id long, n_in long, n_quality_fail long, "
                     "n_exact_dup long, n_simhash_drop long, "
                     "n_jaccard_drop long, n_cosine_drop long, "
                     "n_decontam_drop long, n_shipped long",
-                ).coalesce(1).write.mode("overwrite").parquet(
+                    int(batch_id),
+                    int(card["n_in"]),
+                    int(card["n_quality_fail"]),
+                    int(card["n_exact_dup"]),
+                    int(card["n_simhash_drop"]),
+                    int(card["n_jaccard_drop"]),
+                    int(card["n_cosine_drop"]),
+                    int(card["n_decontam_drop"]),
+                    int(n_shipped),
+                ).write.mode("overwrite").parquet(
                     f"{card_out_dir}/batch={batch_id}"
                 )
         finally:
@@ -2231,7 +2257,13 @@ def run_incremental_manifest(
             F.explode("shingle_hashes").alias("shv"),
         ).withColumn(
             "bucket", F.pmod(F.col("shv"), F.lit(JACCARD_STORE_BUCKETS))
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
+        ).repartition("bucket").write.mode("overwrite").partitionBy(
+            # one file per bucket instead of tasks × buckets tiny files
+            # (guide §6: cluster by the partition column before a
+            # partitioned write; measured 2k files/batch → 256, and the
+            # dominant per-batch wall-clock cost at test scale)
+            "bucket"
+        ).parquet(
             f"{shingle_store_dir(store_dir)}/batch={batch_id}"
         )
         if near_dup_cosine is not None:
@@ -2255,6 +2287,9 @@ def run_incremental_manifest(
                     F.col("emb_f").alias("emb"),
                     F.col("emb_bucket").alias("bucket"),
                 )
+                # one file per bucket instead of tasks × buckets
+                # (guide §6 — see the ingest pipeline's store writes)
+                .repartition("bucket")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(f"{vector_store_dir(store_dir)}/batch={batch_id}")
@@ -2324,22 +2359,19 @@ def run_incremental_manifest(
                 .join(docs_snap.select("doc_id"), "doc_id")
                 .count()
             )
-            spark.createDataFrame(
-                [
-                    (
-                        int(batch_id),
-                        int(n_pool_total),
-                        int(n_manifest),
-                        int(n_docs_policy),
-                        int(n_overlap),
-                        int(n_manifest - n_overlap),
-                        int(n_docs_policy - n_overlap),
-                    )
-                ],
+            _one_row_audit(
+                spark,
                 "batch_id long, n_pool long, n_token_policy long, "
                 "n_doc_policy long, n_overlap long, "
                 "n_token_only long, n_doc_only long",
-            ).coalesce(1).write.mode("overwrite").parquet(
+                int(batch_id),
+                int(n_pool_total),
+                int(n_manifest),
+                int(n_docs_policy),
+                int(n_overlap),
+                int(n_manifest - n_overlap),
+                int(n_docs_policy - n_overlap),
+            ).write.mode("overwrite").parquet(
                 f"{out_dir}/policy_drift/batch={batch_id}"
             )
         else:
@@ -2355,29 +2387,26 @@ def run_incremental_manifest(
         # n_in = rule + exact + near_dup + cosine + decontam +
         # pool_delta is pinned in tests; cumulative pool/manifest
         # close the row.
-        spark.createDataFrame(
-            [
-                (
-                    int(batch_id),
-                    str(mixture),
-                    int(n_quarantined),
-                    int(g["n_in"]),
-                    int(g["n_rule_fail"]),
-                    int(g["n_exact_dup"]),
-                    int(n_near_dup_drop),
-                    int(n_cosine_drop),
-                    int(n_decontam_drop),
-                    int(n_pool_delta),
-                    int(n_pool_total),
-                    int(n_manifest),
-                )
-            ],
+        _one_row_audit(
+            spark,
             "batch_id long, mixture string, n_quarantined long, "
             "n_in long, n_rule_fail long, n_exact_dup long, "
             "n_near_dup_drop long, n_cosine_drop long, "
             "n_decontam_drop long, "
             "n_pool_delta long, n_pool_total long, n_manifest long",
-        ).coalesce(1).write.mode("overwrite").parquet(
+            int(batch_id),
+            str(mixture),
+            int(n_quarantined),
+            int(g["n_in"]),
+            int(g["n_rule_fail"]),
+            int(g["n_exact_dup"]),
+            int(n_near_dup_drop),
+            int(n_cosine_drop),
+            int(n_decontam_drop),
+            int(n_pool_delta),
+            int(n_pool_total),
+            int(n_manifest),
+        ).write.mode("overwrite").parquet(
             f"{out_dir}/card/batch={batch_id}"
         )
 
@@ -2541,11 +2570,12 @@ def run_streaming_quality_drift(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bins = quality_bins(batch_df)
         psi = psi_from_bins(bins, ref_bins)
-        spark.createDataFrame(
-            [(int(batch_id), int(sum(bins)), float(round(psi, 6)),
-              bool(psi > threshold))],
+        _one_row_audit(
+            spark,
             "batch_id long, n_docs long, psi double, drifted boolean",
-        ).coalesce(1).write.mode("overwrite").parquet(
+            int(batch_id), int(sum(bins)), float(round(psi, 6)),
+            bool(psi > threshold),
+        ).write.mode("overwrite").parquet(
             f"{out_dir}/batch={batch_id}"
         )
 
